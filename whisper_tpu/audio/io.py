@@ -1,0 +1,97 @@
+"""Audio loading utilities.
+
+The reference decodes wav/mp3/flac/ogg via vendored miniaudio
+(reference: examples/common-whisper.cpp:46).  Here we read WAV with the
+stdlib, resample to 16 kHz when needed, and shell out to ffmpeg for other
+containers when it is available (same fallback the reference server uses,
+reference: examples/server/server.cpp:248).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import subprocess
+import tempfile
+import wave
+
+import numpy as np
+
+from ..constants import SAMPLE_RATE
+
+
+def _decode_pcm(raw: bytes, sampwidth: int, n_channels: int) -> np.ndarray:
+    if sampwidth == 2:
+        data = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+    elif sampwidth == 1:
+        data = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+    elif sampwidth == 4:
+        data = np.frombuffer(raw, dtype="<i4").astype(np.float32) / 2147483648.0
+    else:
+        raise ValueError(f"unsupported sample width {sampwidth}")
+    if n_channels > 1:
+        data = data.reshape(-1, n_channels)
+    return data
+
+
+def resample_linear(x: np.ndarray, sr_in: int, sr_out: int) -> np.ndarray:
+    """Linear-interpolation resampler (mono or (n, ch))."""
+    if sr_in == sr_out:
+        return x
+    n_out = int(round(x.shape[0] * sr_out / sr_in))
+    t_out = np.arange(n_out, dtype=np.float64) * (sr_in / sr_out)
+    t_in = np.arange(x.shape[0], dtype=np.float64)
+    if x.ndim == 1:
+        return np.interp(t_out, t_in, x).astype(np.float32)
+    return np.stack(
+        [np.interp(t_out, t_in, x[:, c]) for c in range(x.shape[1])], axis=1
+    ).astype(np.float32)
+
+
+def load_wav(path: str, stereo: bool = False) -> tuple[np.ndarray, np.ndarray | None]:
+    """Read a WAV file -> (mono f32 @16 kHz, optional (n, 2) stereo f32).
+
+    Mirrors read_audio_data semantics: stereo is averaged to mono; when
+    `stereo` is requested the two channels are also returned separately
+    (used for diarization, reference: examples/cli/cli.cpp).
+    """
+    with wave.open(path, "rb") as w:
+        sr = w.getframerate()
+        n_ch = w.getnchannels()
+        raw = w.readframes(w.getnframes())
+        data = _decode_pcm(raw, w.getsampwidth(), n_ch)
+
+    if n_ch == 1:
+        mono = data
+        st = np.stack([data, data], axis=1) if stereo else None
+    else:
+        mono = data.mean(axis=1)
+        st = data[:, :2] if stereo else None
+
+    mono = resample_linear(mono, sr, SAMPLE_RATE)
+    if st is not None:
+        st = resample_linear(st, sr, SAMPLE_RATE)
+    return mono.astype(np.float32), st
+
+
+def load_audio(path: str, stereo: bool = False) -> tuple[np.ndarray, np.ndarray | None]:
+    """Load any audio file; non-wav goes through ffmpeg when available."""
+    ext = os.path.splitext(path)[1].lower()
+    if ext == ".wav":
+        try:
+            return load_wav(path, stereo=stereo)
+        except wave.Error:
+            pass  # mislabeled container; try ffmpeg below
+    if shutil.which("ffmpeg") is None:
+        raise RuntimeError(
+            f"cannot decode '{path}': not a PCM wav and ffmpeg is not installed")
+    with tempfile.NamedTemporaryFile(suffix=".wav", delete=False) as tmp:
+        tmp_path = tmp.name
+    try:
+        subprocess.run(
+            ["ffmpeg", "-y", "-i", path, "-ar", str(SAMPLE_RATE),
+             "-ac", "2" if stereo else "1", "-f", "wav", tmp_path],
+            check=True, capture_output=True)
+        return load_wav(tmp_path, stereo=stereo)
+    finally:
+        os.unlink(tmp_path)
