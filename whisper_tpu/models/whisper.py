@@ -1,0 +1,338 @@
+"""Whisper model: pure-JAX forward passes, TPU-first layout.
+
+Re-derives the math of the reference ggml graphs
+(conv stem: src/whisper.cpp:1989-2049, encoder: :2051-2282,
+cross-KV precompute: :2285-2359, decoder: :2469-2847) as functional JAX.
+
+TPU-first design decisions (deliberately NOT a translation of the graphs):
+  * per-layer weights are stacked along a leading layer axis and the
+    layer loop is a `lax.scan` — one compiled block regardless of depth
+  * activations are (batch, time, state); attention uses (B, T, H, Dh)
+    with `jnp.einsum` so XLA tiles straight onto the MXU
+  * matmuls run in a configurable compute dtype (bfloat16 by default)
+    with float32 accumulation; layernorm/softmax always float32
+  * the decoder is expressed as a single-step function over a
+    preallocated KV cache so the whole token loop can live inside one
+    `lax.while_loop` on device (the reference pays a host round-trip per
+    token, see SURVEY §3.1)
+
+GELU uses the tanh approximation, matching ggml's GGML_OP_GELU
+(the reference additionally routes it through an f16 lookup table, so
+bit-exactness there is impossible by construction).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..weights.ggml_reader import GgmlModelFile, Hparams
+
+
+@dataclasses.dataclass(frozen=True)
+class WhisperConfig:
+    n_vocab: int
+    n_audio_ctx: int
+    n_audio_state: int
+    n_audio_head: int
+    n_audio_layer: int
+    n_text_ctx: int
+    n_text_state: int
+    n_text_head: int
+    n_text_layer: int
+    n_mels: int
+    model_type: str = "unknown"
+
+    @classmethod
+    def from_hparams(cls, hp: Hparams) -> "WhisperConfig":
+        return cls(
+            n_vocab=hp.n_vocab,
+            n_audio_ctx=hp.n_audio_ctx,
+            n_audio_state=hp.n_audio_state,
+            n_audio_head=hp.n_audio_head,
+            n_audio_layer=hp.n_audio_layer,
+            n_text_ctx=hp.n_text_ctx,
+            n_text_state=hp.n_text_state,
+            n_text_head=hp.n_text_head,
+            n_text_layer=hp.n_text_layer,
+            n_mels=hp.n_mels,
+            model_type=hp.model_type,
+        )
+
+    @property
+    def head_dim_audio(self) -> int:
+        return self.n_audio_state // self.n_audio_head
+
+    @property
+    def head_dim_text(self) -> int:
+        return self.n_text_state // self.n_text_head
+
+
+# Parameter pytrees are plain nested dicts of jnp arrays:
+#
+# params = {
+#   "encoder": {
+#     "conv1_w": (n_state, n_mels, 3), "conv1_b": (n_state,),
+#     "conv2_w": (n_state, n_state, 3), "conv2_b": (n_state,),
+#     "pos": (n_audio_ctx, n_state),
+#     "ln_post_w"/"ln_post_b": (n_state,),
+#     "blocks": {  # every leaf has leading dim L
+#       "attn_ln_w","attn_ln_b","q_w","q_b","k_w","v_w","v_b","o_w","o_b",
+#       "mlp_ln_w","mlp_ln_b","mlp0_w","mlp0_b","mlp2_w","mlp2_b",
+#     },
+#   },
+#   "decoder": {
+#     "tok_emb": (n_vocab, n_state), "pos": (n_text_ctx, n_state),
+#     "ln_w"/"ln_b": (n_state,),
+#     "blocks": { ... same as encoder plus
+#       "xattn_ln_w","xattn_ln_b","xq_w","xq_b","xk_w","xv_w","xv_b",
+#       "xo_w","xo_b" },
+#   },
+# }
+#
+# Linear weights keep the torch (out, in) layout; application is
+# x @ w.T + b (ggml's mul_mat(w, x) computes the same contraction).
+
+
+def _layernorm(x, w, b, eps: float = 1e-5):
+    x = x.astype(jnp.float32)
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.var(x, axis=-1, keepdims=True)
+    return (x - mean) * jax.lax.rsqrt(var + eps) * w + b
+
+
+def _linear(x, w, b=None, compute_dtype=jnp.bfloat16):
+    y = jnp.dot(x.astype(compute_dtype), w.astype(compute_dtype).T,
+                preferred_element_type=jnp.float32)
+    if b is not None:
+        y = y + b
+    return y
+
+
+def _gelu(x):
+    return jax.nn.gelu(x, approximate=True)
+
+
+def _split_heads(x, n_head):
+    b, t, d = x.shape
+    return x.reshape(b, t, n_head, d // n_head)
+
+
+def _merge_heads(x):
+    b, t, h, dh = x.shape
+    return x.reshape(b, t, h * dh)
+
+
+def _attention(q, k, v, mask=None, compute_dtype=jnp.bfloat16):
+    """q,k,v: (B, T, H, Dh). mask: additive, broadcastable to (B, H, Tq, Tk)."""
+    dh = q.shape[-1]
+    scale = dh ** -0.5
+    qk = jnp.einsum("bqhd,bkhd->bhqk", q.astype(compute_dtype),
+                    k.astype(compute_dtype),
+                    preferred_element_type=jnp.float32) * scale
+    if mask is not None:
+        qk = qk + mask
+    w = jax.nn.softmax(qk.astype(jnp.float32), axis=-1)
+    out = jnp.einsum("bhqk,bkhd->bqhd", w.astype(compute_dtype),
+                     v.astype(compute_dtype),
+                     preferred_element_type=jnp.float32)
+    return _merge_heads(out)
+
+
+# ---------------------------------------------------------------------------
+# encoder
+# ---------------------------------------------------------------------------
+
+def conv_stem(enc_params, mel, compute_dtype=jnp.bfloat16):
+    """Mel (B, 2*n_ctx, n_mels) -> (B, n_ctx, n_state).
+
+    conv1d(k=3,s=1,p=1)+GELU, conv1d(k=3,s=2,p=1)+GELU
+    (reference: src/whisper.cpp:2033-2046).
+    """
+    x = mel.astype(compute_dtype)                       # (B, T, C_in)
+    # lax.conv with NWC / WIO layouts: kernel (3, in, out)
+    w1 = jnp.transpose(enc_params["conv1_w"], (2, 1, 0)).astype(compute_dtype)
+    x = jax.lax.conv_general_dilated(
+        x, w1, window_strides=(1,), padding=((1, 1),),
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        preferred_element_type=jnp.float32)
+    x = _gelu(x + enc_params["conv1_b"])
+    w2 = jnp.transpose(enc_params["conv2_w"], (2, 1, 0)).astype(compute_dtype)
+    x = jax.lax.conv_general_dilated(
+        x.astype(compute_dtype), w2, window_strides=(2,), padding=((1, 1),),
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        preferred_element_type=jnp.float32)
+    x = _gelu(x + enc_params["conv2_b"])
+    return x
+
+
+def _encoder_block(x, blk, n_head, compute_dtype):
+    ln = _layernorm(x, blk["attn_ln_w"], blk["attn_ln_b"])
+    q = _linear(ln, blk["q_w"], blk["q_b"], compute_dtype)
+    k = _linear(ln, blk["k_w"], None, compute_dtype)       # K has no bias
+    v = _linear(ln, blk["v_w"], blk["v_b"], compute_dtype)
+    attn = _attention(_split_heads(q, n_head), _split_heads(k, n_head),
+                      _split_heads(v, n_head), compute_dtype=compute_dtype)
+    x = x + _linear(attn, blk["o_w"], blk["o_b"], compute_dtype)
+
+    ln = _layernorm(x, blk["mlp_ln_w"], blk["mlp_ln_b"])
+    h = _gelu(_linear(ln, blk["mlp0_w"], blk["mlp0_b"], compute_dtype))
+    x = x + _linear(h, blk["mlp2_w"], blk["mlp2_b"], compute_dtype)
+    return x
+
+
+def encode(params, mel, n_head: int, compute_dtype=jnp.bfloat16):
+    """Full encoder: mel (B, 2*n_ctx, n_mels) -> (B, n_ctx, n_state).
+
+    The shrunken-context speed hack (reference: whisper.h:504 audio_ctx)
+    falls out of shape polymorphism: slice mel to 2*n_audio_ctx frames and
+    the positional embedding slice below follows.
+    """
+    enc = params["encoder"]
+    x = conv_stem(enc, mel, compute_dtype)
+    n_ctx = x.shape[1]
+    x = x + enc["pos"][:n_ctx]
+
+    def body(carry, blk):
+        return _encoder_block(carry, blk, n_head, compute_dtype), None
+
+    x, _ = jax.lax.scan(body, x, enc["blocks"])
+    x = _layernorm(x, enc["ln_post_w"], enc["ln_post_b"])
+    return x
+
+
+# ---------------------------------------------------------------------------
+# cross-attention KV precompute (reference: src/whisper.cpp:2285-2359)
+# ---------------------------------------------------------------------------
+
+def cross_kv(params, enc_out, n_head: int, compute_dtype=jnp.bfloat16):
+    """enc_out (B, Ta, D) -> (k_cross, v_cross): (L, B, Ta, H, Dh) each."""
+    dec = params["decoder"]
+    nh = n_head
+
+    def body(_, blk):
+        k = _linear(enc_out, blk["xk_w"], None, compute_dtype)
+        v = _linear(enc_out, blk["xv_w"], blk["xv_b"], compute_dtype)
+        return None, (_split_heads(k, nh), _split_heads(v, nh))
+
+    _, (ks, vs) = jax.lax.scan(body, None, dec["blocks"])
+    return ks, vs
+
+
+# ---------------------------------------------------------------------------
+# decoder
+# ---------------------------------------------------------------------------
+
+def decode_prompt(params, tokens, positions, k_cross, v_cross, n_head: int,
+                  self_mask=None, compute_dtype=jnp.bfloat16):
+    """Parallel decode of a token block (prompt processing).
+
+    tokens: (B, T) int32; positions: (T,) or (B, T) int32
+    k_cross/v_cross: (L, B, Ta, H, Dh)
+    self_mask: additive (1, 1, T, T) causal mask (float32), or None
+    Returns (logits (B, T, n_vocab), k_self (L, B, T, H, Dh), v_self).
+    """
+    dec = params["decoder"]
+    nh = n_head
+
+    x = dec["tok_emb"][tokens] + dec["pos"][positions]
+    x = x.astype(jnp.float32)
+
+    def body(carry, scanned):
+        blk, kc, vc = scanned
+        x = carry
+
+        ln = _layernorm(x, blk["attn_ln_w"], blk["attn_ln_b"])
+        q = _split_heads(_linear(ln, blk["q_w"], blk["q_b"], compute_dtype), nh)
+        k = _split_heads(_linear(ln, blk["k_w"], None, compute_dtype), nh)
+        v = _split_heads(_linear(ln, blk["v_w"], blk["v_b"], compute_dtype), nh)
+        attn = _attention(q, k, v, self_mask, compute_dtype)
+        x = x + _linear(attn, blk["o_w"], blk["o_b"], compute_dtype)
+
+        ln = _layernorm(x, blk["xattn_ln_w"], blk["xattn_ln_b"])
+        xq = _split_heads(_linear(ln, blk["xq_w"], blk["xq_b"], compute_dtype), nh)
+        attn = _attention(xq, kc, vc, None, compute_dtype)
+        x = x + _linear(attn, blk["xo_w"], blk["xo_b"], compute_dtype)
+
+        ln = _layernorm(x, blk["mlp_ln_w"], blk["mlp_ln_b"])
+        h = _gelu(_linear(ln, blk["mlp0_w"], blk["mlp0_b"], compute_dtype))
+        x = x + _linear(h, blk["mlp2_w"], blk["mlp2_b"], compute_dtype)
+        return x, (k, v)
+
+    x, (k_self, v_self) = jax.lax.scan(body, x, (dec["blocks"], k_cross, v_cross))
+
+    x = _layernorm(x, dec["ln_w"], dec["ln_b"])
+    logits = jnp.dot(x.astype(compute_dtype),
+                     dec["tok_emb"].astype(compute_dtype).T,
+                     preferred_element_type=jnp.float32)
+    return logits, k_self, v_self
+
+
+def decode_step(params, tokens, position, kv_self, k_cross, v_cross,
+                kv_len, n_head: int, compute_dtype=jnp.bfloat16):
+    """One autoregressive step over a preallocated KV cache.
+
+    tokens: (B,) int32 — one new token per sequence
+    position: scalar int32 — write index into the cache (same for all B)
+    kv_self: dict {"k": (L, B, C, H, Dh), "v": ...} preallocated cache
+    kv_len: scalar int32 — number of valid cache entries AFTER this write
+    Returns (logits (B, n_vocab), updated kv_self).
+    """
+    dec = params["decoder"]
+    nh = n_head
+    C = kv_self["k"].shape[2]
+
+    x = dec["tok_emb"][tokens][:, None, :] + dec["pos"][position][None, None, :]
+    x = x.astype(jnp.float32)                                  # (B, 1, D)
+
+    # attention mask over cache positions: valid iff idx < kv_len
+    idx = jnp.arange(C)
+    attn_mask = jnp.where(idx < kv_len, 0.0, -jnp.inf).astype(jnp.float32)
+    attn_mask = attn_mask[None, None, None, :]                  # (1,1,1,C)
+
+    def body(carry, scanned):
+        blk, kc, vc, k_cache, v_cache = scanned
+        x = carry
+
+        ln = _layernorm(x, blk["attn_ln_w"], blk["attn_ln_b"])
+        q = _split_heads(_linear(ln, blk["q_w"], blk["q_b"], compute_dtype), nh)
+        k_new = _split_heads(_linear(ln, blk["k_w"], None, compute_dtype), nh)
+        v_new = _split_heads(_linear(ln, blk["v_w"], blk["v_b"], compute_dtype), nh)
+
+        k_cache = jax.lax.dynamic_update_slice_in_dim(
+            k_cache, k_new.astype(k_cache.dtype), position, axis=1)
+        v_cache = jax.lax.dynamic_update_slice_in_dim(
+            v_cache, v_new.astype(v_cache.dtype), position, axis=1)
+
+        attn = _attention(q, k_cache, v_cache, attn_mask, compute_dtype)
+        x = x + _linear(attn, blk["o_w"], blk["o_b"], compute_dtype)
+
+        ln = _layernorm(x, blk["xattn_ln_w"], blk["xattn_ln_b"])
+        xq = _split_heads(_linear(ln, blk["xq_w"], blk["xq_b"], compute_dtype), nh)
+        attn = _attention(xq, kc, vc, None, compute_dtype)
+        x = x + _linear(attn, blk["xo_w"], blk["xo_b"], compute_dtype)
+
+        ln = _layernorm(x, blk["mlp_ln_w"], blk["mlp_ln_b"])
+        h = _gelu(_linear(ln, blk["mlp0_w"], blk["mlp0_b"], compute_dtype))
+        x = x + _linear(h, blk["mlp2_w"], blk["mlp2_b"], compute_dtype)
+        return x, (k_cache, v_cache)
+
+    x, (k_cache, v_cache) = jax.lax.scan(
+        body, x, (dec["blocks"], k_cross, v_cross, kv_self["k"], kv_self["v"]))
+
+    x = _layernorm(x, dec["ln_w"], dec["ln_b"])
+    logits = jnp.dot(x[:, 0].astype(compute_dtype),
+                     dec["tok_emb"].astype(compute_dtype).T,
+                     preferred_element_type=jnp.float32)
+    return logits, {"k": k_cache, "v": v_cache}
+
+
+def make_causal_mask(t: int, offset: int = 0) -> jnp.ndarray:
+    """Additive causal mask (1, 1, T, T+offset) float32."""
+    q = jnp.arange(t)[:, None] + offset
+    k = jnp.arange(t + offset)[None, :]
+    return jnp.where(k <= q, 0.0, -jnp.inf).astype(jnp.float32)[None, None]

@@ -1,0 +1,144 @@
+"""Convert parsed ggml model files into the stacked JAX parameter pytree.
+
+The pytree layout is documented in whisper_tpu/models/whisper.py.  Per-layer
+tensors from the file ("encoder.blocks.%d.attn.query.weight", names from
+reference src/whisper-arch.h:42-141) are stacked along a leading layer axis
+so the model can `lax.scan` over depth.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..models.whisper import WhisperConfig
+from .ggml_reader import GgmlModelFile
+
+# (our key, reference tensor name suffix, squeeze)
+_ENC_BLOCK = [
+    ("attn_ln_w", "attn_ln.weight"),
+    ("attn_ln_b", "attn_ln.bias"),
+    ("q_w", "attn.query.weight"),
+    ("q_b", "attn.query.bias"),
+    ("k_w", "attn.key.weight"),
+    ("v_w", "attn.value.weight"),
+    ("v_b", "attn.value.bias"),
+    ("o_w", "attn.out.weight"),
+    ("o_b", "attn.out.bias"),
+    ("mlp_ln_w", "mlp_ln.weight"),
+    ("mlp_ln_b", "mlp_ln.bias"),
+    ("mlp0_w", "mlp.0.weight"),
+    ("mlp0_b", "mlp.0.bias"),
+    ("mlp2_w", "mlp.2.weight"),
+    ("mlp2_b", "mlp.2.bias"),
+]
+
+_DEC_BLOCK = _ENC_BLOCK + [
+    ("xattn_ln_w", "cross_attn_ln.weight"),
+    ("xattn_ln_b", "cross_attn_ln.bias"),
+    ("xq_w", "cross_attn.query.weight"),
+    ("xq_b", "cross_attn.query.bias"),
+    ("xk_w", "cross_attn.key.weight"),
+    ("xv_w", "cross_attn.value.weight"),
+    ("xv_b", "cross_attn.value.bias"),
+    ("xo_w", "cross_attn.out.weight"),
+    ("xo_b", "cross_attn.out.bias"),
+]
+
+
+def _cast(name: str, x: np.ndarray, dtype) -> jnp.ndarray:
+    """Big matmul weights go to `dtype`; norms/biases/pos stay float32."""
+    if x.ndim >= 2 and not name.endswith(("_b", "pos")):
+        return jnp.asarray(x, dtype=dtype)
+    return jnp.asarray(x, dtype=jnp.float32)
+
+
+def params_from_ggml(mf: GgmlModelFile, dtype=jnp.bfloat16):
+    """-> (params pytree, WhisperConfig).
+
+    Raises KeyError for missing tensors unless the file has no tensors at
+    all (the reference's stub-model test path, src/whisper.cpp:1954-1955),
+    in which case zero-filled parameters are synthesized.
+    """
+    cfg = WhisperConfig.from_hparams(mf.hparams)
+    if len(mf.tensors) == 0:
+        return zero_params(cfg, dtype=dtype), cfg
+
+    t = {name: rt.to_numpy() for name, rt in mf.tensors.items()}
+
+    def stack(prefix: str, n_layer: int, table) -> dict:
+        out = {}
+        for key, suffix in table:
+            arrs = [t[f"{prefix}.blocks.{i}.{suffix}"] for i in range(n_layer)]
+            out[key] = _cast(key, np.stack(arrs), dtype)
+        return out
+
+    enc = {
+        "conv1_w": jnp.asarray(t["encoder.conv1.weight"], dtype=jnp.float32),
+        "conv1_b": jnp.asarray(t["encoder.conv1.bias"].reshape(-1), dtype=jnp.float32),
+        "conv2_w": jnp.asarray(t["encoder.conv2.weight"], dtype=jnp.float32),
+        "conv2_b": jnp.asarray(t["encoder.conv2.bias"].reshape(-1), dtype=jnp.float32),
+        "pos": jnp.asarray(t["encoder.positional_embedding"], dtype=jnp.float32),
+        "ln_post_w": jnp.asarray(t["encoder.ln_post.weight"], dtype=jnp.float32),
+        "ln_post_b": jnp.asarray(t["encoder.ln_post.bias"], dtype=jnp.float32),
+        "blocks": stack("encoder", cfg.n_audio_layer, _ENC_BLOCK),
+    }
+    dec = {
+        "tok_emb": _cast("tok_emb", t["decoder.token_embedding.weight"], dtype),
+        "pos": jnp.asarray(t["decoder.positional_embedding"], dtype=jnp.float32),
+        "ln_w": jnp.asarray(t["decoder.ln.weight"], dtype=jnp.float32),
+        "ln_b": jnp.asarray(t["decoder.ln.bias"], dtype=jnp.float32),
+        "blocks": stack("decoder", cfg.n_text_layer, _DEC_BLOCK),
+    }
+    return {"encoder": enc, "decoder": dec}, cfg
+
+
+def zero_params(cfg: WhisperConfig, dtype=jnp.bfloat16):
+    """Zero-weight parameters with correct shapes (stub-model test path)."""
+    rng = np.random  # unused; zeros only
+    del rng
+    d_a, d_t = cfg.n_audio_state, cfg.n_text_state
+    La, Lt = cfg.n_audio_layer, cfg.n_text_layer
+
+    def z(shape, dt=jnp.float32):
+        return jnp.zeros(shape, dtype=dt)
+
+    enc_blocks = {
+        "attn_ln_w": z((La, d_a)), "attn_ln_b": z((La, d_a)),
+        "q_w": z((La, d_a, d_a), dtype), "q_b": z((La, d_a)),
+        "k_w": z((La, d_a, d_a), dtype),
+        "v_w": z((La, d_a, d_a), dtype), "v_b": z((La, d_a)),
+        "o_w": z((La, d_a, d_a), dtype), "o_b": z((La, d_a)),
+        "mlp_ln_w": z((La, d_a)), "mlp_ln_b": z((La, d_a)),
+        "mlp0_w": z((La, 4 * d_a, d_a), dtype), "mlp0_b": z((La, 4 * d_a)),
+        "mlp2_w": z((La, d_a, 4 * d_a), dtype), "mlp2_b": z((La, d_a)),
+    }
+    dec_blocks = {
+        "attn_ln_w": z((Lt, d_t)), "attn_ln_b": z((Lt, d_t)),
+        "q_w": z((Lt, d_t, d_t), dtype), "q_b": z((Lt, d_t)),
+        "k_w": z((Lt, d_t, d_t), dtype),
+        "v_w": z((Lt, d_t, d_t), dtype), "v_b": z((Lt, d_t)),
+        "o_w": z((Lt, d_t, d_t), dtype), "o_b": z((Lt, d_t)),
+        "mlp_ln_w": z((Lt, d_t)), "mlp_ln_b": z((Lt, d_t)),
+        "mlp0_w": z((Lt, 4 * d_t, d_t), dtype), "mlp0_b": z((Lt, 4 * d_t)),
+        "mlp2_w": z((Lt, d_t, 4 * d_t), dtype), "mlp2_b": z((Lt, d_t)),
+        "xattn_ln_w": z((Lt, d_t)), "xattn_ln_b": z((Lt, d_t)),
+        "xq_w": z((Lt, d_t, d_t), dtype), "xq_b": z((Lt, d_t)),
+        "xk_w": z((Lt, d_t, d_t), dtype),
+        "xv_w": z((Lt, d_t, d_t), dtype), "xv_b": z((Lt, d_t)),
+        "xo_w": z((Lt, d_t, d_t), dtype), "xo_b": z((Lt, d_t)),
+    }
+    enc = {
+        "conv1_w": z((d_a, cfg.n_mels, 3)), "conv1_b": z((d_a,)),
+        "conv2_w": z((d_a, d_a, 3)), "conv2_b": z((d_a,)),
+        "pos": z((cfg.n_audio_ctx, d_a)),
+        "ln_post_w": z((d_a,)), "ln_post_b": z((d_a,)),
+        "blocks": enc_blocks,
+    }
+    dec = {
+        "tok_emb": z((cfg.n_vocab, d_t), dtype),
+        "pos": z((cfg.n_text_ctx, d_t)),
+        "ln_w": z((d_t,)), "ln_b": z((d_t,)),
+        "blocks": dec_blocks,
+    }
+    return {"encoder": enc, "decoder": dec}
