@@ -1,0 +1,31 @@
+"""whisper_tpu — a TPU-native speech-recognition framework.
+
+A from-scratch JAX/XLA/Pallas rebuild of the capabilities of
+ggerganov/whisper.cpp (the reference implementation): same model files,
+same API surface and decoding behavior, redesigned for TPUs — batched
+windows on the MXU, a fully on-device autoregressive loop, sharding over
+device meshes instead of a backend scheduler.
+"""
+
+from .api import (
+    BeamSearchParams,
+    FullParams,
+    GreedyParams,
+    SamplingStrategy,
+    Segment,
+    TokenData,
+    WhisperContext,
+    full_default_params,
+)
+from .constants import CHUNK_SIZE, HOP_LENGTH, N_FFT, SAMPLE_RATE
+from .languages import lang_id, lang_max_id, lang_str, lang_str_full
+from .utils.logging import log_set
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "WhisperContext", "FullParams", "GreedyParams", "BeamSearchParams",
+    "SamplingStrategy", "Segment", "TokenData", "full_default_params",
+    "SAMPLE_RATE", "N_FFT", "HOP_LENGTH", "CHUNK_SIZE",
+    "lang_id", "lang_str", "lang_str_full", "lang_max_id", "log_set",
+]

@@ -1,0 +1,688 @@
+"""Public API: context, parameters, and the transcription orchestrator.
+
+Mirrors the reference C API surface (reference: include/whisper.h) and the
+control flow of `whisper_full_with_state`
+(reference: src/whisper.cpp:5481-6397): sliding 30 s window, temperature
+fallback ladder, prompt-past conditioning, timestamp-token segmentation.
+
+The device work per window — encoder, cross-KV and the ENTIRE token loop —
+is one jitted call each (see decode/loop.py); the host only orchestrates
+windows and assembles segments.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+import time
+from typing import Callable, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .audio.mel import log_mel_spectrogram
+from .constants import CHUNK_SIZE, MAX_DECODERS, N_FRAMES_PER_CHUNK, TICKS_PER_SECOND
+from .decode.filters import FilterConsts, FilterOptions
+from .decode.loop import LoopConfig, make_decode_window
+from .languages import lang_id as _lang_id, lang_str
+from .models import whisper as wm
+from .tokenizer import detokenize, tokenize
+from .utils.logging import log_error, log_info, log_warn
+from .utils.timings import Timings
+from .weights.convert import params_from_ggml
+from .weights.ggml_reader import read_ggml_file
+
+DELTA_MIN = 10  # 100 ms in ticks
+
+
+class SamplingStrategy:
+    GREEDY = 0
+    BEAM_SEARCH = 1
+
+
+@dataclasses.dataclass
+class GreedyParams:
+    best_of: int = 5  # reference default for GREEDY (whisper.cpp:4867)
+
+
+@dataclasses.dataclass
+class BeamSearchParams:
+    beam_size: int = 5
+    patience: float = -1.0
+
+
+@dataclasses.dataclass
+class FullParams:
+    """whisper_full_params (reference: include/whisper.h:476-573,
+    defaults src/whisper.cpp:4785-4885)."""
+    strategy: int = SamplingStrategy.GREEDY
+
+    n_threads: int = 4
+    n_max_text_ctx: int = 16384
+    offset_ms: int = 0
+    duration_ms: int = 0
+
+    translate: bool = False
+    no_context: bool = True
+    no_timestamps: bool = False
+    single_segment: bool = False
+    print_special: bool = False
+    print_progress: bool = True
+    print_realtime: bool = False
+    print_timestamps: bool = True
+
+    token_timestamps: bool = False
+    thold_pt: float = 0.01
+    thold_ptsum: float = 0.01
+    max_len: int = 0
+    split_on_word: bool = False
+    max_tokens: int = 0
+
+    debug_mode: bool = False
+    audio_ctx: int = 0
+
+    tdrz_enable: bool = False
+
+    suppress_regex: Optional[str] = None
+
+    initial_prompt: Optional[str] = None
+    prompt_tokens: Optional[list[int]] = None
+
+    language: Optional[str] = "en"
+    detect_language: bool = False
+
+    suppress_blank: bool = True
+    suppress_nst: bool = False
+
+    temperature: float = 0.0
+    max_initial_ts: float = 1.0
+    length_penalty: float = -1.0
+
+    temperature_inc: float = 0.2
+    entropy_thold: float = 2.4
+    logprob_thold: float = -1.0
+    no_speech_thold: float = 0.6
+
+    greedy: GreedyParams = dataclasses.field(default_factory=GreedyParams)
+    beam_search: BeamSearchParams = dataclasses.field(
+        default_factory=BeamSearchParams)
+
+    new_segment_callback: Optional[Callable] = None
+    progress_callback: Optional[Callable] = None
+    encoder_begin_callback: Optional[Callable] = None
+    abort_callback: Optional[Callable] = None
+    logits_filter_callback: Optional[Callable] = None
+
+    grammar_rules: Optional[list] = None
+    i_start_rule: int = 0
+    grammar_penalty: float = 100.0
+
+
+def full_default_params(strategy: int = SamplingStrategy.GREEDY) -> FullParams:
+    p = FullParams(strategy=strategy)
+    if strategy == SamplingStrategy.BEAM_SEARCH:
+        p.beam_search = BeamSearchParams(beam_size=5)
+    return p
+
+
+@dataclasses.dataclass
+class TokenData:
+    """whisper_token_data (reference: include/whisper.h:88-108)."""
+    id: int
+    tid: int
+    p: float
+    plog: float
+    pt: float
+    ptsum: float
+    t0: int = -1
+    t1: int = -1
+    t_dtw: int = -1
+    vlen: float = 0.0
+
+
+@dataclasses.dataclass
+class Segment:
+    """whisper_segment (reference: src/whisper.cpp:504-514)."""
+    t0: int
+    t1: int
+    text: str
+    no_speech_prob: float
+    tokens: list[TokenData]
+    speaker_turn_next: bool = False
+
+
+class WhisperContext:
+    """whisper_context + whisper_state, JAX edition.
+
+    Use `WhisperContext.from_file(path)` then `ctx.full(params, samples)`.
+    """
+
+    def __init__(self, model_file, compute_dtype=jnp.bfloat16):
+        self.model_file = model_file
+        self.hparams = model_file.hparams
+        self.vocab = model_file.vocab
+        self.filters = model_file.filters
+        self.n_loaded = model_file.n_loaded
+        self.compute_dtype = compute_dtype
+        self.params, self.config = params_from_ggml(model_file, dtype=compute_dtype)
+        self.timings = Timings()
+        self.lang_id_state = 0
+        self.no_speech_prob = 0.0
+        self.result_all: list[Segment] = []
+        self.prompt_past: list[int] = []
+        self.energy: np.ndarray | None = None
+        self.t_beg = 0
+        self.t_last = 0
+        self.tid_last = 0
+        self.mel: np.ndarray | None = None      # (n_len, n_mel)
+        self.mel_n_len_org = 0
+        self.exp_n_audio_ctx = 0
+        self._jit_cache: dict = {}
+        self._enc_cache: dict = {}
+        self._cross: tuple | None = None
+
+    # ---- constructors (whisper_init_*; reference: whisper.h:195-228) -----
+
+    @classmethod
+    def from_file(cls, path: str, compute_dtype=jnp.bfloat16) -> "WhisperContext":
+        mf = read_ggml_file(path)
+        ctx = cls(mf, compute_dtype=compute_dtype)
+        hp = mf.hparams
+        log_info(f"loaded model '{path}': type {hp.model_type}, "
+                 f"n_vocab {hp.n_vocab}, n_audio_ctx {hp.n_audio_ctx}, "
+                 f"n_text_layer {hp.n_text_layer}, "
+                 f"{'no tensors (stub)' if ctx.n_loaded == 0 else f'{ctx.n_loaded} tensors'}")
+        return ctx
+
+    @classmethod
+    def from_buffer(cls, buf: bytes, compute_dtype=jnp.bfloat16) -> "WhisperContext":
+        return cls(read_ggml_file(buf), compute_dtype=compute_dtype)
+
+    # ---- introspection (reference: whisper.h:380-439) --------------------
+
+    def n_vocab(self) -> int: return self.hparams.n_vocab
+    def n_audio_ctx(self) -> int: return self.hparams.n_audio_ctx
+    def n_text_ctx(self) -> int: return self.hparams.n_text_ctx
+    def is_multilingual(self) -> bool: return self.vocab.is_multilingual
+    def token_to_str(self, tid: int) -> str: return self.vocab.token_str(tid)
+    def token_eot(self) -> int: return self.vocab.token_eot
+    def token_sot(self) -> int: return self.vocab.token_sot
+    def token_prev(self) -> int: return self.vocab.token_prev
+    def token_nosp(self) -> int: return self.vocab.token_nosp
+    def token_not(self) -> int: return self.vocab.token_not
+    def token_beg(self) -> int: return self.vocab.token_beg
+    def token_translate(self) -> int: return self.vocab.token_translate
+    def token_transcribe(self) -> int: return self.vocab.token_transcribe
+    def token_lang(self, lid: int) -> int: return self.vocab.token_lang(lid)
+    def tokenize(self, text: str) -> list[int]: return tokenize(self.vocab, text)
+
+    # ---- mel (whisper_pcm_to_mel / whisper_set_mel) ----------------------
+
+    def pcm_to_mel(self, samples: np.ndarray) -> None:
+        t0 = time.perf_counter()
+        self.mel, self.mel_n_len_org = log_mel_spectrogram(samples, self.filters)
+        self.timings.t_mel_us += int((time.perf_counter() - t0) * 1e6)
+
+    def set_mel(self, mel: np.ndarray) -> None:
+        """Custom mel injection (reference: whisper_set_mel, whisper.cpp:3894).
+        mel: (n_len, n_mel); n_mel must match the model."""
+        if mel.shape[1] != self.hparams.n_mels:
+            raise ValueError(
+                f"invalid number of mel bands: {mel.shape[1]} "
+                f"(expected {self.hparams.n_mels})")
+        self.mel = np.asarray(mel, dtype=np.float32)
+        self.mel_n_len_org = mel.shape[0]
+
+    def n_len_from_state(self) -> int:
+        return self.mel_n_len_org
+
+    # ---- jit plumbing ----------------------------------------------------
+
+    def _encode_fn(self, n_ctx: int):
+        key = ("enc", n_ctx)
+        if key not in self._jit_cache:
+            nh_a, nh_t = self.config.n_audio_head, self.config.n_text_head
+            cd = self.compute_dtype
+
+            @jax.jit
+            def run(params, mel):
+                enc = wm.encode(params, mel, n_head=nh_a, compute_dtype=cd)
+                kc, vc = wm.cross_kv(params, enc, n_head=nh_t, compute_dtype=cd)
+                return enc, kc, vc
+
+            self._jit_cache[key] = run
+        return self._jit_cache[key]
+
+    def _decode_window_fn(self, B: int, P: int, opts: FilterOptions,
+                          single_segment: bool, no_timestamps: bool,
+                          max_tokens: int):
+        key = ("dec", B, P, opts, single_segment, no_timestamps, max_tokens)
+        if key not in self._jit_cache:
+            consts = FilterConsts.from_vocab(self.vocab, self.hparams.n_audio_ctx)
+            cfg = LoopConfig(
+                n_head=self.config.n_text_head,
+                n_text_ctx=self.hparams.n_text_ctx,
+                prompt_size=P,
+                max_tokens_loop=self.hparams.n_text_ctx // 2 - 4,
+                max_tokens_param=max_tokens,
+                single_segment=single_segment,
+                no_timestamps=no_timestamps,
+                compute_dtype=self.compute_dtype,
+            )
+            fn = make_decode_window(consts=consts, options=opts, cfg=cfg)
+            self._jit_cache[key] = jax.jit(fn)
+        return self._jit_cache[key]
+
+    def _mel_window(self, seek: int) -> np.ndarray:
+        """(1, 2*n_ctx, n_mels) mel slice at `seek` (zero-padded)."""
+        n_ctx = self.exp_n_audio_ctx or self.hparams.n_audio_ctx
+        want = 2 * n_ctx
+        mel = self.mel
+        out = np.zeros((want, mel.shape[1]), dtype=np.float32)
+        avail = max(0, min(want, mel.shape[0] - seek))
+        out[:avail] = mel[seek:seek + avail]
+        return out[None]
+
+    def encode_window(self, seek: int):
+        """Encoder + cross-KV for the 30 s window at `seek` (ticks)."""
+        t0 = time.perf_counter()
+        mel_win = jnp.asarray(self._mel_window(seek))
+        enc, kc, vc = self._encode_fn(mel_win.shape[1] // 2)(self.params, mel_win)
+        jax.block_until_ready(enc)
+        self.timings.t_encode_us += int((time.perf_counter() - t0) * 1e6)
+        self.timings.n_encode += 1
+        return enc, kc, vc
+
+    # ---- language detection (reference: src/whisper.cpp:4027-4108) -------
+
+    def lang_auto_detect(self, offset_ms: int = 0) -> tuple[int, np.ndarray]:
+        seek = offset_ms // 10
+        if seek >= self.mel_n_len_org:
+            raise ValueError("offset is past the end of the audio")
+        _, kc, vc = self.encode_window(seek)
+
+        prompt = jnp.asarray([[self.vocab.token_sot]], dtype=jnp.int32)
+        nh = self.config.n_text_head
+        logits, _, _ = wm.decode_prompt(
+            self.params, prompt, jnp.zeros((1, 1), jnp.int32), kc, vc,
+            n_head=nh, compute_dtype=self.compute_dtype)
+        logits = np.asarray(logits[0, -1])
+
+        lang_ids = [self.vocab.token_lang(i) for i in range(100)]
+        lang_logits = logits[lang_ids]
+        probs = np.exp(lang_logits - lang_logits.max())
+        probs /= probs.sum()
+        best = int(np.argmax(probs))
+        return best, probs
+
+    # ---- the orchestrator (whisper_full) ---------------------------------
+
+    def full(self, params: FullParams, samples: Optional[np.ndarray]) -> int:
+        self.result_all = []
+        language = params.language
+
+        if samples is not None and len(samples) > 0:
+            self.pcm_to_mel(samples)
+
+        if (language is None or language == "" or language == "auto"
+                or params.detect_language):
+            lid, probs = self.lang_auto_detect()
+            self.lang_id_state = lid
+            language = lang_str(lid)
+            log_info(f"auto-detected language: {language} (p = {probs[lid]:.6f})")
+            if params.detect_language:
+                return 0
+
+        if params.token_timestamps:
+            self.t_beg = self.t_last = self.tid_last = 0
+            if samples is not None and len(samples) > 0:
+                from .timestamps import get_signal_energy
+                self.energy = get_signal_energy(samples, 32)
+
+        seek_start = params.offset_ms // 10
+        seek_end = (self.n_len_from_state() if params.duration_ms == 0
+                    else seek_start + params.duration_ms // 10)
+
+        if seek_end < seek_start + DELTA_MIN:
+            log_warn(f"input is too short - {(seek_end - seek_start) * 10} ms "
+                     "< 100 ms. consider padding the input audio with silence")
+            return 0
+
+        # temperature ladder (reference: src/whisper.cpp:5541-5549)
+        if params.temperature_inc > 0.0:
+            temperatures = []
+            t = params.temperature
+            while t < 1.0 + 1e-6:
+                temperatures.append(t)
+                t += params.temperature_inc
+        else:
+            temperatures = [params.temperature]
+
+        if params.strategy == SamplingStrategy.GREEDY:
+            n_decoders = params.greedy.best_of
+        else:
+            n_decoders = max(params.greedy.best_of, params.beam_search.beam_size)
+        n_decoders = max(1, n_decoders)
+        if n_decoders > MAX_DECODERS:
+            log_error(f"too many decoders requested ({n_decoders}), "
+                      f"max = {MAX_DECODERS}")
+            return -4
+
+        if params.no_context:
+            self.prompt_past = []
+
+        # initial prompt handling (reference: src/whisper.cpp:5592-5617)
+        prompt_tokens = params.prompt_tokens
+        if prompt_tokens is None and params.initial_prompt:
+            prompt_tokens = tokenize(self.vocab, params.initial_prompt)
+        if prompt_tokens:
+            self.prompt_past = list(prompt_tokens) + self.prompt_past
+
+        if params.audio_ctx > self.hparams.n_audio_ctx:
+            log_error("audio_ctx is larger than the maximum allowed")
+            return -5
+        self.exp_n_audio_ctx = params.audio_ctx
+
+        # task prompt (reference: src/whisper.cpp:5627-5651)
+        prompt_init = [self.vocab.token_sot]
+        if self.vocab.is_multilingual:
+            lid = _lang_id(language or "en")
+            self.lang_id_state = lid
+            prompt_init.append(self.vocab.token_lang(lid))
+            prompt_init.append(self.vocab.token_translate if params.translate
+                               else self.vocab.token_transcribe)
+
+        is_distil = (self.hparams.n_text_layer == 2
+                     and self.hparams.n_vocab != 51866)
+        no_timestamps = params.no_timestamps
+        if is_distil and not no_timestamps:
+            log_warn("using first release distilled models - forcing no_timestamps")
+            no_timestamps = True
+        if no_timestamps:
+            prompt_init.append(self.vocab.token_not)
+
+        opts = FilterOptions(
+            suppress_blank=params.suppress_blank,
+            no_timestamps=no_timestamps,
+            tdrz_enable=params.tdrz_enable,
+            suppress_nst=params.suppress_nst,
+            max_initial_ts=params.max_initial_ts,
+        )
+
+        seek = seek_start
+        rng = jax.random.PRNGKey(0)
+
+        # main sliding-window loop
+        while True:
+            if params.progress_callback:
+                progress = (100 * (seek - seek_start)) // max(1, seek_end - seek_start)
+                params.progress_callback(self, progress)
+
+            if seek + DELTA_MIN >= seek_end:
+                break
+
+            if params.encoder_begin_callback:
+                if not params.encoder_begin_callback(self):
+                    log_error("encoder_begin_callback returned false - aborting")
+                    break
+
+            _, kc, vc = self.encode_window(seek)
+
+            # drop confusing old prompt near the very end
+            # (reference: src/whisper.cpp:5697-5700)
+            if seek > seek_start and seek + 500 >= seek_end:
+                self.prompt_past = []
+
+            if self.n_loaded == 0:
+                # stub model (test path, reference: whisper.cpp:6050-6055):
+                # no weights — skip decoding, consume the whole window
+                seek += TICKS_PER_SECOND * CHUNK_SIZE
+                continue
+
+            best = None
+            for it, t_cur in enumerate(temperatures):
+                if params.strategy == SamplingStrategy.GREEDY:
+                    n_cur = params.greedy.best_of if t_cur > 0.0 else 1
+                else:
+                    n_cur = (params.greedy.best_of if t_cur > 0.0
+                             else params.beam_search.beam_size)
+                n_cur = max(1, n_cur)
+
+                # prompt assembly (reference: src/whisper.cpp:5759-5771)
+                prompt: list[int] = []
+                if self.prompt_past and t_cur < 0.5 and params.n_max_text_ctx > 0:
+                    n_take = min(params.n_max_text_ctx,
+                                 self.hparams.n_text_ctx // 2,
+                                 len(self.prompt_past))
+                    prompt = [self.vocab.token_prev] + self.prompt_past[-n_take:]
+                prompt = prompt + prompt_init
+
+                result = self._decode_window(
+                    prompt, kc, vc, n_cur, t_cur, seek, seek_end,
+                    params, opts, no_timestamps, rng)
+                rng, _ = jax.random.split(rng)
+
+                self.no_speech_prob = float(result["no_speech_prob"][0])
+
+                # rank sequences (reference: src/whisper.cpp:6169-6203)
+                best_j, best_score = -1, -math.inf
+                seqs = []
+                for j in range(n_cur):
+                    failed = bool(result["failed"][j])
+                    rl = int(result["result_len"][j])
+                    plogs = np.asarray(result["plog"][j][:rl])
+                    score, avg_lp, entropy = _sequence_score(
+                        plogs, np.asarray(result["tokens"][j][:rl]),
+                        params.length_penalty)
+                    if not failed and rl > 32 and entropy < params.entropy_thold:
+                        failed = True
+                        self.timings.n_fail_h += 1
+                    seqs.append((failed, rl, score, avg_lp))
+                    if not failed and score > best_score:
+                        best_score, best_j = score, j
+
+                success = True
+                if it != len(temperatures) - 1:
+                    if best_j < 0:
+                        success = False
+                    else:
+                        avg_lp = seqs[best_j][3]
+                        if (avg_lp < params.logprob_thold
+                                and self.no_speech_prob < params.no_speech_thold):
+                            success = False
+                    if not success:
+                        self.timings.n_fail_p += 1
+
+                if success:
+                    j = max(best_j, 0)
+                    best = {
+                        "tokens": np.asarray(result["tokens"][j]),
+                        "p": np.asarray(result["p"][j]),
+                        "plog": np.asarray(result["plog"][j]),
+                        "tid": np.asarray(result["tid"][j]),
+                        "pt": np.asarray(result["pt"][j]),
+                        "ptsum": np.asarray(result["ptsum"][j]),
+                        "result_len": seqs[j][1],
+                        "n_sampled": int(result["n_tokens"]),
+                        "seek_delta": int(result["seek_delta"][j]),
+                        "avg_logprobs": seqs[j][3],
+                        "prompt": prompt,
+                    }
+                    break
+
+            if best is None:
+                # every temperature failed; consume the window
+                seek += TICKS_PER_SECOND * CHUNK_SIZE
+                continue
+
+            seek = self._emit_segments(best, seek, seek_end, params,
+                                       prompt_init, no_timestamps)
+
+        return 0
+
+    # ------------------------------------------------------------------
+
+    def _decode_window(self, prompt, kc, vc, n_cur, t_cur, seek, seek_end,
+                       params, opts, no_timestamps, rng):
+        """One jitted device call decoding the whole window."""
+        # prompt buffer size: tiny when unconditioned, full when carrying past
+        P = 8 if len(prompt) <= 8 else (
+            self.hparams.n_text_ctx // 2 + 8)
+        fn = self._decode_window_fn(
+            n_cur, P, opts, params.single_segment, no_timestamps,
+            params.max_tokens)
+
+        pad = P - len(prompt)
+        buf = np.zeros((n_cur, P), dtype=np.int32)
+        buf[:, pad:] = np.asarray(prompt, dtype=np.int32)
+        pad_len = np.full((n_cur,), pad, dtype=np.int32)
+
+        # cross-KV computed for batch 1; broadcast across decoders
+        if n_cur > 1 and kc.shape[1] == 1:
+            kc = jnp.broadcast_to(kc, (kc.shape[0], n_cur) + kc.shape[2:])
+            vc = jnp.broadcast_to(vc, (vc.shape[0], n_cur) + vc.shape[2:])
+
+        t0 = time.perf_counter()
+        out = fn(self.params, kc, vc, jnp.asarray(buf), jnp.asarray(pad_len),
+                 jnp.float32(t_cur), jnp.int32(seek), jnp.int32(seek_end), rng)
+        out = jax.tree_util.tree_map(np.asarray, out)
+        dt = int((time.perf_counter() - t0) * 1e6)
+        n_tok = int(out["n_tokens"])
+        self.timings.t_decode_us += dt
+        self.timings.n_decode += max(n_tok, 1)
+        self.timings.n_prompt += len(prompt)
+        return out
+
+    def _emit_segments(self, best, seek, seek_end, params, prompt_init,
+                       no_timestamps) -> int:
+        """Segment assembly (reference: src/whisper.cpp:6232-6390).
+        Returns the new seek."""
+        vocab = self.vocab
+        result_len = best["result_len"]
+        n_sampled = best["n_sampled"]
+        seek_delta = best["seek_delta"]
+        prompt = best["prompt"]
+
+        tokens_cur = [
+            TokenData(id=int(best["tokens"][i]), tid=int(best["tid"][i]),
+                      p=float(best["p"][i]), plog=float(best["plog"][i]),
+                      pt=float(best["pt"][i]), ptsum=float(best["ptsum"][i]))
+            for i in range(n_sampled)
+        ]
+
+        is_no_speech = (self.no_speech_prob > params.no_speech_thold
+                        and best["avg_logprobs"] < params.logprob_thold)
+
+        # update prompt_past (reference: src/whisper.cpp:6248-6257)
+        self.prompt_past = []
+        if prompt and prompt[0] == vocab.token_prev:
+            self.prompt_past = prompt[1:len(prompt) - len(prompt_init)]
+        if not is_no_speech:
+            self.prompt_past += [t.id for t in tokens_cur[:result_len]]
+
+        if tokens_cur and self.n_loaded > 0 and not is_no_speech:
+            i0 = 0
+            t0 = seek + 2 * (tokens_cur[0].tid - vocab.token_beg)
+            text = ""
+            speaker_turn_next = False
+
+            i = 0
+            while i < len(tokens_cur):
+                tok = tokens_cur[i]
+                if params.print_special or tok.id < vocab.token_eot:
+                    text += vocab.token_str(tok.id)
+
+                if params.tdrz_enable and tok.id == vocab.token_solm:
+                    speaker_turn_next = True
+
+                if tok.id > vocab.token_beg and not params.single_segment:
+                    t1 = seek + 2 * (tok.tid - vocab.token_beg)
+                    if text:
+                        self._push_segment(t0, t1, text, tokens_cur[i0:i + 1],
+                                           speaker_turn_next, params)
+                    text = ""
+                    while (i < len(tokens_cur)
+                           and tokens_cur[i].id > vocab.token_beg):
+                        i += 1
+                    i -= 1
+                    t0 = t1
+                    i0 = i + 1
+                    speaker_turn_next = False
+                i += 1
+
+            if text:
+                t1 = seek + seek_delta
+                self._push_segment(t0, t1, text, tokens_cur[i0:],
+                                   speaker_turn_next, params)
+
+        # single-timestamp ending: skip the whole chunk
+        # (reference: src/whisper.cpp:6380-6387)
+        if (len(tokens_cur) > 1
+                and tokens_cur[-2].id < vocab.token_beg
+                and tokens_cur[-1].id > vocab.token_beg):
+            seek_delta = min(seek_end - seek, CHUNK_SIZE * TICKS_PER_SECOND)
+
+        return seek + seek_delta
+
+    def _push_segment(self, t0, t1, text, tokens, speaker_turn_next, params):
+        seg = Segment(t0=int(t0), t1=int(t1), text=text,
+                      no_speech_prob=self.no_speech_prob,
+                      tokens=list(tokens),
+                      speaker_turn_next=speaker_turn_next)
+        self.result_all.append(seg)
+        n_new = 1
+        if params.token_timestamps:
+            from .timestamps import compute_token_level_timestamps
+            compute_token_level_timestamps(
+                self, len(self.result_all) - 1,
+                params.thold_pt, params.thold_ptsum)
+            if params.max_len > 0:
+                from .timestamps import wrap_segment
+                n_new = wrap_segment(self, params.max_len, params.split_on_word)
+        if params.new_segment_callback:
+            params.new_segment_callback(self, n_new)
+
+    # ---- segment accessors (reference: src/whisper.cpp:6522-6617) --------
+
+    def full_n_segments(self) -> int: return len(self.result_all)
+    def full_lang_id(self) -> int: return self.lang_id_state
+    def full_get_segment_t0(self, i: int) -> int: return self.result_all[i].t0
+    def full_get_segment_t1(self, i: int) -> int: return self.result_all[i].t1
+    def full_get_segment_text(self, i: int) -> str: return self.result_all[i].text
+    def full_get_segment_speaker_turn_next(self, i: int) -> bool:
+        return self.result_all[i].speaker_turn_next
+    def full_n_tokens(self, i: int) -> int: return len(self.result_all[i].tokens)
+    def full_get_token_id(self, i: int, j: int) -> int:
+        return self.result_all[i].tokens[j].id
+    def full_get_token_text(self, i: int, j: int) -> str:
+        return self.vocab.token_str(self.result_all[i].tokens[j].id)
+    def full_get_token_data(self, i: int, j: int) -> TokenData:
+        return self.result_all[i].tokens[j]
+    def full_get_token_p(self, i: int, j: int) -> float:
+        return self.result_all[i].tokens[j].p
+    def full_get_segment_no_speech_prob(self, i: int) -> float:
+        return self.result_all[i].no_speech_prob
+
+
+def _sequence_score(plogs: np.ndarray, token_ids: np.ndarray,
+                    length_penalty: float) -> tuple[float, float, float]:
+    """whisper_sequence_score (reference: src/whisper.cpp:5433-5479).
+    Returns (score, avg_logprobs, entropy-of-last-32-token-ids)."""
+    n = len(plogs)
+    if n == 0:
+        return -math.inf, -math.inf, 0.0
+    total = float(plogs.sum())
+    avg = total / n
+    if length_penalty > 0.0:
+        penalty = ((5.0 + n) / 6.0) ** length_penalty
+    else:
+        penalty = float(n)
+    score = total / penalty
+
+    last = token_ids[max(0, n - 32):n]
+    _, counts = np.unique(last, return_counts=True)
+    ps = counts / counts.sum()
+    entropy = float(-(ps * np.log(ps)).sum())
+    return score, avg, entropy

@@ -1,0 +1,278 @@
+"""On-device autoregressive decoding loop.
+
+The reference decodes one token per device round-trip, pulling the full
+logits back to the host every step (reference: src/whisper.cpp:2960-2966,
+token loop :5843-6166).  Here the entire window decode — prompt processing,
+token sampling, the logit-filter chain, timestamp/sliding-window state
+updates and stop conditions — runs inside ONE jitted `lax.while_loop`; the
+host receives the finished token buffer per 30 s window.
+
+Variable-length prompts are handled with LEFT padding inside a fixed-size
+prompt buffer (static shape ⇒ no recompilation per window): pad slots are
+masked out of attention and position ids are shifted, so the math matches
+the reference's dense prompt decode exactly.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..constants import CHUNK_SIZE, TICKS_PER_SECOND
+from ..models import whisper as wm
+from .filters import FilterConsts, FilterOptions, make_process_logits, sample_token_data
+
+DELTA_MIN = 10  # 100 ms in ticks (reference: src/whisper.cpp:5533)
+
+
+class LoopState(NamedTuple):
+    i: jnp.ndarray                 # scalar i32 — token index
+    kv_k: jnp.ndarray              # (L, B, C, H, Dh)
+    kv_v: jnp.ndarray
+    logits: jnp.ndarray            # (B, V) filtered logits for step i
+    logprobs: jnp.ndarray          # (B, V)
+    probs: jnp.ndarray             # (B, V)
+    tokens: jnp.ndarray            # (B, N) i32
+    p: jnp.ndarray                 # (B, N) f32 — prob of sampled token
+    plog: jnp.ndarray              # (B, N) f32 — logprob of sampled token
+    tid: jnp.ndarray               # (B, N) i32 — most probable ts token
+    pt: jnp.ndarray                # (B, N) f32
+    ptsum: jnp.ndarray             # (B, N) f32
+    last_was_ts: jnp.ndarray       # (B,) bool
+    penult_was_ts: jnp.ndarray     # (B,) bool
+    has_ts: jnp.ndarray            # (B,) bool
+    seek_delta: jnp.ndarray        # (B,) i32
+    result_len: jnp.ndarray        # (B,) i32
+    sum_logprobs_all: jnp.ndarray  # (B,) f32
+    completed: jnp.ndarray         # (B,) bool
+    failed: jnp.ndarray            # (B,) bool
+    rng: jnp.ndarray               # PRNG key
+
+
+@dataclasses.dataclass(frozen=True)
+class LoopConfig:
+    """Static knobs compiled into the loop."""
+    n_head: int
+    n_text_ctx: int
+    prompt_size: int      # P: fixed prompt buffer length
+    max_tokens_loop: int  # N: loop bound = n_text_ctx // 2 - 4
+    max_tokens_param: int  # params.max_tokens (0 = unlimited)
+    single_segment: bool
+    no_timestamps: bool
+    compute_dtype: Any = jnp.bfloat16
+
+
+def make_decode_window(params_treedef_free_fn=None, *,
+                       consts: FilterConsts,
+                       options: FilterOptions,
+                       cfg: LoopConfig,
+                       strategy: str = "greedy"):
+    """Build the jitted window-decode function.
+
+    strategy: "greedy" (argmax at t==0, multinomial draw at t>0 — the
+    reference's WHISPER_SAMPLING_GREEDY, src/whisper.cpp:5875-5883).
+    Beam search lives in beam.py.
+    """
+    process_logits = make_process_logits(consts, options)
+    P = cfg.prompt_size
+    N = cfg.max_tokens_loop
+    token_beg = consts.token_beg
+    token_eot = consts.token_eot
+
+    def sample(state: LoopState, temperature):
+        """-> (token id (B,), p, plog, tid, pt, ptsum)."""
+        rng, sub = jax.random.split(state.rng)
+        greedy_id = jnp.argmax(state.probs, axis=-1)
+        drawn_id = jax.random.categorical(sub, state.logprobs, axis=-1)
+        tok = jnp.where(temperature < 1e-6, greedy_id, drawn_id).astype(jnp.int32)
+
+        b = jnp.arange(tok.shape[0])
+        p = state.probs[b, tok]
+        plog = state.logprobs[b, tok]
+        tid, pt, ptsum = sample_token_data(state.probs, state.logprobs, consts)
+        # a sampled timestamp token overrides tid/pt (whisper.cpp:5348-5351)
+        is_ts = tok >= token_beg
+        tid = jnp.where(is_ts, tok, tid).astype(jnp.int32)
+        pt = jnp.where(is_ts, p, pt)
+        return rng, tok, p, plog, tid, pt, ptsum
+
+    def decode_window(params, k_cross, v_cross, prompt, pad_len,
+                      temperature, seek, seek_end, rng_key):
+        """Run one full window decode on device.
+
+        params: model pytree
+        k_cross/v_cross: (L, B, Ta, H, Dh) cross-attention KV
+        prompt: (B, P) i32 — LEFT-padded prompt (pad value irrelevant)
+        pad_len: (B,) i32 — number of pad slots at the start of each row
+        temperature: scalar f32
+        seek: scalar i32 (ticks) — window start; seek_end: scalar i32
+        Returns dict of result arrays (see below) + no_speech_prob.
+        """
+        L = k_cross.shape[0]
+        B = prompt.shape[0]
+        H = cfg.n_head
+        Dh = k_cross.shape[-1]
+        C = P + N + 1
+
+        # ---- prompt processing -------------------------------------------
+        idx = jnp.arange(P)
+        positions = jnp.maximum(idx[None, :] - pad_len[:, None], 0)
+        # causal + pad mask: (B, 1, P, P)
+        q = idx[None, :, None]
+        k = idx[None, None, :]
+        valid = (k <= q) & (k >= pad_len[:, None, None])
+        mask = jnp.where(valid, 0.0, -jnp.inf).astype(jnp.float32)[:, None]
+
+        logits_all, k_self, v_self = wm.decode_prompt(
+            params, prompt, positions, k_cross, v_cross, cfg.n_head,
+            self_mask=mask, compute_dtype=cfg.compute_dtype)
+        logits0 = logits_all[:, -1]                       # (B, V)
+
+        # no-speech probability from the raw first logits
+        # (reference: src/whisper.cpp:5812-5820)
+        no_speech_prob = jax.nn.softmax(logits0, axis=-1)[:, consts.token_nosp]
+
+        kv_k = jnp.zeros((L, B, C, H, Dh), cfg.compute_dtype)
+        kv_v = jnp.zeros((L, B, C, H, Dh), cfg.compute_dtype)
+        kv_k = kv_k.at[:, :, :P].set(k_self.astype(cfg.compute_dtype))
+        kv_v = kv_v.at[:, :, :P].set(v_self.astype(cfg.compute_dtype))
+
+        false_b = jnp.zeros((B,), bool)
+        lg, lp, pr = process_logits(
+            logits0, temperature,
+            is_initial=jnp.ones((B,), bool),
+            last_was_ts=false_b, penult_was_ts=jnp.ones((B,), bool),
+            has_ts=false_b, seek_delta=jnp.zeros((B,), jnp.int32))
+
+        init = LoopState(
+            i=jnp.int32(0),
+            kv_k=kv_k, kv_v=kv_v,
+            logits=lg, logprobs=lp, probs=pr,
+            tokens=jnp.full((B, N), token_eot, jnp.int32),
+            p=jnp.zeros((B, N)), plog=jnp.zeros((B, N)),
+            tid=jnp.zeros((B, N), jnp.int32),
+            pt=jnp.zeros((B, N)), ptsum=jnp.zeros((B, N)),
+            last_was_ts=false_b, penult_was_ts=jnp.ones((B,), bool),
+            has_ts=false_b,
+            seek_delta=jnp.full((B,), TICKS_PER_SECOND * CHUNK_SIZE, jnp.int32),
+            result_len=jnp.zeros((B,), jnp.int32),
+            sum_logprobs_all=jnp.zeros((B,)),
+            completed=false_b, failed=false_b,
+            rng=rng_key,
+        )
+
+        def cond(s: LoopState):
+            return (s.i < N) & ~jnp.all(s.completed | s.failed)
+
+        def body(s: LoopState):
+            i = s.i
+            live = ~(s.completed | s.failed)
+
+            rng, tok, p, plog, tid, pt, ptsum = sample(s, temperature)
+
+            # record only for live decoders
+            wr = live
+            tokens = s.tokens.at[:, i].set(jnp.where(wr, tok, s.tokens[:, i]))
+            p_arr = s.p.at[:, i].set(jnp.where(wr, p, 0.0))
+            plog_arr = s.plog.at[:, i].set(jnp.where(wr, plog, 0.0))
+            tid_arr = s.tid.at[:, i].set(jnp.where(wr, tid, 0))
+            pt_arr = s.pt.at[:, i].set(jnp.where(wr, pt, 0.0))
+            ptsum_arr = s.ptsum.at[:, i].set(jnp.where(wr, ptsum, 0.0))
+            sum_lp = s.sum_logprobs_all + jnp.where(wr, plog, 0.0)
+
+            # ---- state update (reference: src/whisper.cpp:5990-6065) -----
+            is_ts_update = live & (tok > token_beg)
+            seek_delta_new = 2 * (tok - token_beg)
+            goes_back = s.has_ts & (s.seek_delta > seek_delta_new) \
+                & (s.result_len < i)
+            failed = s.failed | (is_ts_update & goes_back)
+            apply_ts = is_ts_update & ~goes_back
+            seek_delta = jnp.where(apply_ts, seek_delta_new, s.seek_delta)
+            result_len = jnp.where(apply_ts, i + 1, s.result_len)
+            has_ts = s.has_ts | apply_ts
+
+            # end-of-segment (reference: src/whisper.cpp:6025-6048)
+            still_live = live & ~(is_ts_update & goes_back)
+            eos = (tok == token_eot)
+            if cfg.max_tokens_param > 0:
+                eos = eos | (i >= cfg.max_tokens_param)
+            eos = eos | (has_ts & (seek + seek_delta + DELTA_MIN >= seek_end))
+            eos = still_live & eos
+
+            if not cfg.no_timestamps:
+                # completing with no timestamp pair seen yet
+                zero_len = eos & (result_len == 0)
+                at_end = seek + seek_delta + DELTA_MIN >= seek_end
+                result_len = jnp.where(zero_len & at_end, i + 1, result_len)
+                failed = failed | (zero_len & ~at_end)
+                eos = eos & ~(zero_len & ~at_end)
+            if cfg.single_segment or cfg.no_timestamps:
+                result_len = jnp.where(eos, i + 1, result_len)
+                seek_delta = jnp.where(
+                    eos, TICKS_PER_SECOND * CHUNK_SIZE, seek_delta)
+            completed = s.completed | eos
+
+            # repetition-loop bailout (reference: src/whisper.cpp:6059-6064)
+            live2 = still_live & ~eos
+            rep = (i == N - 1) & (
+                (result_len == 0)
+                | (seek_delta < TICKS_PER_SECOND * CHUNK_SIZE // 2))
+            failed = failed | (live2 & rep)
+
+            # ---- next-token logits (skipped when everyone is done) -------
+            def do_decode(_):
+                pos_ids = jnp.minimum(P - pad_len + i, cfg.n_text_ctx - 1)
+                lg_raw, kv = wm.decode_step(
+                    params, tok, pos_ids, P + i,
+                    {"k": s.kv_k, "v": s.kv_v}, k_cross, v_cross,
+                    kv_len=P + i + 1, n_head=cfg.n_head, pad_len=pad_len,
+                    compute_dtype=cfg.compute_dtype)
+                return lg_raw, kv["k"], kv["v"]
+
+            def skip_decode(_):
+                return s.logits, s.kv_k, s.kv_v
+
+            any_live = ~jnp.all(completed | failed)
+            lg_raw, kv_k, kv_v = jax.lax.cond(
+                any_live & (i + 1 < N), do_decode, skip_decode, None)
+
+            last_was_ts = jnp.where(live, tok >= token_beg, s.last_was_ts)
+            penult_was_ts = jnp.where(live, s.last_was_ts, s.penult_was_ts)
+
+            lg, lp, pr = process_logits(
+                lg_raw, temperature,
+                is_initial=jnp.zeros_like(live),
+                last_was_ts=last_was_ts, penult_was_ts=penult_was_ts,
+                has_ts=has_ts, seek_delta=seek_delta)
+
+            return LoopState(
+                i=i + 1, kv_k=kv_k, kv_v=kv_v,
+                logits=lg, logprobs=lp, probs=pr,
+                tokens=tokens, p=p_arr, plog=plog_arr, tid=tid_arr,
+                pt=pt_arr, ptsum=ptsum_arr,
+                last_was_ts=last_was_ts, penult_was_ts=penult_was_ts,
+                has_ts=has_ts, seek_delta=seek_delta, result_len=result_len,
+                sum_logprobs_all=sum_lp,
+                completed=completed, failed=failed, rng=rng)
+
+        final = jax.lax.while_loop(cond, body, init)
+
+        return {
+            "tokens": final.tokens,
+            "p": final.p, "plog": final.plog,
+            "tid": final.tid, "pt": final.pt, "ptsum": final.ptsum,
+            "n_tokens": final.i,
+            "has_ts": final.has_ts,
+            "seek_delta": final.seek_delta,
+            "result_len": final.result_len,
+            "sum_logprobs_all": final.sum_logprobs_all,
+            "completed": final.completed,
+            "failed": final.failed,
+            "no_speech_prob": no_speech_prob,
+        }
+
+    return decode_window

@@ -233,7 +233,7 @@ def decode_prompt(params, tokens, positions, k_cross, v_cross, n_head: int,
 
     tokens: (B, T) int32; positions: (T,) or (B, T) int32
     k_cross/v_cross: (L, B, Ta, H, Dh)
-    self_mask: additive (1, 1, T, T) causal mask (float32), or None
+    self_mask: additive mask broadcastable to (B, 1, T, T) (float32), or None
     Returns (logits (B, T, n_vocab), k_self (L, B, T, H, Dh), v_self).
     """
     dec = params["decoder"]
@@ -272,27 +272,34 @@ def decode_prompt(params, tokens, positions, k_cross, v_cross, n_head: int,
     return logits, k_self, v_self
 
 
-def decode_step(params, tokens, position, kv_self, k_cross, v_cross,
-                kv_len, n_head: int, compute_dtype=jnp.bfloat16):
+def decode_step(params, tokens, pos_ids, cache_index, kv_self, k_cross, v_cross,
+                kv_len, n_head: int, pad_len=None, compute_dtype=jnp.bfloat16):
     """One autoregressive step over a preallocated KV cache.
 
     tokens: (B,) int32 — one new token per sequence
-    position: scalar int32 — write index into the cache (same for all B)
+    pos_ids: (B,) int32 — positional-embedding index per sequence (they can
+        differ when prompts of different lengths were left-padded)
+    cache_index: scalar int32 — write index into the cache (same for all B)
     kv_self: dict {"k": (L, B, C, H, Dh), "v": ...} preallocated cache
     kv_len: scalar int32 — number of valid cache entries AFTER this write
+    pad_len: (B,) int32 or None — cache slots [0, pad_len) are left-padding
+        from the prompt and must not be attended to
     Returns (logits (B, n_vocab), updated kv_self).
     """
     dec = params["decoder"]
     nh = n_head
     C = kv_self["k"].shape[2]
 
-    x = dec["tok_emb"][tokens][:, None, :] + dec["pos"][position][None, None, :]
+    x = dec["tok_emb"][tokens][:, None, :] + dec["pos"][pos_ids][:, None, :]
     x = x.astype(jnp.float32)                                  # (B, 1, D)
 
-    # attention mask over cache positions: valid iff idx < kv_len
+    # attention mask over cache positions: valid iff pad_len <= idx < kv_len
     idx = jnp.arange(C)
-    attn_mask = jnp.where(idx < kv_len, 0.0, -jnp.inf).astype(jnp.float32)
-    attn_mask = attn_mask[None, None, None, :]                  # (1,1,1,C)
+    valid = idx[None, :] < kv_len
+    if pad_len is not None:
+        valid = valid & (idx[None, :] >= pad_len[:, None])
+    attn_mask = jnp.where(valid, 0.0, -jnp.inf).astype(jnp.float32)
+    attn_mask = attn_mask[:, None, None, :]                     # (B,1,1,C)
 
     def body(carry, scanned):
         blk, kc, vc, k_cache, v_cache = scanned
@@ -304,9 +311,9 @@ def decode_step(params, tokens, position, kv_self, k_cross, v_cross,
         v_new = _split_heads(_linear(ln, blk["v_w"], blk["v_b"], compute_dtype), nh)
 
         k_cache = jax.lax.dynamic_update_slice_in_dim(
-            k_cache, k_new.astype(k_cache.dtype), position, axis=1)
+            k_cache, k_new.astype(k_cache.dtype), cache_index, axis=1)
         v_cache = jax.lax.dynamic_update_slice_in_dim(
-            v_cache, v_new.astype(v_cache.dtype), position, axis=1)
+            v_cache, v_new.astype(v_cache.dtype), cache_index, axis=1)
 
         attn = _attention(q, k_cache, v_cache, attn_mask, compute_dtype)
         x = x + _linear(attn, blk["o_w"], blk["o_b"], compute_dtype)
