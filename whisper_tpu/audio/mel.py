@@ -105,6 +105,7 @@ def log_mel_spectrogram_jax(samples, filters):
     `pad_audio` (static shape).  Runs on TPU: framing is a gather, the DFT is
     two (400, 201) matmuls on the MXU, the filterbank is one more matmul.
     """
+    import jax
     import jax.numpy as jnp
 
     n_len = (samples.shape[-1] - N_FFT) // HOP_LENGTH
@@ -114,15 +115,19 @@ def log_mel_spectrogram_jax(samples, filters):
            + jnp.arange(N_FFT)[None, :])
     frames = samples[..., idx] * window
 
-    # real DFT as two matmuls (TPU-friendly; avoids odd-size FFT lowering):
-    # X[k] = sum_n x[n] cos(2 pi k n / N) - i sum_n x[n] sin(2 pi k n / N)
+    # real DFT as two matmuls (TPU-friendly; avoids odd-size FFT lowering).
+    # HIGHEST precision: the result feeds log10 + global-max normalization,
+    # so bf16-passed MXU accumulation visibly corrupts quiet mel bins.
     cos_b, sin_b = _dft_basis()
-    re = jnp.dot(frames, jnp.asarray(cos_b), preferred_element_type=jnp.float32)
-    im = jnp.dot(frames, jnp.asarray(sin_b), preferred_element_type=jnp.float32)
+    hi = jax.lax.Precision.HIGHEST
+    re = jnp.dot(frames, jnp.asarray(cos_b), precision=hi,
+                 preferred_element_type=jnp.float32)
+    im = jnp.dot(frames, jnp.asarray(sin_b), precision=hi,
+                 preferred_element_type=jnp.float32)
     power = re * re + im * im
 
     mel = jnp.dot(power, jnp.asarray(filters, dtype=jnp.float32).T,
-                  preferred_element_type=jnp.float32)
+                  precision=hi, preferred_element_type=jnp.float32)
     mel = jnp.log10(jnp.maximum(mel, 1e-10))
     mmax = jnp.max(mel, axis=(-1, -2), keepdims=True) - 8.0
     return (jnp.maximum(mel, mmax) + 4.0) / 4.0

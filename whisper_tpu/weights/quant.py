@@ -230,10 +230,12 @@ def quantize_q4_1(x: np.ndarray) -> bytes:
 def _pack_q5_qh(q: np.ndarray) -> np.ndarray:
     """Pack 5th bits of 32 elements into a uint32 per block -> 4 uint8."""
     j = np.arange(QK // 2, dtype=np.uint32)
-    hi0 = ((q[:, :QK // 2].astype(np.uint32) & 0x10) >> 4) << j
-    hi1 = ((q[:, QK // 2:].astype(np.uint32) & 0x10) >> 4) << (j + 12)
-    qh32 = np.bitwise_or.reduce(hi0, axis=1) | np.bitwise_or.reduce(hi1, axis=1)
-    return qh32.astype(np.uint32).view(np.uint8).reshape(-1, 4)
+    hi0 = ((q[:, :QK // 2].astype(np.uint64) & 0x10) >> 4) << j
+    # second-half bits live at j+16 (the dequant reads (qh >> (j+12)) & 0x10,
+    # i.e. bit j+16 — see ggml-quants.c:105-127 vs :296-320)
+    hi1 = ((q[:, QK // 2:].astype(np.uint64) & 0x10) >> 4) << (j + 16)
+    qh = np.bitwise_or.reduce(hi0, axis=1) | np.bitwise_or.reduce(hi1, axis=1)
+    return (qh & 0xFFFFFFFF).astype(np.uint32).view(np.uint8).reshape(-1, 4)
 
 
 def quantize_q5_0(x: np.ndarray) -> bytes:
