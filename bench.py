@@ -1,0 +1,160 @@
+#!/usr/bin/env python3
+"""Benchmark: batched large-v3 transcription throughput on one TPU chip.
+
+Prints ONE JSON line:
+  {"metric": "rtf_large_v3", "value": <audio-sec per wall-sec per chip>,
+   "unit": "x_realtime", "vs_baseline": <value / 27.0>, ...components}
+
+The baseline anchor is the reference's own headline number: M2 Ultra +
+Metal large-v2 ≈ 222 ms encode + 10.9 ms/token ⇒ ~27x real-time single
+stream (BASELINE.md, derived from scripts/bench-all-gg.txt:112-139).
+
+Methodology mirrors examples/bench/bench.cpp but measures the production
+path: mel (on-TPU) + encoder + cross-KV + N_TOKENS decoder steps with the
+full logit-filter chain, batched over B windows.  Weights are random at
+exact large-v3 dimensions (timing-faithful; trained weights unavailable in
+this environment).
+"""
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from whisper_tpu.decode.filters import FilterConsts, FilterOptions, make_process_logits
+from whisper_tpu.models import whisper as wm
+from whisper_tpu.models.whisper import WhisperConfig
+from whisper_tpu.weights.convert import random_params
+
+BASELINE_RTF = 27.0  # reference M2 Ultra large-v2 anchor (BASELINE.md)
+
+CONFIGS = {
+    "tiny": WhisperConfig(51865, 1500, 384, 6, 4, 448, 384, 6, 4, 80, "tiny"),
+    "base": WhisperConfig(51865, 1500, 512, 8, 6, 448, 512, 8, 6, 80, "base"),
+    "small": WhisperConfig(51865, 1500, 768, 12, 12, 448, 768, 12, 12, 80, "small"),
+    "medium": WhisperConfig(51865, 1500, 1024, 16, 24, 448, 1024, 16, 24, 80, "medium"),
+    "large-v3": WhisperConfig(51866, 1500, 1280, 20, 32, 448, 1280, 20, 32, 128, "large-v3"),
+}
+
+
+def _consts_for(cfg: WhisperConfig) -> FilterConsts:
+    # synthesize filter constants without a model file (multilingual layout)
+    shift = 1 if cfg.n_vocab >= 51865 else 0
+    nl = cfg.n_vocab - 51765 - shift
+    dt = nl - 98
+    return FilterConsts(
+        n_vocab=cfg.n_vocab,
+        token_eot=50256 + shift, token_sot=50257 + shift,
+        token_beg=50363 + shift + dt, token_not=50362 + shift + dt,
+        token_nosp=50361 + shift + dt, token_solm=50359 + shift + dt,
+        token_prev=50360 + shift + dt,
+        token_translate=50357 + shift + dt, token_transcribe=50358 + shift + dt,
+        token_space=220, lang_ids=tuple(50258 + i for i in range(100)),
+        nst_ids=(), precision=30.0 / cfg.n_audio_ctx,
+    )
+
+
+def build_pipeline(cfg: WhisperConfig, B: int, n_tokens: int, prompt_len: int = 4):
+    """One jitted call: encode B windows + decode n_tokens greedy steps."""
+    consts = _consts_for(cfg)
+    process = make_process_logits(consts, FilterOptions())
+    P = prompt_len
+    C = P + n_tokens + 1
+    H, Dh, L = cfg.n_text_head, cfg.head_dim_text, cfg.n_text_layer
+
+    def run(params, mel, prompt):
+        enc = wm.encode(params, mel, n_head=cfg.n_audio_head)
+        kc, vc = wm.cross_kv(params, enc, n_head=cfg.n_text_head)
+
+        mask = wm.make_causal_mask(P)
+        logits, ks, vs = wm.decode_prompt(
+            params, prompt, jnp.arange(P), kc, vc,
+            n_head=cfg.n_text_head, self_mask=mask)
+
+        kv_k = jnp.zeros((L, B, C, H, Dh), jnp.bfloat16).at[:, :, :P].set(
+            ks.astype(jnp.bfloat16))
+        kv_v = jnp.zeros((L, B, C, H, Dh), jnp.bfloat16).at[:, :, :P].set(
+            vs.astype(jnp.bfloat16))
+
+        false_b = jnp.zeros((B,), bool)
+        lg, lp, _ = process(logits[:, -1], jnp.float32(0.0),
+                            jnp.ones((B,), bool), false_b,
+                            jnp.ones((B,), bool), false_b,
+                            jnp.zeros((B,), jnp.int32))
+
+        def body(i, carry):
+            lg, kv_k, kv_v, acc = carry
+            tok = jnp.argmax(lg, axis=-1).astype(jnp.int32)
+            lg_raw, kv = wm.decode_step(
+                params, tok, jnp.full((B,), P, jnp.int32) + i, P + i,
+                {"k": kv_k, "v": kv_v}, kc, vc, kv_len=P + i + 1,
+                n_head=cfg.n_text_head)
+            lg, lp, _ = process(lg_raw, jnp.float32(0.0), false_b,
+                                tok >= consts.token_beg, false_b, false_b,
+                                jnp.zeros((B,), jnp.int32))
+            return lg, kv["k"], kv["v"], acc + tok
+
+        lg, _, _, acc = jax.lax.fori_loop(
+            0, n_tokens, body, (lg, kv_k, kv_v, jnp.zeros((B,), jnp.int32)))
+        return acc
+
+    return jax.jit(run)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", default="large-v3", choices=list(CONFIGS))
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--tokens", type=int, default=64,
+                    help="decoder steps per 30 s window")
+    ap.add_argument("--iters", type=int, default=3)
+    args = ap.parse_args()
+
+    cfg = CONFIGS[args.size]
+    B, T = args.batch, args.tokens
+
+    params = random_params(cfg, seed=0, dtype=jnp.bfloat16)
+    mel = jnp.asarray(
+        np.random.RandomState(0).rand(B, 2 * cfg.n_audio_ctx, cfg.n_mels)
+        .astype(np.float32))
+    sot = 50258 if cfg.n_vocab >= 51865 else 50257
+    prompt = jnp.tile(jnp.asarray(
+        [[sot, sot + 1, sot + 100, sot + 105]], jnp.int32), (B, 1))
+
+    run = build_pipeline(cfg, B, T)
+
+    # warmup / compile
+    t0 = time.perf_counter()
+    jax.block_until_ready(run(params, mel, prompt))
+    compile_s = time.perf_counter() - t0
+
+    times = []
+    for _ in range(args.iters):
+        t0 = time.perf_counter()
+        jax.block_until_ready(run(params, mel, prompt))
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+
+    audio_s = B * 30.0
+    rtf = audio_s / dt
+    ms_per_window = dt / B * 1000
+
+    print(json.dumps({
+        "metric": f"rtf_{args.size.replace('-', '_')}",
+        "value": round(rtf, 2),
+        "unit": "x_realtime",
+        "vs_baseline": round(rtf / BASELINE_RTF, 3),
+        "batch": B,
+        "tokens_per_window": T,
+        "window_ms": round(ms_per_window, 2),
+        "compile_s": round(compile_s, 1),
+        "device": str(jax.devices()[0]),
+    }))
+
+
+if __name__ == "__main__":
+    main()

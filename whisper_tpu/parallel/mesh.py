@@ -1,0 +1,85 @@
+"""Device-mesh sharding for multi-chip scale-out.
+
+The reference's only distribution stories are a multi-backend graph
+scheduler and a TCP RPC backend (SURVEY §2.4, §2.6).  The TPU-native
+equivalent is a `jax.sharding.Mesh` with two logical axes:
+
+  * "data"  — batch of 30 s windows / streams (the analog of
+              whisper_full_parallel's chunk data-parallelism,
+              reference: src/whisper.cpp:6407-6520)
+  * "model" — tensor parallelism over attention heads and MLP hidden dim
+              (no analog in the reference; lets large-v3 scale past one
+              chip's FLOPs); collectives ride ICI via XLA GSPMD.
+
+We annotate parameters and batch inputs with NamedSharding and let the
+XLA partitioner insert all_gather / reduce_scatter — no hand-written
+collectives on the hot path.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_data: int = 1, n_model: int = 1,
+              devices=None) -> Mesh:
+    """Build a ("data", "model") mesh over the given (or all) devices."""
+    if devices is None:
+        devices = jax.devices()
+    n = n_data * n_model
+    assert len(devices) >= n, f"need {n} devices, have {len(devices)}"
+    arr = np.asarray(devices[:n]).reshape(n_data, n_model)
+    return Mesh(arr, axis_names=("data", "model"))
+
+
+# Per-leaf PartitionSpec for the whisper param pytree.
+# Head-parallel attention: QKV out-features sharded, out-proj in-features
+# sharded (row/col parallel pairing: one psum per block, inserted by XLA).
+_ENC_BLOCK_SPECS = {
+    "attn_ln_w": P(), "attn_ln_b": P(),
+    "q_w": P(None, "model", None), "q_b": P(None, "model"),
+    "k_w": P(None, "model", None),
+    "v_w": P(None, "model", None), "v_b": P(None, "model"),
+    "o_w": P(None, None, "model"), "o_b": P(),
+    "mlp_ln_w": P(), "mlp_ln_b": P(),
+    "mlp0_w": P(None, "model", None), "mlp0_b": P(None, "model"),
+    "mlp2_w": P(None, None, "model"), "mlp2_b": P(),
+}
+_DEC_BLOCK_SPECS = dict(_ENC_BLOCK_SPECS)
+_DEC_BLOCK_SPECS.update({
+    "xattn_ln_w": P(), "xattn_ln_b": P(),
+    "xq_w": P(None, "model", None), "xq_b": P(None, "model"),
+    "xk_w": P(None, "model", None),
+    "xv_w": P(None, "model", None), "xv_b": P(None, "model"),
+    "xo_w": P(None, None, "model"), "xo_b": P(),
+})
+
+
+def param_specs(params) -> dict:
+    """PartitionSpec pytree matching the whisper params pytree."""
+    enc = {k: P() for k in params["encoder"] if k != "blocks"}
+    enc["blocks"] = {k: _ENC_BLOCK_SPECS[k] for k in params["encoder"]["blocks"]}
+    dec = {k: P() for k in params["decoder"] if k != "blocks"}
+    # vocab-sharded embedding: the logit matmul becomes column-parallel
+    dec["tok_emb"] = P("model", None)
+    dec["blocks"] = {k: _DEC_BLOCK_SPECS[k] for k in params["decoder"]["blocks"]}
+    return {"encoder": enc, "decoder": dec}
+
+
+def shard_params(params, mesh: Mesh):
+    """Place the param pytree on the mesh with TP sharding."""
+    specs = param_specs(params)
+    return jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+        params, specs)
+
+
+def batch_spec() -> P:
+    """Activations: batch over "data", replicated over "model"."""
+    return P("data")
+
+
+def shard_batch(x, mesh: Mesh):
+    return jax.device_put(x, NamedSharding(mesh, P("data")))

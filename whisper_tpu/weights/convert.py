@@ -93,10 +93,38 @@ def params_from_ggml(mf: GgmlModelFile, dtype=jnp.bfloat16):
     return {"encoder": enc, "decoder": dec}, cfg
 
 
+def random_params(cfg: WhisperConfig, seed: int = 0, dtype=jnp.bfloat16,
+                  scale: float = 0.02):
+    """Random-weight parameters generated on device (benchmarks, dry runs).
+
+    Timing-faithful stand-in for real checkpoints when trained weights are
+    unavailable; layernorm scales are 1 so activations stay well-behaved.
+    """
+    import jax
+
+    zeros = zero_params(cfg, dtype=dtype)
+    leaves, treedef = jax.tree_util.tree_flatten(zeros)
+    keys = jax.random.split(jax.random.PRNGKey(seed), len(leaves))
+
+    def rnd(key, z):
+        if z.ndim >= 2:
+            return (jax.random.normal(key, z.shape, jnp.float32) * scale).astype(z.dtype)
+        return z
+
+    leaves = [rnd(k, z) for k, z in zip(keys, leaves)]
+    params = jax.tree_util.tree_unflatten(treedef, leaves)
+    # unit layernorm scales
+    for side, ln_keys in (("encoder", ("ln_post_w",)), ("decoder", ("ln_w",))):
+        for k in ln_keys:
+            params[side][k] = jnp.ones_like(params[side][k])
+        for k in list(params[side]["blocks"]):
+            if k.endswith("ln_w"):
+                params[side]["blocks"][k] = jnp.ones_like(params[side]["blocks"][k])
+    return params
+
+
 def zero_params(cfg: WhisperConfig, dtype=jnp.bfloat16):
     """Zero-weight parameters with correct shapes (stub-model test path)."""
-    rng = np.random  # unused; zeros only
-    del rng
     d_a, d_t = cfg.n_audio_state, cfg.n_text_state
     La, Lt = cfg.n_audio_layer, cfg.n_text_layer
 
