@@ -644,6 +644,59 @@ class WhisperContext:
         if params.new_segment_callback:
             params.new_segment_callback(self, n_new)
 
+    def full_parallel(self, params: FullParams, samples: np.ndarray,
+                      n_processors: int = 1) -> int:
+        """whisper_full_parallel (reference: src/whisper.cpp:6407-6520).
+
+        The reference splits audio across CPU threads with per-thread
+        states.  Here the accelerator is the shared resource, so chunks run
+        back-to-back through the same jitted pipeline (the batched
+        multi-stream path in parallel/batch.py is the high-throughput way
+        to transcribe many streams).  Segment merging, timestamp offsets,
+        and overlap clamping match the reference.
+        """
+        if n_processors <= 1:
+            return self.full(params, samples)
+
+        offset_samples = (16000 * params.offset_ms) // 1000
+        n_per = (len(samples) - offset_samples) // n_processors
+        offset_t = params.offset_ms // 10
+
+        # chunk 0 (includes the leading offset)
+        ret = self.full(params, samples[:offset_samples + n_per])
+        merged = list(self.result_all)
+
+        chunk_params = dataclasses.replace(
+            params, offset_ms=0, print_progress=False, print_realtime=False,
+            new_segment_callback=None, progress_callback=None)
+
+        for i in range(n_processors - 1):
+            start = offset_samples + (i + 1) * n_per
+            end = len(samples) if i == n_processors - 2 else start + n_per
+            rc = self.full(chunk_params, samples[start:end])
+            if rc != 0:
+                ret = rc
+            shift = 100 * ((i + 1) * n_per) // 16000 + offset_t
+            for seg in self.result_all:
+                seg.t0 += shift
+                seg.t1 += shift
+                if merged:
+                    seg.t0 = max(seg.t0, merged[-1].t1)
+                merged.append(seg)
+                if params.new_segment_callback:
+                    self.result_all = merged  # accessor view during callback
+                    params.new_segment_callback(self, 1)
+
+        self.result_all = merged
+        log_warn(f"the audio has been split into {n_processors} chunks at "
+                 "the following times:")
+        from .outputs import to_timestamp
+        for i in range(n_processors - 1):
+            t = 100 * ((i + 1) * n_per) // 16000 + offset_t
+            log_warn(f"split {i + 1} - {to_timestamp(t)}")
+        log_warn("the transcription quality may be degraded near these boundaries")
+        return ret
+
     # ---- segment accessors (reference: src/whisper.cpp:6522-6617) --------
 
     def full_n_segments(self) -> int: return len(self.result_all)
