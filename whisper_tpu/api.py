@@ -257,8 +257,9 @@ class WhisperContext:
 
     def _decode_window_fn(self, B: int, P: int, opts: FilterOptions,
                           single_segment: bool, no_timestamps: bool,
-                          max_tokens: int):
-        key = ("dec", B, P, opts, single_segment, no_timestamps, max_tokens)
+                          max_tokens: int, strategy: str = "greedy"):
+        key = ("dec", B, P, opts, single_segment, no_timestamps, max_tokens,
+               strategy)
         if key not in self._jit_cache:
             consts = FilterConsts.from_vocab(self.vocab, self.hparams.n_audio_ctx)
             cfg = LoopConfig(
@@ -271,7 +272,12 @@ class WhisperContext:
                 no_timestamps=no_timestamps,
                 compute_dtype=self.compute_dtype,
             )
-            fn = make_decode_window(consts=consts, options=opts, cfg=cfg)
+            if strategy == "beam":
+                from .decode.beam import make_beam_decode_window
+                fn = make_beam_decode_window(consts=consts, options=opts,
+                                             cfg=cfg, beam_size=B)
+            else:
+                fn = make_decode_window(consts=consts, options=opts, cfg=cfg)
             self._jit_cache[key] = jax.jit(fn)
         return self._jit_cache[key]
 
@@ -459,9 +465,12 @@ class WhisperContext:
                     prompt = [self.vocab.token_prev] + self.prompt_past[-n_take:]
                 prompt = prompt + prompt_init
 
+                use_beam = (params.strategy == SamplingStrategy.BEAM_SEARCH
+                            and t_cur <= 0.0)
                 result = self._decode_window(
                     prompt, kc, vc, n_cur, t_cur, seek, seek_end,
-                    params, opts, no_timestamps, rng)
+                    params, opts, no_timestamps, rng,
+                    strategy="beam" if use_beam else "greedy")
                 rng, _ = jax.random.split(rng)
 
                 self.no_speech_prob = float(result["no_speech_prob"][0])
@@ -525,14 +534,14 @@ class WhisperContext:
     # ------------------------------------------------------------------
 
     def _decode_window(self, prompt, kc, vc, n_cur, t_cur, seek, seek_end,
-                       params, opts, no_timestamps, rng):
+                       params, opts, no_timestamps, rng, strategy="greedy"):
         """One jitted device call decoding the whole window."""
         # prompt buffer size: tiny when unconditioned, full when carrying past
         P = 8 if len(prompt) <= 8 else (
             self.hparams.n_text_ctx // 2 + 8)
         fn = self._decode_window_fn(
             n_cur, P, opts, params.single_segment, no_timestamps,
-            params.max_tokens)
+            params.max_tokens, strategy)
 
         pad = P - len(prompt)
         buf = np.zeros((n_cur, P), dtype=np.int32)

@@ -193,8 +193,9 @@ def main(argv=None) -> int:
                 _print_segment_text(c, i, args, pcm_stereo)
             seg_printed[0] = n
 
-        if not args.no_prints:
-            params.new_segment_callback = on_new_segment
+        # segment printing stays on under --no-prints, matching the
+        # reference ("do not print anything other than the results")
+        params.new_segment_callback = on_new_segment
 
         if ctx.full_parallel(params, pcm, args.processors) != 0:
             print(f"error: failed to process audio '{fname}'", file=sys.stderr)

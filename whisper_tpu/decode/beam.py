@@ -1,0 +1,217 @@
+"""On-device beam search.
+
+The reference's beam search (reference: src/whisper.cpp:5885-5977) keeps up
+to `beam_size` decoder slots sharing one KV cache with per-sequence cell
+tags, draws candidates per live decoder, sorts them globally by cumulative
+logprob (`sum_logprobs_all`), dedupes identical sequences, and shuffles KV
+cells between slots.
+
+TPU-native redesign: beams are a dense leading axis of every tensor.  Each
+step scores all `beam * vocab` continuations, takes a global top-k over the
+LIVE beams, and reorders the KV cache with one gather on the beam axis —
+no cell bookkeeping.  Finished beams are frozen in place: they keep their
+slot, contribute no candidates, and live slots are filled rank-order from
+the global top-k (the same slot-filling the reference's cur_c loop does).
+One deliberate deviation: candidate selection is deterministic top-k by
+logprob (textbook beam search) rather than the reference's k multinomial
+draws from a shared RNG — at temperature 0 the distributions are sharply
+peaked and the reference's draws collapse to near-top-k anyway.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..constants import CHUNK_SIZE, TICKS_PER_SECOND
+from .filters import FilterConsts, FilterOptions, make_process_logits, sample_token_data
+from .loop import DELTA_MIN, LoopConfig, token_state_update
+from ..models import whisper as wm
+
+NEG_INF = float("-inf")
+
+
+def make_beam_decode_window(*, consts: FilterConsts, options: FilterOptions,
+                            cfg: LoopConfig, beam_size: int):
+    """Build the jitted beam-search window decoder (B = beam_size)."""
+    process_logits = make_process_logits(consts, options)
+    P = cfg.prompt_size
+    N = cfg.max_tokens_loop
+    B = beam_size
+    V = consts.n_vocab
+    token_beg = consts.token_beg
+
+    def decode_window(params, k_cross, v_cross, prompt, pad_len,
+                      temperature, seek, seek_end, rng_key):
+        L = k_cross.shape[0]
+        H = cfg.n_head
+        Dh = k_cross.shape[-1]
+        C = P + N + 1
+
+        idx = jnp.arange(P)
+        positions = jnp.maximum(idx[None, :] - pad_len[:, None], 0)
+        q = idx[None, :, None]
+        k = idx[None, None, :]
+        valid = (k <= q) & (k >= pad_len[:, None, None])
+        mask = jnp.where(valid, 0.0, NEG_INF).astype(jnp.float32)[:, None]
+
+        logits_all, k_self, v_self = wm.decode_prompt(
+            params, prompt, positions, k_cross, v_cross, cfg.n_head,
+            self_mask=mask, compute_dtype=cfg.compute_dtype)
+        logits0 = logits_all[:, -1]
+
+        no_speech_prob = jax.nn.softmax(logits0, axis=-1)[:, consts.token_nosp]
+
+        kv_k = jnp.zeros((L, B, C, H, Dh), cfg.compute_dtype)
+        kv_v = jnp.zeros((L, B, C, H, Dh), cfg.compute_dtype)
+        kv_k = kv_k.at[:, :, :P].set(k_self.astype(cfg.compute_dtype))
+        kv_v = kv_v.at[:, :, :P].set(v_self.astype(cfg.compute_dtype))
+
+        false_b = jnp.zeros((B,), bool)
+        _, lp, pr = process_logits(
+            logits0, temperature,
+            is_initial=jnp.ones((B,), bool),
+            last_was_ts=false_b, penult_was_ts=jnp.ones((B,), bool),
+            has_ts=false_b, seek_delta=jnp.zeros((B,), jnp.int32))
+
+        state = dict(
+            i=jnp.int32(0), kv_k=kv_k, kv_v=kv_v,
+            logprobs=lp, probs=pr,
+            tokens=jnp.full((B, N), consts.token_eot, jnp.int32),
+            p=jnp.zeros((B, N)), plog=jnp.zeros((B, N)),
+            tid=jnp.zeros((B, N), jnp.int32),
+            pt=jnp.zeros((B, N)), ptsum=jnp.zeros((B, N)),
+            last_was_ts=false_b, penult_was_ts=jnp.ones((B,), bool),
+            has_ts=false_b,
+            seek_delta=jnp.full((B,), TICKS_PER_SECOND * CHUNK_SIZE, jnp.int32),
+            result_len=jnp.zeros((B,), jnp.int32),
+            cum=jnp.zeros((B,)),           # sum_logprobs_all
+            completed=false_b, failed=false_b,
+            # at step 0 every beam is an identical copy: only row 0 expands
+            live_mask_init=jnp.arange(B) == 0,
+        )
+
+        def cond(s):
+            return (s["i"] < N) & ~jnp.all(s["completed"] | s["failed"])
+
+        def body(s):
+            i = s["i"]
+            live = ~(s["completed"] | s["failed"])
+            expand = live & jnp.where(i == 0, s["live_mask_init"], True)
+
+            # ---- candidate scores over (B, V) ---------------------------
+            scores = s["cum"][:, None] + s["logprobs"]
+            scores = jnp.where(expand[:, None], scores, NEG_INF)
+            flat = scores.reshape(-1)
+            top_vals, top_idx = jax.lax.top_k(flat, B)
+            parent = (top_idx // V).astype(jnp.int32)
+            tok_cand = (top_idx % V).astype(jnp.int32)
+
+            # assign candidates to live slots rank-order: the r-th live slot
+            # (by slot index) takes the r-th best candidate
+            slot_rank = jnp.cumsum(live.astype(jnp.int32)) - 1   # (B,)
+            slot_rank = jnp.clip(slot_rank, 0, B - 1)
+            parent_b = jnp.where(live, parent[slot_rank], jnp.arange(B))
+            tok = jnp.where(live, tok_cand[slot_rank], s["tokens"][:, jnp.maximum(i - 1, 0)])
+            new_cum = jnp.where(live, top_vals[slot_rank], s["cum"])
+
+            # ---- gather parent state for live slots ---------------------
+            def g(x):
+                return jnp.where(
+                    _bshape(live, x), x[parent_b], x)
+
+            def _bshape(mask, x):
+                return mask.reshape((B,) + (1,) * (x.ndim - 1))
+
+            tokens = g(s["tokens"])
+            p_arr = g(s["p"]); plog_arr = g(s["plog"])
+            tid_arr = g(s["tid"]); pt_arr = g(s["pt"]); ptsum_arr = g(s["ptsum"])
+            has_ts = jnp.where(live, s["has_ts"][parent_b], s["has_ts"])
+            seek_delta = jnp.where(live, s["seek_delta"][parent_b], s["seek_delta"])
+            result_len = jnp.where(live, s["result_len"][parent_b], s["result_len"])
+            last_was_ts_p = jnp.where(live, s["last_was_ts"][parent_b], s["last_was_ts"])
+            probs_g = s["probs"][parent_b]
+            logprobs_g = s["logprobs"][parent_b]
+
+            # KV reorder: one gather on the beam axis
+            kv_k = jnp.where(live.reshape(1, B, 1, 1, 1),
+                             s["kv_k"][:, parent_b], s["kv_k"])
+            kv_v = jnp.where(live.reshape(1, B, 1, 1, 1),
+                             s["kv_v"][:, parent_b], s["kv_v"])
+
+            # ---- record token + metadata --------------------------------
+            b = jnp.arange(B)
+            p_tok = probs_g[b, tok]
+            plog_tok = logprobs_g[b, tok]
+            tid, pt, ptsum = sample_token_data(probs_g, logprobs_g, consts)
+            is_ts = tok >= token_beg
+            tid = jnp.where(is_ts, tok, tid).astype(jnp.int32)
+            pt = jnp.where(is_ts, p_tok, pt)
+
+            tokens = tokens.at[:, i].set(jnp.where(live, tok, tokens[:, i]))
+            p_arr = p_arr.at[:, i].set(jnp.where(live, p_tok, 0.0))
+            plog_arr = plog_arr.at[:, i].set(jnp.where(live, plog_tok, 0.0))
+            tid_arr = tid_arr.at[:, i].set(jnp.where(live, tid, 0))
+            pt_arr = pt_arr.at[:, i].set(jnp.where(live, pt, 0.0))
+            ptsum_arr = ptsum_arr.at[:, i].set(jnp.where(live, ptsum, 0.0))
+
+            # ---- shared per-token state rules ---------------------------
+            has_ts, seek_delta, result_len, completed, failed = \
+                token_state_update(
+                    consts, cfg, i=i, tok=tok, live=live, has_ts=has_ts,
+                    seek_delta=seek_delta, result_len=result_len,
+                    completed=s["completed"], failed=s["failed"],
+                    seek=seek, seek_end=seek_end, N=N)
+
+            # ---- next logits --------------------------------------------
+            def do_decode(_):
+                pos_ids = jnp.minimum(P - pad_len + i, cfg.n_text_ctx - 1)
+                lg_raw, kv = wm.decode_step(
+                    params, tok, pos_ids, P + i,
+                    {"k": kv_k, "v": kv_v}, k_cross, v_cross,
+                    kv_len=P + i + 1, n_head=cfg.n_head, pad_len=pad_len,
+                    compute_dtype=cfg.compute_dtype)
+                return lg_raw, kv["k"], kv["v"]
+
+            def skip(_):
+                return logprobs_g, kv_k, kv_v
+
+            any_live = ~jnp.all(completed | failed)
+            lg_raw, kv_k, kv_v = jax.lax.cond(
+                any_live & (i + 1 < N), do_decode, skip, None)
+
+            last_was_ts = jnp.where(live, tok >= token_beg, s["last_was_ts"])
+            penult_was_ts = jnp.where(live, last_was_ts_p, s["penult_was_ts"])
+
+            _, lp, pr = process_logits(
+                lg_raw, temperature,
+                is_initial=jnp.zeros_like(live),
+                last_was_ts=last_was_ts, penult_was_ts=penult_was_ts,
+                has_ts=has_ts, seek_delta=seek_delta)
+
+            return dict(
+                i=i + 1, kv_k=kv_k, kv_v=kv_v, logprobs=lp, probs=pr,
+                tokens=tokens, p=p_arr, plog=plog_arr, tid=tid_arr,
+                pt=pt_arr, ptsum=ptsum_arr,
+                last_was_ts=last_was_ts, penult_was_ts=penult_was_ts,
+                has_ts=has_ts, seek_delta=seek_delta, result_len=result_len,
+                cum=new_cum, completed=completed, failed=failed,
+                live_mask_init=s["live_mask_init"])
+
+        final = jax.lax.while_loop(cond, body, state)
+
+        return {
+            "tokens": final["tokens"],
+            "p": final["p"], "plog": final["plog"],
+            "tid": final["tid"], "pt": final["pt"], "ptsum": final["ptsum"],
+            "n_tokens": final["i"],
+            "has_ts": final["has_ts"],
+            "seek_delta": final["seek_delta"],
+            "result_len": final["result_len"],
+            "sum_logprobs_all": final["cum"],
+            "completed": final["completed"],
+            "failed": final["failed"],
+            "no_speech_prob": no_speech_prob,
+        }
+
+    return decode_window

@@ -66,6 +66,55 @@ class LoopConfig:
     compute_dtype: Any = jnp.bfloat16
 
 
+
+def token_state_update(consts, cfg, *, i, tok, live, has_ts, seek_delta,
+                       result_len, completed, failed, seek, seek_end, N):
+    """Per-token decoder state update, shared by greedy and beam loops.
+
+    Implements the reference's post-sample rules
+    (reference: src/whisper.cpp:5990-6065): timestamp-driven sliding-window
+    update, end-of-segment detection, repetition-loop bailout.
+    Returns (has_ts, seek_delta, result_len, completed, failed).
+    """
+    token_beg = consts.token_beg
+    token_eot = consts.token_eot
+
+    is_ts_update = live & (tok > token_beg)
+    seek_delta_new = 2 * (tok - token_beg)
+    goes_back = has_ts & (seek_delta > seek_delta_new) & (result_len < i)
+    failed = failed | (is_ts_update & goes_back)
+    apply_ts = is_ts_update & ~goes_back
+    seek_delta = jnp.where(apply_ts, seek_delta_new, seek_delta)
+    result_len = jnp.where(apply_ts, i + 1, result_len)
+    has_ts = has_ts | apply_ts
+
+    still_live = live & ~(is_ts_update & goes_back)
+    eos = (tok == token_eot)
+    if cfg.max_tokens_param > 0:
+        eos = eos | (i >= cfg.max_tokens_param)
+    eos = eos | (has_ts & (seek + seek_delta + DELTA_MIN >= seek_end))
+    eos = still_live & eos
+
+    if not cfg.no_timestamps:
+        zero_len = eos & (result_len == 0)
+        at_end = seek + seek_delta + DELTA_MIN >= seek_end
+        result_len = jnp.where(zero_len & at_end, i + 1, result_len)
+        failed = failed | (zero_len & ~at_end)
+        eos = eos & ~(zero_len & ~at_end)
+    if cfg.single_segment or cfg.no_timestamps:
+        result_len = jnp.where(eos, i + 1, result_len)
+        seek_delta = jnp.where(
+            eos, TICKS_PER_SECOND * CHUNK_SIZE, seek_delta)
+    completed = completed | eos
+
+    live2 = still_live & ~eos
+    rep = (i == N - 1) & (
+        (result_len == 0)
+        | (seek_delta < TICKS_PER_SECOND * CHUNK_SIZE // 2))
+    failed = failed | (live2 & rep)
+    return has_ts, seek_delta, result_len, completed, failed
+
+
 def make_decode_window(params_treedef_free_fn=None, *,
                        consts: FilterConsts,
                        options: FilterOptions,
@@ -185,43 +234,12 @@ def make_decode_window(params_treedef_free_fn=None, *,
             sum_lp = s.sum_logprobs_all + jnp.where(wr, plog, 0.0)
 
             # ---- state update (reference: src/whisper.cpp:5990-6065) -----
-            is_ts_update = live & (tok > token_beg)
-            seek_delta_new = 2 * (tok - token_beg)
-            goes_back = s.has_ts & (s.seek_delta > seek_delta_new) \
-                & (s.result_len < i)
-            failed = s.failed | (is_ts_update & goes_back)
-            apply_ts = is_ts_update & ~goes_back
-            seek_delta = jnp.where(apply_ts, seek_delta_new, s.seek_delta)
-            result_len = jnp.where(apply_ts, i + 1, s.result_len)
-            has_ts = s.has_ts | apply_ts
-
-            # end-of-segment (reference: src/whisper.cpp:6025-6048)
-            still_live = live & ~(is_ts_update & goes_back)
-            eos = (tok == token_eot)
-            if cfg.max_tokens_param > 0:
-                eos = eos | (i >= cfg.max_tokens_param)
-            eos = eos | (has_ts & (seek + seek_delta + DELTA_MIN >= seek_end))
-            eos = still_live & eos
-
-            if not cfg.no_timestamps:
-                # completing with no timestamp pair seen yet
-                zero_len = eos & (result_len == 0)
-                at_end = seek + seek_delta + DELTA_MIN >= seek_end
-                result_len = jnp.where(zero_len & at_end, i + 1, result_len)
-                failed = failed | (zero_len & ~at_end)
-                eos = eos & ~(zero_len & ~at_end)
-            if cfg.single_segment or cfg.no_timestamps:
-                result_len = jnp.where(eos, i + 1, result_len)
-                seek_delta = jnp.where(
-                    eos, TICKS_PER_SECOND * CHUNK_SIZE, seek_delta)
-            completed = s.completed | eos
-
-            # repetition-loop bailout (reference: src/whisper.cpp:6059-6064)
-            live2 = still_live & ~eos
-            rep = (i == N - 1) & (
-                (result_len == 0)
-                | (seek_delta < TICKS_PER_SECOND * CHUNK_SIZE // 2))
-            failed = failed | (live2 & rep)
+            has_ts, seek_delta, result_len, completed, failed = \
+                token_state_update(
+                    consts, cfg, i=i, tok=tok, live=live, has_ts=s.has_ts,
+                    seek_delta=s.seek_delta, result_len=s.result_len,
+                    completed=s.completed, failed=s.failed,
+                    seek=seek, seek_end=seek_end, N=N)
 
             # ---- next-token logits (skipped when everyone is done) -------
             def do_decode(_):
