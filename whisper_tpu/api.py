@@ -255,11 +255,25 @@ class WhisperContext:
             self._jit_cache[key] = run
         return self._jit_cache[key]
 
+    def _regex_suppress_ids(self, pattern: str) -> tuple:
+        """Token ids whose text fully matches `pattern`
+        (reference: suppress_regex, src/whisper.cpp:5098-5106)."""
+        key = ("regex", pattern)
+        if key not in self._jit_cache:
+            import re as _re
+            pat = _re.compile(pattern)
+            ids = tuple(sorted(
+                tid for tok, tid in self.vocab.token_to_id.items()
+                if pat.fullmatch(tok.decode("utf-8", errors="replace"))))
+            self._jit_cache[key] = ids
+        return self._jit_cache[key]
+
     def _decode_window_fn(self, B: int, P: int, opts: FilterOptions,
                           single_segment: bool, no_timestamps: bool,
-                          max_tokens: int, strategy: str = "greedy"):
+                          max_tokens: int, strategy: str = "greedy",
+                          extra_suppress: tuple = ()):
         key = ("dec", B, P, opts, single_segment, no_timestamps, max_tokens,
-               strategy)
+               strategy, extra_suppress)
         if key not in self._jit_cache:
             consts = FilterConsts.from_vocab(self.vocab, self.hparams.n_audio_ctx)
             cfg = LoopConfig(
@@ -275,9 +289,11 @@ class WhisperContext:
             if strategy == "beam":
                 from .decode.beam import make_beam_decode_window
                 fn = make_beam_decode_window(consts=consts, options=opts,
-                                             cfg=cfg, beam_size=B)
+                                             cfg=cfg, beam_size=B,
+                                             extra_suppress=extra_suppress)
             else:
-                fn = make_decode_window(consts=consts, options=opts, cfg=cfg)
+                fn = make_decode_window(consts=consts, options=opts, cfg=cfg,
+                                        extra_suppress=extra_suppress)
             self._jit_cache[key] = jax.jit(fn)
         return self._jit_cache[key]
 
@@ -465,12 +481,21 @@ class WhisperContext:
                     prompt = [self.vocab.token_prev] + self.prompt_past[-n_take:]
                 prompt = prompt + prompt_init
 
-                use_beam = (params.strategy == SamplingStrategy.BEAM_SEARCH
-                            and t_cur <= 0.0)
-                result = self._decode_window(
-                    prompt, kc, vc, n_cur, t_cur, seek, seek_end,
-                    params, opts, no_timestamps, rng,
-                    strategy="beam" if use_beam else "greedy")
+                needs_host_loop = (params.grammar_rules is not None
+                                   or params.logits_filter_callback is not None)
+                if needs_host_loop:
+                    result = self._decode_window_compat(
+                        prompt, kc, vc, t_cur, seek, seek_end,
+                        params, opts, no_timestamps,
+                        grammar=params.grammar_rules)
+                    n_cur = 1
+                else:
+                    use_beam = (params.strategy == SamplingStrategy.BEAM_SEARCH
+                                and t_cur <= 0.0)
+                    result = self._decode_window(
+                        prompt, kc, vc, n_cur, t_cur, seek, seek_end,
+                        params, opts, no_timestamps, rng,
+                        strategy="beam" if use_beam else "greedy")
                 rng, _ = jax.random.split(rng)
 
                 self.no_speech_prob = float(result["no_speech_prob"][0])
@@ -539,9 +564,11 @@ class WhisperContext:
         # prompt buffer size: tiny when unconditioned, full when carrying past
         P = 8 if len(prompt) <= 8 else (
             self.hparams.n_text_ctx // 2 + 8)
+        extra = (self._regex_suppress_ids(params.suppress_regex)
+                 if params.suppress_regex else ())
         fn = self._decode_window_fn(
             n_cur, P, opts, params.single_segment, no_timestamps,
-            params.max_tokens, strategy)
+            params.max_tokens, strategy, extra)
 
         pad = P - len(prompt)
         buf = np.zeros((n_cur, P), dtype=np.int32)
@@ -563,6 +590,159 @@ class WhisperContext:
         self.timings.n_decode += max(n_tok, 1)
         self.timings.n_prompt += len(prompt)
         return out
+
+    def _prompt_step_fns(self):
+        """Jitted prompt/step functions for the host-loop compat path."""
+        if "compat" not in self._jit_cache:
+            nh = self.config.n_text_head
+            cd = self.compute_dtype
+
+            @jax.jit
+            def prompt_fn(params, tokens, kc, vc):
+                T = tokens.shape[1]
+                mask = wm.make_causal_mask(T)
+                logits, ks, vs = wm.decode_prompt(
+                    params, tokens, jnp.arange(T), kc, vc, n_head=nh,
+                    self_mask=mask, compute_dtype=cd)
+                return logits[:, -1], ks, vs
+
+            @jax.jit
+            def step_fn(params, tok, pos, cache_idx, kv, kc, vc, kv_len):
+                return wm.decode_step(params, tok, pos, cache_idx, kv, kc, vc,
+                                      kv_len=kv_len, n_head=nh,
+                                      compute_dtype=cd)
+
+            self._jit_cache["compat"] = (prompt_fn, step_fn)
+        return self._jit_cache["compat"]
+
+    def _decode_window_compat(self, prompt, kc, vc, t_cur, seek, seek_end,
+                              params, opts, no_timestamps, grammar=None):
+        """Host-loop window decode (grammar / logits-callback path).
+
+        Decodes one token per device round trip like the reference does
+        universally; needed because GBNF state lives on the host.  Greedy /
+        multinomial only (B=1).
+        """
+        from .decode.host_filters import process_logits_host
+        from .decode.loop import DELTA_MIN as _DM
+
+        consts = FilterConsts.from_vocab(self.vocab, self.hparams.n_audio_ctx)
+        prompt_fn, step_fn = self._prompt_step_fns()
+        N = self.hparams.n_text_ctx // 2 - 4
+        P = len(prompt)
+        C = P + N + 1
+        L, H, Dh = (self.config.n_text_layer, self.config.n_text_head,
+                    self.config.head_dim_text)
+
+        logits0, ks, vs = prompt_fn(
+            self.params, jnp.asarray([prompt], jnp.int32), kc, vc)
+        raw0 = np.asarray(logits0[0])
+        lp0 = np.exp(raw0 - raw0.max())
+        no_speech_prob = float((lp0 / lp0.sum())[self.vocab.token_nosp])
+
+        kv = {"k": jnp.zeros((L, 1, C, H, Dh), self.compute_dtype),
+              "v": jnp.zeros((L, 1, C, H, Dh), self.compute_dtype)}
+        kv["k"] = kv["k"].at[:, :, :P].set(ks.astype(self.compute_dtype))
+        kv["v"] = kv["v"].at[:, :, :P].set(vs.astype(self.compute_dtype))
+
+        rng = np.random.RandomState(0)
+        tokens, p_a, plog_a, tid_a, pt_a, ptsum_a = [], [], [], [], [], []
+        has_ts, seek_delta, result_len = False, TICKS_PER_SECOND * CHUNK_SIZE, 0
+        completed = failed = False
+        sum_lp = 0.0
+        raw = raw0
+
+        gram = grammar.copy() if grammar is not None else None
+
+        for i in range(N):
+            lg, lp, pr = process_logits_host(
+                raw, consts, opts, temperature=t_cur, tokens_cur=tokens,
+                has_ts=has_ts, seek_delta=seek_delta if has_ts else 0,
+                grammar=gram, vocab=self.vocab,
+                grammar_penalty=params.grammar_penalty,
+                suppress_regex=params.suppress_regex,
+                logits_filter_callback=params.logits_filter_callback)
+
+            if t_cur < 1e-6:
+                tok = int(np.argmax(pr))
+            else:
+                tok = int(rng.choice(len(pr), p=pr / pr.sum()))
+            ts_probs = pr[self.vocab.token_beg:]
+            ptsum = float(ts_probs.sum())
+            tid = int(np.argmax(ts_probs)) + self.vocab.token_beg
+            pt = float(ts_probs.max() / (ptsum + 1e-10))
+            if tok >= self.vocab.token_beg:
+                tid, pt = tok, float(pr[tok])
+
+            tokens.append(tok)
+            p_a.append(float(pr[tok]))
+            plog_a.append(float(lp[tok]))
+            tid_a.append(tid)
+            pt_a.append(pt)
+            ptsum_a.append(ptsum)
+            sum_lp += float(lp[tok])
+
+            if gram is not None:
+                gram.accept_token(self.vocab, tok)
+
+            # state update (same rules as the device loop)
+            if tok > self.vocab.token_beg:
+                sdn = 2 * (tok - self.vocab.token_beg)
+                if has_ts and seek_delta > sdn and result_len < i:
+                    failed = True
+                    break
+                seek_delta = sdn
+                result_len = i + 1
+                has_ts = True
+            eos = tok == self.vocab.token_eot
+            if params.max_tokens > 0 and i >= params.max_tokens:
+                eos = True
+            if has_ts and seek + seek_delta + _DM >= seek_end:
+                eos = True
+            if eos:
+                if result_len == 0 and not no_timestamps:
+                    if seek + seek_delta + _DM >= seek_end:
+                        result_len = i + 1
+                    else:
+                        failed = True
+                        break
+                if params.single_segment or no_timestamps:
+                    result_len = i + 1
+                    seek_delta = TICKS_PER_SECOND * CHUNK_SIZE
+                completed = True
+                break
+            if i == N - 1 and (result_len == 0
+                               or seek_delta < TICKS_PER_SECOND * CHUNK_SIZE // 2):
+                failed = True
+                break
+
+            lg_next, kv = step_fn(
+                self.params, jnp.asarray([tok], jnp.int32),
+                jnp.asarray([P + i], jnp.int32), jnp.int32(P + i), kv, kc, vc,
+                jnp.int32(P + i + 1))
+            raw = np.asarray(lg_next[0])
+            self.timings.n_decode += 1
+
+        n = len(tokens)
+        pad = N - n
+        if grammar is not None:
+            self._grammar_state = gram
+        return {
+            "tokens": np.asarray([tokens + [0] * pad], np.int32),
+            "p": np.asarray([p_a + [0.0] * pad], np.float32),
+            "plog": np.asarray([plog_a + [0.0] * pad], np.float32),
+            "tid": np.asarray([tid_a + [0] * pad], np.int32),
+            "pt": np.asarray([pt_a + [0.0] * pad], np.float32),
+            "ptsum": np.asarray([ptsum_a + [0.0] * pad], np.float32),
+            "n_tokens": np.int32(n),
+            "has_ts": np.asarray([has_ts]),
+            "seek_delta": np.asarray([seek_delta], np.int32),
+            "result_len": np.asarray([result_len], np.int32),
+            "sum_logprobs_all": np.asarray([sum_lp], np.float32),
+            "completed": np.asarray([completed]),
+            "failed": np.asarray([failed]),
+            "no_speech_prob": np.asarray([no_speech_prob], np.float32),
+        }
 
     def _emit_segments(self, best, seek, seek_end, params, prompt_init,
                        no_timestamps) -> int:

@@ -175,6 +175,17 @@ def main(argv=None) -> int:
 
     params = cli_params_to_full(args)
 
+    if args.grammar:
+        from .grammar import grammar_from_gbnf
+        try:
+            src = open(args.grammar).read()
+            params.grammar_rules = grammar_from_gbnf(
+                src, args.grammar_rule or "root")
+            params.grammar_penalty = args.grammar_penalty
+        except Exception as e:
+            print(f"error: failed to parse grammar: {e}", file=sys.stderr)
+            return 1
+
     for fname in args.fname_inp:
         pcm, pcm_stereo = load_audio(fname, stereo=args.diarize)
 

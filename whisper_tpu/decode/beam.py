@@ -32,9 +32,10 @@ NEG_INF = float("-inf")
 
 
 def make_beam_decode_window(*, consts: FilterConsts, options: FilterOptions,
-                            cfg: LoopConfig, beam_size: int):
+                            cfg: LoopConfig, beam_size: int,
+                            extra_suppress: tuple = ()):
     """Build the jitted beam-search window decoder (B = beam_size)."""
-    process_logits = make_process_logits(consts, options)
+    process_logits = make_process_logits(consts, options, extra_suppress)
     P = cfg.prompt_size
     N = cfg.max_tokens_loop
     B = beam_size

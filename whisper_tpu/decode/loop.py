@@ -119,14 +119,15 @@ def make_decode_window(params_treedef_free_fn=None, *,
                        consts: FilterConsts,
                        options: FilterOptions,
                        cfg: LoopConfig,
-                       strategy: str = "greedy"):
+                       strategy: str = "greedy",
+                       extra_suppress: tuple = ()):
     """Build the jitted window-decode function.
 
     strategy: "greedy" (argmax at t==0, multinomial draw at t>0 — the
     reference's WHISPER_SAMPLING_GREEDY, src/whisper.cpp:5875-5883).
     Beam search lives in beam.py.
     """
-    process_logits = make_process_logits(consts, options)
+    process_logits = make_process_logits(consts, options, extra_suppress)
     P = cfg.prompt_size
     N = cfg.max_tokens_loop
     token_beg = consts.token_beg
