@@ -1,0 +1,240 @@
+"""HTTP transcription server (whisper-server equivalent).
+
+Same routes and request/response shapes as the reference server
+(reference: examples/server/server.cpp:686-1035):
+
+  POST /inference — multipart form: file=<audio>, plus any whisper_full
+                    parameter overrides (temperature, language,
+                    response_format, ...)
+  POST /load      — {"model": path} switch the loaded model
+  GET  /health    — {"status": "ok"}
+
+Implemented on the stdlib http.server (the reference vendors httplib);
+requests are serialized through one lock — the TPU is a single shared
+resource, exactly like the reference's single whisper_context.
+"""
+
+from __future__ import annotations
+
+import argparse
+import io
+import json
+import re
+import sys
+import tempfile
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+from .api import SamplingStrategy, WhisperContext, full_default_params
+from .audio.io import load_audio
+from .outputs import to_timestamp
+
+
+class _State:
+    ctx: WhisperContext | None = None
+    model_path: str = ""
+    lock = threading.Lock()
+
+
+STATE = _State()
+
+
+def _parse_multipart(body: bytes, content_type: str) -> dict:
+    m = re.search(r'boundary="?([^";]+)"?', content_type)
+    if not m:
+        raise ValueError("no multipart boundary")
+    boundary = m.group(1).encode()
+    parts: dict[str, bytes] = {}
+    for chunk in body.split(b"--" + boundary):
+        chunk = chunk.strip(b"\r\n")
+        if not chunk or chunk == b"--":
+            continue
+        if b"\r\n\r\n" not in chunk:
+            continue
+        head, _, data = chunk.partition(b"\r\n\r\n")
+        mname = re.search(rb'name="([^"]+)"', head)
+        if mname:
+            parts[mname.group(1).decode()] = data
+    return parts
+
+
+def _apply_request_params(params, form: dict):
+    """Per-request overrides (reference: server.cpp:410-518)."""
+    def get(key, cast=str):
+        if key in form:
+            try:
+                return cast(form[key].decode().strip())
+            except (ValueError, UnicodeDecodeError):
+                return None
+        return None
+
+    for key, attr, cast in [
+        ("offset_t", "offset_ms", int), ("offset_n", None, int),
+        ("duration", "duration_ms", int), ("max_context", "n_max_text_ctx", int),
+        ("max_len", "max_len", int), ("best_of", None, int),
+        ("beam_size", None, int), ("audio_ctx", "audio_ctx", int),
+        ("word_thold", "thold_pt", float),
+        ("entropy_thold", "entropy_thold", float),
+        ("logprob_thold", "logprob_thold", float),
+        ("temperature", "temperature", float),
+        ("temperature_inc", "temperature_inc", float),
+        ("no_speech_thold", "no_speech_thold", float),
+    ]:
+        v = get(key, cast)
+        if v is not None and attr:
+            setattr(params, attr, v)
+    v = get("best_of", int)
+    if v is not None:
+        params.greedy.best_of = v
+    v = get("beam_size", int)
+    if v is not None:
+        params.beam_search.beam_size = v
+        if v > 1:
+            params.strategy = SamplingStrategy.BEAM_SEARCH
+    for key, attr in [("translate", "translate"),
+                      ("diarize", None), ("tinydiarize", "tdrz_enable"),
+                      ("split_on_word", "split_on_word"),
+                      ("no_timestamps", "no_timestamps"),
+                      ("detect_language", "detect_language"),
+                      ("suppress_nst", "suppress_nst")]:
+        v = get(key)
+        if v is not None and attr:
+            setattr(params, attr, v in ("1", "true", "True"))
+    v = get("language")
+    if v:
+        params.language = v
+    v = get("prompt")
+    if v:
+        params.initial_prompt = v
+    v = get("suppress_regex")
+    if v:
+        params.suppress_regex = v
+    return get("response_format") or "json"
+
+
+def _format_response(ctx, fmt: str) -> tuple[str, str]:
+    """-> (content_type, body)."""
+    n = ctx.full_n_segments()
+    if fmt == "text":
+        return "text/plain", "".join(
+            ctx.full_get_segment_text(i) for i in range(n)) + "\n"
+    if fmt == "srt":
+        out = io.StringIO()
+        for i in range(n):
+            out.write(f"{i + 1}\n{to_timestamp(ctx.full_get_segment_t0(i), True)}"
+                      f" --> {to_timestamp(ctx.full_get_segment_t1(i), True)}\n"
+                      f"{ctx.full_get_segment_text(i)}\n\n")
+        return "application/x-subrip", out.getvalue()
+    if fmt == "vtt":
+        out = io.StringIO()
+        out.write("WEBVTT\n\n")
+        for i in range(n):
+            out.write(f"{to_timestamp(ctx.full_get_segment_t0(i))}"
+                      f" --> {to_timestamp(ctx.full_get_segment_t1(i))}\n"
+                      f"{ctx.full_get_segment_text(i)}\n\n")
+        return "text/vtt", out.getvalue()
+    if fmt == "verbose_json":
+        doc = {
+            "task": "transcribe",
+            "language": str(ctx.full_lang_id()),
+            "duration": ctx.full_get_segment_t1(n - 1) / 100.0 if n else 0.0,
+            "text": "".join(ctx.full_get_segment_text(i) for i in range(n)),
+            "segments": [{
+                "id": i,
+                "start": ctx.full_get_segment_t0(i) / 100.0,
+                "end": ctx.full_get_segment_t1(i) / 100.0,
+                "text": ctx.full_get_segment_text(i),
+                "no_speech_prob": ctx.full_get_segment_no_speech_prob(i),
+            } for i in range(n)],
+        }
+        return "application/json", json.dumps(doc, ensure_ascii=False)
+    # default: simple json
+    return "application/json", json.dumps(
+        {"text": "".join(ctx.full_get_segment_text(i) for i in range(n))},
+        ensure_ascii=False)
+
+
+class Handler(BaseHTTPRequestHandler):
+    def _send(self, code: int, content_type: str, body: str):
+        data = body.encode("utf-8")
+        self.send_response(code)
+        self.send_header("Content-Type", content_type)
+        self.send_header("Content-Length", str(len(data)))
+        self.send_header("Access-Control-Allow-Origin", "*")
+        self.end_headers()
+        self.wfile.write(data)
+
+    def log_message(self, fmt, *args):  # quiet
+        print(f"server: {fmt % args}", file=sys.stderr)
+
+    def do_GET(self):
+        if self.path == "/health":
+            self._send(200, "application/json", '{"status": "ok"}')
+        else:
+            self._send(404, "application/json", '{"error": "not found"}')
+
+    def do_POST(self):
+        length = int(self.headers.get("Content-Length", 0))
+        body = self.rfile.read(length)
+
+        if self.path == "/load":
+            try:
+                req = json.loads(body)
+                with STATE.lock:
+                    STATE.ctx = WhisperContext.from_file(req["model"])
+                    STATE.model_path = req["model"]
+                self._send(200, "application/json", '{"status": "ok"}')
+            except Exception as e:
+                self._send(400, "application/json",
+                           json.dumps({"error": str(e)}))
+            return
+
+        if self.path != "/inference":
+            self._send(404, "application/json", '{"error": "not found"}')
+            return
+
+        try:
+            form = _parse_multipart(body, self.headers.get("Content-Type", ""))
+            if "file" not in form:
+                raise ValueError("no 'file' field in the request")
+            with tempfile.NamedTemporaryFile(suffix=".wav") as tmp:
+                tmp.write(form["file"])
+                tmp.flush()
+                pcm, _ = load_audio(tmp.name)
+
+            params = full_default_params()
+            params.print_progress = False
+            fmt = _apply_request_params(params, form)
+
+            with STATE.lock:
+                if STATE.ctx is None:
+                    raise RuntimeError("no model loaded")
+                if STATE.ctx.full(params, pcm) != 0:
+                    raise RuntimeError("failed to process audio")
+                ctype, out = _format_response(STATE.ctx, fmt)
+            self._send(200, ctype, out)
+        except Exception as e:
+            self._send(500, "application/json", json.dumps({"error": str(e)}))
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="whisper-server")
+    ap.add_argument("-m", "--model", required=True)
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=8080)
+    args = ap.parse_args(argv)
+
+    STATE.ctx = WhisperContext.from_file(args.model)
+    STATE.model_path = args.model
+
+    srv = ThreadingHTTPServer((args.host, args.port), Handler)
+    print(f"whisper-server listening on http://{args.host}:{args.port}",
+          file=sys.stderr)
+    srv.serve_forever()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
