@@ -159,8 +159,16 @@ class WhisperContext:
     Use `WhisperContext.from_file(path)` then `ctx.full(params, samples)`.
     """
 
-    def __init__(self, model_file, compute_dtype=jnp.bfloat16):
+    def __init__(self, model_file, compute_dtype=jnp.bfloat16,
+                 dtw_token_timestamps: bool = False,
+                 dtw_aheads_preset: str = "none",
+                 dtw_n_top: int = 0,
+                 dtw_aheads=None):
         self.model_file = model_file
+        self.dtw_token_timestamps = dtw_token_timestamps
+        self.dtw_aheads_preset = dtw_aheads_preset
+        self.dtw_n_top = dtw_n_top
+        self.dtw_aheads = dtw_aheads
         self.hparams = model_file.hparams
         self.vocab = model_file.vocab
         self.filters = model_file.filters
@@ -186,9 +194,10 @@ class WhisperContext:
     # ---- constructors (whisper_init_*; reference: whisper.h:195-228) -----
 
     @classmethod
-    def from_file(cls, path: str, compute_dtype=jnp.bfloat16) -> "WhisperContext":
+    def from_file(cls, path: str, compute_dtype=jnp.bfloat16,
+                  **kwargs) -> "WhisperContext":
         mf = read_ggml_file(path)
-        ctx = cls(mf, compute_dtype=compute_dtype)
+        ctx = cls(mf, compute_dtype=compute_dtype, **kwargs)
         hp = mf.hparams
         log_info(f"loaded model '{path}': type {hp.model_type}, "
                  f"n_vocab {hp.n_vocab}, n_audio_ctx {hp.n_audio_ctx}, "
@@ -551,8 +560,24 @@ class WhisperContext:
                 seek += TICKS_PER_SECOND * CHUNK_SIZE
                 continue
 
-            seek = self._emit_segments(best, seek, seek_end, params,
-                                       prompt_init, no_timestamps)
+            n_seg_before = len(self.result_all)
+            seek_new = self._emit_segments(best, seek, seek_end, params,
+                                           prompt_init, no_timestamps)
+
+            # DTW pass over the new segments (reference: whisper.cpp:6364-6378)
+            n_new = len(self.result_all) - n_seg_before
+            if self.dtw_token_timestamps and n_new:
+                from .dtw import compute_token_level_timestamps_dtw
+                n_frames = min(CHUNK_SIZE * TICKS_PER_SECOND,
+                               best["seek_delta"], seek_end - seek)
+                compute_token_level_timestamps_dtw(
+                    self, params, n_seg_before, n_new, seek, n_frames,
+                    medfilt_width=7)
+                if params.new_segment_callback:
+                    for i in range(n_seg_before, len(self.result_all)):
+                        params.new_segment_callback(self, 1)
+
+            seek = seek_new
 
         return 0
 
@@ -830,7 +855,7 @@ class WhisperContext:
             if params.max_len > 0:
                 from .timestamps import wrap_segment
                 n_new = wrap_segment(self, params.max_len, params.split_on_word)
-        if params.new_segment_callback:
+        if params.new_segment_callback and not self.dtw_token_timestamps:
             params.new_segment_callback(self, n_new)
 
     def full_parallel(self, params: FullParams, samples: np.ndarray,

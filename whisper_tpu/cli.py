@@ -162,7 +162,22 @@ def main(argv=None) -> int:
     if args.no_prints:
         set_verbosity(100)
 
-    ctx = WhisperContext.from_file(args.model)
+    dtw_kwargs = {}
+    if args.dtw:
+        from .dtw import AHEADS_PRESETS
+        preset = args.dtw.replace("_", "-")
+        if preset.endswith(".en") or preset in AHEADS_PRESETS:
+            dtw_kwargs = {"dtw_token_timestamps": True,
+                          "dtw_aheads_preset": preset}
+        elif preset.startswith("top"):
+            dtw_kwargs = {"dtw_token_timestamps": True,
+                          "dtw_aheads_preset": "n_top_most",
+                          "dtw_n_top": int(preset[3:])}
+        else:
+            print(f"error: unknown DTW preset '{args.dtw}'", file=sys.stderr)
+            return 3
+
+    ctx = WhisperContext.from_file(args.model, **dtw_kwargs)
 
     if not ctx.is_multilingual():
         if args.language != "en" or args.translate:

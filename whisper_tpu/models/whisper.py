@@ -272,6 +272,67 @@ def decode_prompt(params, tokens, positions, k_cross, v_cross, n_head: int,
     return logits, k_self, v_self
 
 
+def decode_prompt_cross_qk(params, tokens, positions, k_cross, v_cross,
+                           n_head: int, head_select,
+                           self_mask=None, compute_dtype=jnp.bfloat16):
+    """Teacher-forced decode that also returns selected cross-attention
+    weights (the DTW alignment signal; reference saves KQ_soft_max of the
+    alignment heads, src/whisper.cpp:2730-2747).
+
+    head_select: (L, S, H) float32 one-hot rows selecting <=S heads per
+    layer (zero rows = unused slot) — keeps the captured tensor small for
+    deep models instead of materializing all L*H attention maps.
+    Returns (logits (B, T, V), qk_sel (L, B, S, T, Ta) float32).
+    """
+    dec = params["decoder"]
+    nh = n_head
+
+    x = dec["tok_emb"][tokens] + dec["pos"][positions]
+    x = x.astype(jnp.float32)
+
+    def body(carry, scanned):
+        blk, kc, vc, sel = scanned
+        x = carry
+
+        ln = _layernorm(x, blk["attn_ln_w"], blk["attn_ln_b"])
+        q = _split_heads(_linear(ln, blk["q_w"], blk["q_b"], compute_dtype), nh)
+        k = _split_heads(_linear(ln, blk["k_w"], None, compute_dtype), nh)
+        v = _split_heads(_linear(ln, blk["v_w"], blk["v_b"], compute_dtype), nh)
+        attn = _attention(q, k, v, self_mask, compute_dtype)
+        x = x + _linear(attn, blk["o_w"], blk["o_b"], compute_dtype)
+
+        ln = _layernorm(x, blk["xattn_ln_w"], blk["xattn_ln_b"])
+        xq = _split_heads(_linear(ln, blk["xq_w"], blk["xq_b"], compute_dtype), nh)
+
+        # cross attention with explicit softmax so weights can be captured
+        dh = xq.shape[-1]
+        qk = jnp.einsum("bqhd,bkhd->bhqk", xq.astype(compute_dtype),
+                        kc.astype(compute_dtype),
+                        preferred_element_type=jnp.float32) * (dh ** -0.5)
+        w = jax.nn.softmax(qk.astype(jnp.float32), axis=-1)   # (B, H, T, Ta)
+        qk_sel = jnp.einsum("bhta,sh->bsta", w, sel,
+                            preferred_element_type=jnp.float32)
+        out = jnp.einsum("bhqk,bkhd->bqhd", w.astype(compute_dtype),
+                         vc.astype(compute_dtype),
+                         preferred_element_type=jnp.float32)
+        x = x + _linear(_merge_heads(out), blk["xo_w"], blk["xo_b"],
+                        compute_dtype)
+
+        ln = _layernorm(x, blk["mlp_ln_w"], blk["mlp_ln_b"])
+        h = _gelu(_linear(ln, blk["mlp0_w"], blk["mlp0_b"], compute_dtype))
+        x = x + _linear(h, blk["mlp2_w"], blk["mlp2_b"], compute_dtype)
+        return x, qk_sel
+
+    x, qk_all = jax.lax.scan(
+        body, x, (dec["blocks"], k_cross, v_cross, head_select))
+
+    x = _layernorm(x, dec["ln_w"], dec["ln_b"])
+    logits = jnp.dot(x.astype(compute_dtype),
+                     dec["tok_emb"].astype(compute_dtype).T,
+                     preferred_element_type=jnp.float32)
+    return logits, qk_all
+
+
 def decode_step(params, tokens, pos_ids, cache_index, kv_self, k_cross, v_cross,
                 kv_len, n_head: int, pad_len=None, compute_dtype=jnp.bfloat16):
     """One autoregressive step over a preallocated KV cache.
