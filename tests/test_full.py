@@ -1,0 +1,139 @@
+"""End-to-end orchestrator tests (stub + random models, CPU mesh)."""
+
+import numpy as np
+import pytest
+
+import whisper_tpu as wt
+from conftest import make_random_model
+
+
+@pytest.fixture(scope="module")
+def random_ctx(tmp_path_factory):
+    path = make_random_model(tmp_path_factory.mktemp("m"))
+    return wt.WhisperContext.from_file(path)
+
+
+@pytest.fixture()
+def params():
+    p = wt.full_default_params()
+    p.print_progress = False
+    return p
+
+
+def _noise(seconds, seed=0):
+    return (np.random.RandomState(seed)
+            .randn(16000 * seconds).astype(np.float32) * 0.1)
+
+
+def test_stub_model_full(stub_tiny_en_path, jfk_pcm, params):
+    """Mirrors the reference CTest smoke: stub model loads, runs the full
+    pipeline, produces no segments (reference: whisper.cpp:6050-6055)."""
+    ctx = wt.WhisperContext.from_file(stub_tiny_en_path)
+    assert ctx.full(params, jfk_pcm) == 0
+    assert ctx.full_n_segments() == 0
+
+
+def test_too_short_input(random_ctx, params):
+    assert random_ctx.full(params, np.zeros(800, np.float32)) == 0
+    assert random_ctx.full_n_segments() == 0
+
+
+def test_full_greedy_emits_segments(random_ctx, params):
+    assert random_ctx.full(params, _noise(3)) == 0
+    assert random_ctx.full_n_segments() >= 1
+    seg = random_ctx.result_all[0]
+    assert seg.t1 > seg.t0 >= 0
+    assert len(seg.tokens) > 0
+    # accessor surface
+    assert random_ctx.full_get_segment_text(0) == seg.text
+    assert random_ctx.full_n_tokens(0) == len(seg.tokens)
+
+
+def test_full_deterministic(random_ctx, params):
+    params.temperature_inc = 0.0   # pure argmax
+    random_ctx.full(params, _noise(2))
+    a = [(s.t0, s.t1, s.text) for s in random_ctx.result_all]
+    random_ctx.full(params, _noise(2))
+    b = [(s.t0, s.t1, s.text) for s in random_ctx.result_all]
+    assert a == b
+
+
+def test_beam_search_runs(random_ctx, params):
+    params.strategy = wt.SamplingStrategy.BEAM_SEARCH
+    params.beam_search.beam_size = 3
+    params.temperature_inc = 0.0
+    assert random_ctx.full(params, _noise(2)) == 0
+
+
+def test_single_segment_max_tokens(random_ctx, params):
+    params.single_segment = True
+    params.max_tokens = 5
+    params.temperature_inc = 0.0
+    random_ctx.full(params, _noise(2))
+    assert random_ctx.full_n_segments() == 1
+    assert random_ctx.full_n_tokens(0) <= 6
+
+
+def test_batch_matches_single(random_ctx):
+    from whisper_tpu.parallel.batch import BatchTranscriber
+
+    def mkparams():
+        p = wt.full_default_params()
+        p.print_progress = False
+        p.single_segment = True
+        p.max_tokens = 5
+        p.temperature_inc = 0.0
+        return p
+
+    streams = [_noise(d, seed=d) for d in (2, 3)]
+    single = []
+    for pcm in streams:
+        random_ctx.full(mkparams(), pcm)
+        single.append([(s.t0, s.t1, s.text) for s in random_ctx.result_all])
+
+    bt = BatchTranscriber(random_ctx, batch_size=2, params=mkparams())
+    batch = [[(s.t0, s.t1, s.text) for s in segs]
+             for segs in bt.transcribe(streams)]
+    assert single == batch
+
+
+def test_grammar_constrained(random_ctx, params):
+    from whisper_tpu.grammar import grammar_from_gbnf
+    params.grammar_rules = grammar_from_gbnf(
+        open("/root/reference/grammars/colors.gbnf").read())
+    params.temperature_inc = 0.0
+    assert random_ctx.full(params, _noise(2)) == 0
+    if random_ctx.full_n_segments():
+        text = random_ctx.full_get_segment_text(0)
+        assert " red, green, blue".startswith(text) or text.startswith(" red")
+
+
+def test_quantized_model_loads(tmp_path):
+    from whisper_tpu.quantize import quantize_model
+    path = make_random_model(tmp_path, ftype=1)
+    qpath = str(tmp_path / "q5_0.bin")
+    stats = quantize_model(path, qpath, "q5_0")
+    assert stats["out_bytes"] < stats["in_bytes"]
+    ctx = wt.WhisperContext.from_file(qpath)
+    p = wt.full_default_params()
+    p.print_progress = False
+    p.temperature_inc = 0.0
+    assert ctx.full(p, _noise(2)) == 0
+
+
+def test_language_autodetect_multilingual(tmp_path):
+    path = make_random_model(tmp_path, n_vocab=51865)
+    ctx = wt.WhisperContext.from_file(path)
+    p = wt.full_default_params()
+    p.print_progress = False
+    p.language = "auto"
+    p.detect_language = True
+    assert ctx.full(p, _noise(2)) == 0
+    assert 0 <= ctx.full_lang_id() <= 99
+
+
+def test_initial_prompt_tokenize(random_ctx, params):
+    params.initial_prompt = "Hello world."
+    params.no_context = True
+    params.temperature_inc = 0.0
+    assert random_ctx.full(params, _noise(2)) == 0

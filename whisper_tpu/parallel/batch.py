@@ -1,0 +1,271 @@
+"""Batched multi-stream transcription — the TPU throughput path.
+
+The reference's only multi-stream story is thread-per-chunk CPU parallelism
+(whisper_full_parallel, reference: src/whisper.cpp:6407-6520).  On TPU the
+win comes from batching: B independent 30 s windows (from different files,
+streams, or chunks of one long file) ride one jitted encoder pass and one
+on-device decode loop.  Each stream keeps its own sliding-window state
+(seek, prompt-past, segments) on the host; window scheduling is decoupled
+from the batched device step, so streams may advance by different
+seek_deltas (SURVEY §7 hard-part (f)).
+
+This is what `bench.py`'s ≥200x realtime numbers correspond to in API form.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..api import FullParams, Segment, WhisperContext, full_default_params
+from ..audio.mel import log_mel_spectrogram
+from ..constants import CHUNK_SIZE, TICKS_PER_SECOND
+from ..decode.filters import FilterOptions
+from ..languages import lang_id as _lang_id
+from ..utils.logging import log_warn
+
+DELTA_MIN = 10
+
+
+@dataclasses.dataclass
+class StreamState:
+    """Per-stream sliding-window session (host side)."""
+    mel: np.ndarray
+    seek: int
+    seek_end: int
+    prompt_past: list
+    result_all: list
+    no_speech_prob: float = 0.0
+    done: bool = False
+
+
+class BatchTranscriber:
+    """Transcribe many audio streams concurrently on one (or more) chips."""
+
+    def __init__(self, ctx: WhisperContext, batch_size: int = 8,
+                 params: FullParams | None = None):
+        self.ctx = ctx
+        self.B = batch_size
+        self.params = params or full_default_params()
+        p = self.params
+        if p.language in (None, "", "auto") or p.detect_language:
+            raise ValueError(
+                "batched transcription needs an explicit language "
+                "(per-stream auto-detect would desynchronize the batch)")
+        self.no_timestamps = p.no_timestamps
+        self.opts = FilterOptions(
+            suppress_blank=p.suppress_blank,
+            no_timestamps=p.no_timestamps,
+            tdrz_enable=p.tdrz_enable,
+            suppress_nst=p.suppress_nst,
+            max_initial_ts=p.max_initial_ts,
+        )
+        self.prompt_init = [ctx.vocab.token_sot]
+        if ctx.vocab.is_multilingual:
+            lid = _lang_id(p.language)
+            self.prompt_init.append(ctx.vocab.token_lang(lid))
+            self.prompt_init.append(
+                ctx.vocab.token_translate if p.translate
+                else ctx.vocab.token_transcribe)
+        if p.no_timestamps:
+            self.prompt_init.append(ctx.vocab.token_not)
+
+    # -- jitted batched encode -------------------------------------------
+
+    def _encode_batch(self, mel_windows: np.ndarray):
+        key = ("enc_batch", mel_windows.shape)
+        if key not in self.ctx._jit_cache:
+            from ..models import whisper as wm
+            nh_a, nh_t = (self.ctx.config.n_audio_head,
+                          self.ctx.config.n_text_head)
+            cd = self.ctx.compute_dtype
+
+            @jax.jit
+            def run(params, mel):
+                enc = wm.encode(params, mel, n_head=nh_a, compute_dtype=cd)
+                return wm.cross_kv(params, enc, n_head=nh_t, compute_dtype=cd)
+
+            self.ctx._jit_cache[key] = run
+        return self.ctx._jit_cache[key](self.ctx.params,
+                                        jnp.asarray(mel_windows))
+
+    # -- main driver -------------------------------------------------------
+
+    def transcribe(self, streams: list[np.ndarray]) -> list[list[Segment]]:
+        """-> per-stream segment lists."""
+        ctx = self.ctx
+        p = self.params
+        states = []
+        for pcm in streams:
+            mel, n_len_org = log_mel_spectrogram(
+                np.asarray(pcm, np.float32), ctx.filters)
+            states.append(StreamState(
+                mel=mel, seek=p.offset_ms // 10,
+                seek_end=(n_len_org if p.duration_ms == 0
+                          else p.offset_ms // 10 + p.duration_ms // 10),
+                prompt_past=[], result_all=[]))
+        for st in states:
+            if st.seek_end < st.seek + DELTA_MIN:
+                st.done = True
+
+        n_ctx = ctx.hparams.n_audio_ctx
+        n_mels = ctx.hparams.n_mels
+
+        while True:
+            active = [i for i, st in enumerate(states) if not st.done]
+            if not active:
+                break
+            batch = active[:self.B]
+            B = len(batch)
+
+            mel_windows = np.zeros((B, 2 * n_ctx, n_mels), np.float32)
+            prompts = []
+            for row, i in enumerate(batch):
+                st = states[i]
+                avail = max(0, min(2 * n_ctx, st.mel.shape[0] - st.seek))
+                mel_windows[row, :avail] = st.mel[st.seek:st.seek + avail]
+                prompt = []
+                if st.prompt_past and p.n_max_text_ctx > 0:
+                    n_take = min(p.n_max_text_ctx,
+                                 ctx.hparams.n_text_ctx // 2,
+                                 len(st.prompt_past))
+                    prompt = [ctx.vocab.token_prev] + st.prompt_past[-n_take:]
+                prompts.append(prompt + self.prompt_init)
+
+            kc, vc = self._encode_batch(mel_windows)
+
+            # temperature-fallback ladder, rebatching only the failed rows
+            # (reference per-decoder ladder: src/whisper.cpp:5706-6230)
+            temps = [p.temperature]
+            if p.temperature_inc > 0.0:
+                t = p.temperature + p.temperature_inc
+                while t < 1.0 + 1e-6:
+                    temps.append(t)
+                    t += p.temperature_inc
+
+            pending = list(range(B))   # row indices into the original batch
+            for it, t_cur in enumerate(temps):
+                if not pending:
+                    break
+                out = self._decode_rows(
+                    [prompts[r] for r in pending],
+                    jnp.take(kc, jnp.asarray(pending), axis=1),
+                    jnp.take(vc, jnp.asarray(pending), axis=1),
+                    np.asarray([states[batch[r]].seek for r in pending]),
+                    np.asarray([states[batch[r]].seek_end for r in pending]),
+                    t_cur)
+                still_failed = []
+                for j, r in enumerate(pending):
+                    st = states[batch[r]]
+                    ok = self._row_success(out, j, t_cur,
+                                           last=(it == len(temps) - 1))
+                    if ok:
+                        self._finish_window(st, out, j, int(out["n_tokens"]))
+                    else:
+                        still_failed.append(r)
+                pending = still_failed
+
+        return [st.result_all for st in states]
+
+    def _decode_rows(self, prompts, kc, vc, seeks, ends, t_cur):
+        ctx = self.ctx
+        p = self.params
+        B = len(prompts)
+        P = 8 if max(len(q) for q in prompts) <= 8 else (
+            ctx.hparams.n_text_ctx // 2 + 8)
+        buf = np.zeros((B, P), np.int32)
+        pad_len = np.zeros((B,), np.int32)
+        for row, q in enumerate(prompts):
+            pad_len[row] = P - len(q)
+            buf[row, P - len(q):] = q
+        fn = ctx._decode_window_fn(
+            B, P, self.opts, p.single_segment, self.no_timestamps,
+            p.max_tokens, "greedy")
+        out = fn(ctx.params, kc, vc, jnp.asarray(buf), jnp.asarray(pad_len),
+                 jnp.float32(t_cur), jnp.asarray(seeks, dtype=jnp.int32),
+                 jnp.asarray(ends, dtype=jnp.int32),
+                 jax.random.PRNGKey(int(t_cur * 100)))
+        return jax.tree_util.tree_map(np.asarray, out)
+
+    def _row_success(self, out, j, t_cur, last: bool) -> bool:
+        """Per-stream fallback criteria (reference: whisper.cpp:6169-6230)."""
+        p = self.params
+        if last:
+            return True
+        if bool(out["failed"][j]):
+            return False
+        rl = int(out["result_len"][j])
+        plogs = out["plog"][j][:rl]
+        avg_lp = float(plogs.sum()) / max(rl, 1) if rl else -np.inf
+        if rl > 32:
+            ids, counts = np.unique(out["tokens"][j][max(0, rl - 32):rl],
+                                    return_counts=True)
+            ps = counts / counts.sum()
+            entropy = float(-(ps * np.log(ps)).sum())
+            if entropy < p.entropy_thold:
+                return False
+        nsp = float(out["no_speech_prob"][j])
+        if avg_lp < p.logprob_thold and nsp < p.no_speech_thold:
+            return False
+        return True
+
+    def _finish_window(self, st: StreamState, out, row: int,
+                       n_sampled: int) -> None:
+        ctx = self.ctx
+        p = self.params
+        failed = bool(out["failed"][row])
+        result_len = int(out["result_len"][row])
+        seek_delta = int(out["seek_delta"][row])
+        st.no_speech_prob = float(out["no_speech_prob"][row])
+
+        if failed or ctx.n_loaded == 0:
+            st.seek += TICKS_PER_SECOND * CHUNK_SIZE
+        else:
+            best = {
+                "tokens": out["tokens"][row], "p": out["p"][row],
+                "plog": out["plog"][row], "tid": out["tid"][row],
+                "pt": out["pt"][row], "ptsum": out["ptsum"][row],
+                "result_len": result_len, "n_sampled": n_sampled,
+                "seek_delta": seek_delta,
+                "avg_logprobs": (float(out["plog"][row][:result_len].sum())
+                                 / max(result_len, 1)),
+                "prompt": ([ctx.vocab.token_prev] if st.prompt_past else [])
+                          + st.prompt_past + self.prompt_init,
+            }
+            sess_ctx = _SessionView(ctx, st)
+            st.seek = sess_ctx.emit(best, st.seek, st.seek_end, p,
+                                    self.prompt_init, self.no_timestamps)
+
+        if st.seek + DELTA_MIN >= st.seek_end:
+            st.done = True
+        if st.seek > 0 and st.seek + 500 >= st.seek_end:
+            st.prompt_past = []
+
+
+class _SessionView:
+    """Adapter giving WhisperContext._emit_segments a per-stream state."""
+
+    def __init__(self, ctx: WhisperContext, st: StreamState):
+        self.ctx = ctx
+        self.st = st
+
+    def emit(self, best, seek, seek_end, params, prompt_init,
+             no_timestamps) -> int:
+        ctx, st = self.ctx, self.st
+        # temporarily point the context's session fields at this stream
+        saved = (ctx.prompt_past, ctx.result_all, ctx.no_speech_prob)
+        ctx.prompt_past = st.prompt_past
+        ctx.result_all = st.result_all
+        ctx.no_speech_prob = st.no_speech_prob
+        try:
+            seek_new = ctx._emit_segments(best, seek, seek_end, params,
+                                          prompt_init, no_timestamps)
+            st.prompt_past = ctx.prompt_past
+            st.result_all = ctx.result_all
+        finally:
+            ctx.prompt_past, ctx.result_all, ctx.no_speech_prob = saved
+        return seek_new
