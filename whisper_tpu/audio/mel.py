@@ -89,6 +89,15 @@ def log_mel_spectrogram(samples: np.ndarray,
     if len(samples) < 1 + N_FFT // 2:
         # too short for the reflect pad; zero-extend like a silent signal
         samples = np.pad(samples, (0, 1 + N_FFT // 2 - len(samples)))
+
+    # prefer the native C++ frontend when built (threads, ~2x numpy)
+    import os
+    if os.environ.get("WTPU_NO_NATIVE") != "1":
+        from .native import log_mel_spectrogram_native
+        res = log_mel_spectrogram_native(samples, filters)
+        if res is not None:
+            return res
+
     padded, n_len, n_len_org = pad_audio(samples)
     mel = _mel_from_padded_np(padded, n_len, filters)
     return mel, n_len_org

@@ -1,0 +1,92 @@
+"""ctypes bindings for the native (C++) audio frontend.
+
+Loads native/libwtpu_audio.so (built by `make -C native`); every entry
+point has a pure-numpy fallback in mel.py / timestamps.py, so the native
+library is an optional accelerator, not a dependency.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_LIB = None
+_TRIED = False
+
+_NATIVE_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "native")
+
+
+def _load():
+    global _LIB, _TRIED
+    if _TRIED:
+        return _LIB
+    _TRIED = True
+    so = os.path.join(_NATIVE_DIR, "libwtpu_audio.so")
+    if not os.path.exists(so):
+        try:
+            subprocess.run(["make", "-C", _NATIVE_DIR, "-s"],
+                           check=True, capture_output=True, timeout=120)
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(so)
+    except OSError:
+        return None
+
+    f32p = ctypes.POINTER(ctypes.c_float)
+    i32p = ctypes.POINTER(ctypes.c_int)
+    lib.wtpu_mel_dims.argtypes = [ctypes.c_int, i32p, i32p]
+    lib.wtpu_log_mel.argtypes = [f32p, ctypes.c_int, f32p, ctypes.c_int,
+                                 f32p, ctypes.c_int]
+    lib.wtpu_log_mel.restype = ctypes.c_int
+    lib.wtpu_signal_energy.argtypes = [f32p, ctypes.c_int, ctypes.c_int, f32p]
+    lib.wtpu_resample_linear.argtypes = [f32p, ctypes.c_int, ctypes.c_int,
+                                         f32p, ctypes.c_int, ctypes.c_int]
+    lib.wtpu_resample_linear.restype = ctypes.c_int
+    _LIB = lib
+    return lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _fptr(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+
+
+def log_mel_spectrogram_native(samples: np.ndarray, filters: np.ndarray,
+                               n_threads: int = 4):
+    """-> ((n_len, n_mel) f32, n_len_org) or None if unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    samples = np.ascontiguousarray(samples, dtype=np.float32)
+    if len(samples) < 201:
+        return None  # too short for the reflect pad; numpy path handles it
+    filters = np.ascontiguousarray(filters, dtype=np.float32)
+    n_len = ctypes.c_int()
+    n_len_org = ctypes.c_int()
+    lib.wtpu_mel_dims(len(samples), ctypes.byref(n_len),
+                      ctypes.byref(n_len_org))
+    out = np.empty((n_len.value, filters.shape[0]), dtype=np.float32)
+    rc = lib.wtpu_log_mel(_fptr(samples), len(samples), _fptr(filters),
+                          filters.shape[0], _fptr(out), n_threads)
+    if rc != 0:
+        return None
+    return out, n_len_org.value
+
+
+def signal_energy_native(signal: np.ndarray, half_window: int):
+    lib = _load()
+    if lib is None:
+        return None
+    signal = np.ascontiguousarray(signal, dtype=np.float32)
+    out = np.empty(len(signal), dtype=np.float32)
+    lib.wtpu_signal_energy(_fptr(signal), len(signal), half_window, _fptr(out))
+    return out
