@@ -163,7 +163,8 @@ class WhisperContext:
                  dtw_token_timestamps: bool = False,
                  dtw_aheads_preset: str = "none",
                  dtw_n_top: int = 0,
-                 dtw_aheads=None):
+                 dtw_aheads=None,
+                 keep_quantized: bool = True):
         self.model_file = model_file
         self.dtw_token_timestamps = dtw_token_timestamps
         self.dtw_aheads_preset = dtw_aheads_preset
@@ -174,7 +175,11 @@ class WhisperContext:
         self.filters = model_file.filters
         self.n_loaded = model_file.n_loaded
         self.compute_dtype = compute_dtype
-        self.params, self.config = params_from_ggml(model_file, dtype=compute_dtype)
+        # quantized decoder weights ride the Pallas dequant-matmul kernel on
+        # TPU; on CPU (tests) the kernel is unavailable, so densify there
+        keep_q = keep_quantized and jax.default_backend() not in ("cpu",)
+        self.params, self.config = params_from_ggml(
+            model_file, dtype=compute_dtype, keep_quantized=keep_q)
         self.timings = Timings()
         self.lang_id_state = 0
         self.no_speech_prob = 0.0

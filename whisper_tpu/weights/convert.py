@@ -53,23 +53,59 @@ def _cast(name: str, x: np.ndarray, dtype) -> jnp.ndarray:
     return jnp.asarray(x, dtype=jnp.float32)
 
 
-def params_from_ggml(mf: GgmlModelFile, dtype=jnp.bfloat16):
+def params_from_ggml(mf: GgmlModelFile, dtype=jnp.bfloat16,
+                     keep_quantized: bool = False):
     """-> (params pytree, WhisperConfig).
+
+    keep_quantized: leave the decoder block weights in their block-quantized
+    form ({"q": int8 codes K-major, "s": block scales}) so the decode path
+    runs the fused dequant-matmul Pallas kernel instead of loading bf16
+    copies — the decoder is HBM-bandwidth bound, the encoder is not, so the
+    encoder is always densified.  Supported for q4_0/q5_0/q8_0 files.
 
     Raises KeyError for missing tensors unless the file has no tensors at
     all (the reference's stub-model test path, src/whisper.cpp:1954-1955),
     in which case zero-filled parameters are synthesized.
     """
+    from .. import weights as _w
+    from . import quant as _q
+
     cfg = WhisperConfig.from_hparams(mf.hparams)
     if len(mf.tensors) == 0:
         return zero_params(cfg, dtype=dtype), cfg
 
     t = {name: rt.to_numpy() for name, rt in mf.tensors.items()}
 
+    quantizable = {}
+    if keep_quantized:
+        from ..ops.quantized import unpack_to_codes
+        for name, rt in mf.tensors.items():
+            if (name.startswith("decoder.blocks.")
+                    and rt.ttype in (_q.GGML_TYPE_Q4_0, _q.GGML_TYPE_Q5_0,
+                                     _q.GGML_TYPE_Q8_0)
+                    and len(rt.shape) == 2
+                    and rt.shape[1] % _q.QK == 0
+                    and rt.shape[1] % 128 == 0 and rt.shape[0] % 128 == 0):
+                codes, scales, mins = unpack_to_codes(rt.data, rt.ttype, rt.shape)
+                assert mins is None
+                quantizable[name] = {
+                    "q": np.ascontiguousarray(codes.T),
+                    "s": np.ascontiguousarray(scales.T),
+                }
+
     def stack(prefix: str, n_layer: int, table) -> dict:
         out = {}
         for key, suffix in table:
-            arrs = [t[f"{prefix}.blocks.{i}.{suffix}"] for i in range(n_layer)]
+            names = [f"{prefix}.blocks.{i}.{suffix}" for i in range(n_layer)]
+            if names[0] in quantizable and all(n in quantizable for n in names):
+                out[key] = {
+                    "q": jnp.asarray(np.stack(
+                        [quantizable[n]["q"] for n in names])),
+                    "s": jnp.asarray(np.stack(
+                        [quantizable[n]["s"] for n in names])),
+                }
+                continue
+            arrs = [t[n] for n in names]
             out[key] = _cast(key, np.stack(arrs), dtype)
         return out
 
