@@ -118,24 +118,29 @@ def main():
     B, T = args.batch, args.tokens
 
     params = random_params(cfg, seed=0, dtype=jnp.bfloat16)
-    mel = jnp.asarray(
-        np.random.RandomState(0).rand(B, 2 * cfg.n_audio_ctx, cfg.n_mels)
-        .astype(np.float32))
+    # fresh random mel per iteration AND per run: the runtime memoizes
+    # results of identical computations across processes
+    rng = np.random.RandomState()
+    mels = [jnp.asarray(
+        rng.rand(B, 2 * cfg.n_audio_ctx, cfg.n_mels)
+        .astype(np.float32)) for i in range(args.iters + 1)]
     sot = 50258 if cfg.n_vocab >= 51865 else 50257
     prompt = jnp.tile(jnp.asarray(
         [[sot, sot + 1, sot + 100, sot + 105]], jnp.int32), (B, 1))
 
     run = build_pipeline(cfg, B, T)
 
-    # warmup / compile
+    # warmup / compile.  NOTE: results are materialized to host numpy —
+    # under remote-execution runtimes block_until_ready returns before the
+    # computation actually finishes, so np.asarray is the only true fence.
     t0 = time.perf_counter()
-    jax.block_until_ready(run(params, mel, prompt))
+    np.asarray(run(params, mels[0], prompt))
     compile_s = time.perf_counter() - t0
 
     times = []
-    for _ in range(args.iters):
+    for i in range(args.iters):
         t0 = time.perf_counter()
-        jax.block_until_ready(run(params, mel, prompt))
+        np.asarray(run(params, mels[i + 1], prompt))
         times.append(time.perf_counter() - t0)
     dt = min(times)
 
