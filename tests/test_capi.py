@@ -1,0 +1,86 @@
+"""whisper.h-compatible surface tests (capi.py)."""
+
+import numpy as np
+import pytest
+
+import whisper_tpu.capi as whisper
+from conftest import make_random_model
+
+
+@pytest.fixture(scope="module")
+def ctx(tmp_path_factory):
+    path = make_random_model(tmp_path_factory.mktemp("capi"))
+    return whisper.whisper_init_from_file_with_params(
+        path, whisper.whisper_context_default_params())
+
+
+def test_introspection(ctx):
+    assert whisper.whisper_n_vocab(ctx) == 51864
+    assert whisper.whisper_model_n_audio_layer(ctx) == 2
+    assert whisper.whisper_is_multilingual(ctx) == 0
+    assert whisper.whisper_token_eot(ctx) == 50256
+    assert whisper.whisper_token_beg(ctx) == 50363
+    assert whisper.whisper_lang_id("en") == 0
+    assert whisper.whisper_lang_str(0) == "en"
+    assert whisper.whisper_lang_max_id() == 99
+    assert "device" in whisper.whisper_print_system_info() or True
+
+
+def test_tokenize(ctx):
+    buf = [0] * 64
+    n = whisper.whisper_tokenize(ctx, "and the people", buf, 64)
+    assert n > 0
+    assert whisper.whisper_token_to_str(ctx, buf[0])
+
+
+def test_full_and_accessors(ctx):
+    params = whisper.whisper_full_default_params(
+        whisper.WHISPER_SAMPLING_GREEDY)
+    params.print_progress = False
+    params.temperature_inc = 0.0
+    pcm = np.random.RandomState(0).randn(16000 * 2).astype(np.float32) * 0.1
+    assert whisper.whisper_full(ctx, params, pcm, len(pcm)) == 0
+    n = whisper.whisper_full_n_segments(ctx)
+    for i in range(n):
+        assert whisper.whisper_full_get_segment_t1(ctx, i) >= \
+            whisper.whisper_full_get_segment_t0(ctx, i)
+        for j in range(whisper.whisper_full_n_tokens(ctx, i)):
+            td = whisper.whisper_full_get_token_data(ctx, i, j)
+            assert 0.0 <= td.p <= 1.0
+
+
+def test_separate_states(ctx):
+    """whisper_init_state: independent sessions over shared weights."""
+    params = whisper.whisper_full_default_params(
+        whisper.WHISPER_SAMPLING_GREEDY)
+    params.print_progress = False
+    params.temperature_inc = 0.0
+    pcm1 = np.random.RandomState(1).randn(16000 * 2).astype(np.float32) * 0.1
+    pcm2 = np.random.RandomState(2).randn(16000 * 3).astype(np.float32) * 0.1
+
+    s1 = whisper.whisper_init_state(ctx)
+    s2 = whisper.whisper_init_state(ctx)
+    assert whisper.whisper_full_with_state(ctx, s1, params, pcm1) == 0
+    n1 = whisper.whisper_full_n_segments_from_state(s1)
+    assert whisper.whisper_full_with_state(ctx, s2, params, pcm2) == 0
+    # s1 results survive s2's run
+    assert whisper.whisper_full_n_segments_from_state(s1) == n1
+
+
+def test_encode_decode_get_logits(ctx):
+    pcm = np.random.RandomState(0).randn(16000).astype(np.float32) * 0.1
+    assert whisper.whisper_pcm_to_mel(ctx, pcm, len(pcm)) == 0
+    assert whisper.whisper_encode(ctx, 0) == 0
+    sot = whisper.whisper_token_sot(ctx)
+    assert whisper.whisper_decode(ctx, [sot], 1, 0) == 0
+    logits = whisper.whisper_get_logits(ctx)
+    assert logits.shape == (ctx.n_vocab(),)
+    assert np.isfinite(logits).all()
+
+
+def test_set_mel_validation(ctx):
+    bad = np.zeros((10, 10), np.float32)
+    assert whisper.whisper_set_mel(ctx, bad.T.ravel(), 10, 10) == -1
+    good = np.zeros((100, 80), np.float32)
+    assert whisper.whisper_set_mel(ctx, good.T.ravel(), 100, 80) == 0
+    assert whisper.whisper_n_len(ctx) == 100

@@ -153,6 +153,54 @@ class Segment:
     speaker_turn_next: bool = False
 
 
+
+class WhisperState:
+    """Per-session decoding state (whisper_state; reference:
+    src/whisper.cpp:830-975).  Multiple states can share one context's
+    weights and compiled functions — the reference uses this for
+    whisper_full_parallel's thread-per-chunk scheme and for servers
+    handling concurrent requests."""
+
+    def __init__(self):
+        self.mel: np.ndarray | None = None        # (n_len, n_mel)
+        self.mel_n_len_org = 0
+        self.lang_id_state = 0
+        self.no_speech_prob = 0.0
+        self.result_all: list[Segment] = []
+        self.prompt_past: list[int] = []
+        self.energy: np.ndarray | None = None
+        self.t_beg = 0
+        self.t_last = 0
+        self.tid_last = 0
+        self.exp_n_audio_ctx = 0
+        self.timings = Timings()
+
+    # segment accessors on the state itself (the reference's *_from_state
+    # functions read the state directly)
+    def full_n_segments(self): return len(self.result_all)
+    def full_lang_id(self): return self.lang_id_state
+    def full_get_segment_t0(self, i): return self.result_all[i].t0
+    def full_get_segment_t1(self, i): return self.result_all[i].t1
+    def full_get_segment_text(self, i): return self.result_all[i].text
+    def full_get_segment_speaker_turn_next(self, i):
+        return self.result_all[i].speaker_turn_next
+    def full_get_segment_no_speech_prob(self, i):
+        return self.result_all[i].no_speech_prob
+    def full_n_tokens(self, i): return len(self.result_all[i].tokens)
+    def full_get_token_id(self, i, j): return self.result_all[i].tokens[j].id
+    def full_get_token_data(self, i, j): return self.result_all[i].tokens[j]
+    def full_get_token_p(self, i, j): return self.result_all[i].tokens[j].p
+
+
+def _session_property(name):
+    def get(self):
+        return getattr(self._cur_state, name)
+
+    def set_(self, value):
+        setattr(self._cur_state, name, value)
+
+    return property(get, set_)
+
 class WhisperContext:
     """whisper_context + whisper_state, JAX edition.
 
@@ -180,18 +228,8 @@ class WhisperContext:
         keep_q = keep_quantized and jax.default_backend() not in ("cpu",)
         self.params, self.config = params_from_ggml(
             model_file, dtype=compute_dtype, keep_quantized=keep_q)
-        self.timings = Timings()
-        self.lang_id_state = 0
-        self.no_speech_prob = 0.0
-        self.result_all: list[Segment] = []
-        self.prompt_past: list[int] = []
-        self.energy: np.ndarray | None = None
-        self.t_beg = 0
-        self.t_last = 0
-        self.tid_last = 0
-        self.mel: np.ndarray | None = None      # (n_len, n_mel)
-        self.mel_n_len_org = 0
-        self.exp_n_audio_ctx = 0
+        self._default_state = WhisperState()
+        self._cur_state = self._default_state
         self._jit_cache: dict = {}
         self._enc_cache: dict = {}
         self._cross: tuple | None = None
@@ -353,9 +391,40 @@ class WhisperContext:
         best = int(np.argmax(probs))
         return best, probs
 
+    def init_state(self) -> "WhisperState":
+        """whisper_init_state: a fresh session sharing this model."""
+        return WhisperState()
+
+    def use_state(self, state: "WhisperState"):
+        """Context manager routing session fields to `state`
+        (the *_with_state C-API family)."""
+        import contextlib
+
+        @contextlib.contextmanager
+        def _cm():
+            prev = self._cur_state
+            self._cur_state = state or prev
+            try:
+                yield self
+            finally:
+                self._cur_state = prev
+        return _cm()
+
     # ---- the orchestrator (whisper_full) ---------------------------------
 
-    def full(self, params: FullParams, samples: Optional[np.ndarray]) -> int:
+    def full(self, params: FullParams, samples: Optional[np.ndarray],
+             state: Optional["WhisperState"] = None) -> int:
+        if state is not None:
+            prev = self._cur_state
+            self._cur_state = state
+            try:
+                return self._full_impl(params, samples)
+            finally:
+                self._cur_state = prev
+        return self._full_impl(params, samples)
+
+    def _full_impl(self, params: FullParams,
+                   samples: Optional[np.ndarray]) -> int:
         self.result_all = []
         language = params.language
 
@@ -881,7 +950,7 @@ class WhisperContext:
         n_per = (len(samples) - offset_samples) // n_processors
         offset_t = params.offset_ms // 10
 
-        # chunk 0 (includes the leading offset)
+        # chunk 0 runs on the default state (includes the leading offset)
         ret = self.full(params, samples[:offset_samples + n_per])
         merged = list(self.result_all)
 
@@ -889,14 +958,17 @@ class WhisperContext:
             params, offset_ms=0, print_progress=False, print_realtime=False,
             new_segment_callback=None, progress_callback=None)
 
+        # remaining chunks on fresh states (reference spawns a thread per
+        # chunk; the accelerator is serial here so they run back-to-back)
         for i in range(n_processors - 1):
             start = offset_samples + (i + 1) * n_per
             end = len(samples) if i == n_processors - 2 else start + n_per
-            rc = self.full(chunk_params, samples[start:end])
+            state = self.init_state()
+            rc = self.full(chunk_params, samples[start:end], state=state)
             if rc != 0:
                 ret = rc
             shift = 100 * ((i + 1) * n_per) // 16000 + offset_t
-            for seg in self.result_all:
+            for seg in state.result_all:
                 seg.t0 += shift
                 seg.t1 += shift
                 if merged:
@@ -937,6 +1009,17 @@ class WhisperContext:
     def full_get_segment_no_speech_prob(self, i: int) -> float:
         return self.result_all[i].no_speech_prob
 
+
+
+
+# session-state attribute proxies: WhisperContext.<field> reads/writes the
+# state selected by the current full()/init_state() call, preserving the
+# reference's ctx-with-default-state ergonomics
+for _f in ("mel", "mel_n_len_org", "lang_id_state", "no_speech_prob",
+           "result_all", "prompt_past", "energy", "t_beg", "t_last",
+           "tid_last", "exp_n_audio_ctx", "timings"):
+    setattr(WhisperContext, _f, _session_property(_f))
+del _f
 
 def _sequence_score(plogs: np.ndarray, token_ids: np.ndarray,
                     length_penalty: float) -> tuple[float, float, float]:

@@ -11,9 +11,10 @@ API ports mechanically:
     whisper.whisper_full(ctx, params, samples, len(samples))
     n = whisper.whisper_full_n_segments(ctx)
 
-The "context" is a WhisperContext; "state" maps onto the same object (the
-reference's ctx-with-default-state usage).  Functions taking an explicit
-state accept either.
+The "context" is a WhisperContext; whisper_init_state returns a
+WhisperState sharing the context's weights and compiled functions, exactly
+like the reference's whisper_state.  Functions taking (ctx, state) route
+the call through the given state.
 """
 
 from __future__ import annotations
@@ -93,9 +94,8 @@ def whisper_init_from_buffer(buf: bytes):  # deprecated alias
 
 
 def whisper_init_state(ctx):
-    # states are folded into the context in this implementation; a "new
-    # state" is a shallow session reset handle
-    return ctx
+    """A fresh decoding session sharing the context's weights."""
+    return ctx.init_state()
 
 
 def whisper_free(ctx) -> None:
@@ -123,7 +123,8 @@ def whisper_pcm_to_mel(ctx, samples, n_samples=None, n_threads: int = 4) -> int:
 
 def whisper_pcm_to_mel_with_state(ctx, state, samples, n_samples=None,
                                   n_threads: int = 4) -> int:
-    return whisper_pcm_to_mel(state, samples, n_samples, n_threads)
+    with ctx.use_state(state):
+        return whisper_pcm_to_mel(ctx, samples, n_samples, n_threads)
 
 
 def whisper_set_mel(ctx, data, n_len: int, n_mel: int) -> int:
@@ -135,7 +136,8 @@ def whisper_set_mel(ctx, data, n_len: int, n_mel: int) -> int:
 
 
 def whisper_set_mel_with_state(ctx, state, data, n_len, n_mel) -> int:
-    return whisper_set_mel(state, data, n_len, n_mel)
+    with ctx.use_state(state):
+        return whisper_set_mel(ctx, data, n_len, n_mel)
 
 
 def whisper_encode(ctx, offset: int, n_threads: int = 4) -> int:
@@ -144,7 +146,8 @@ def whisper_encode(ctx, offset: int, n_threads: int = 4) -> int:
 
 
 def whisper_encode_with_state(ctx, state, offset, n_threads=4) -> int:
-    return whisper_encode(state, offset, n_threads)
+    with ctx.use_state(state):
+        return whisper_encode(ctx, offset, n_threads)
 
 
 def whisper_decode(ctx, tokens, n_tokens: int, n_past: int,
@@ -187,7 +190,8 @@ def whisper_decode(ctx, tokens, n_tokens: int, n_past: int,
 
 def whisper_decode_with_state(ctx, state, tokens, n_tokens, n_past,
                               n_threads=4) -> int:
-    return whisper_decode(state, tokens, n_tokens, n_past, n_threads)
+    with ctx.use_state(state):
+        return whisper_decode(ctx, tokens, n_tokens, n_past, n_threads)
 
 
 def whisper_get_logits(ctx) -> np.ndarray:
@@ -238,7 +242,8 @@ def whisper_lang_auto_detect(ctx, offset_ms: int, n_threads: int = 4,
 
 def whisper_lang_auto_detect_with_state(ctx, state, offset_ms, n_threads=4,
                                         lang_probs=None) -> int:
-    return whisper_lang_auto_detect(state, offset_ms, n_threads, lang_probs)
+    with ctx.use_state(state):
+        return whisper_lang_auto_detect(ctx, offset_ms, n_threads, lang_probs)
 
 
 # ---- introspection (reference: whisper.h:380-439) -------------------------
@@ -310,7 +315,12 @@ def whisper_full(ctx, params: FullParams, samples, n_samples=None) -> int:
 
 
 def whisper_full_with_state(ctx, state, params, samples, n_samples=None) -> int:
-    return whisper_full(state, params, samples, n_samples)
+    pcm = np.asarray(samples, np.float32)
+    if n_samples is not None:
+        pcm = pcm[:n_samples]
+    if state is ctx or state is None:
+        return ctx.full(params, pcm)
+    return ctx.full(params, pcm, state=state)
 
 
 def whisper_full_parallel(ctx, params, samples, n_samples=None,
@@ -339,7 +349,7 @@ def whisper_full_n_tokens(ctx, i) -> int: return ctx.full_n_tokens(i)
 def whisper_full_n_tokens_from_state(s, i) -> int: return s.full_n_tokens(i)
 def whisper_full_get_token_text(ctx, i, j) -> str: return ctx.full_get_token_text(i, j)
 def whisper_full_get_token_text_from_state(c, s, i, j) -> str:
-    return s.full_get_token_text(i, j)
+    return c.token_to_str(s.full_get_token_id(i, j))
 def whisper_full_get_token_id(ctx, i, j) -> int: return ctx.full_get_token_id(i, j)
 def whisper_full_get_token_id_from_state(s, i, j) -> int:
     return s.full_get_token_id(i, j)

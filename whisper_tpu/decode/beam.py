@@ -53,7 +53,10 @@ def make_beam_decode_window(*, consts: FilterConsts, options: FilterOptions,
         positions = jnp.maximum(idx[None, :] - pad_len[:, None], 0)
         q = idx[None, :, None]
         k = idx[None, None, :]
-        valid = (k <= q) & (k >= pad_len[:, None, None])
+        # pad queries must keep at least one valid key (themselves):
+        # a fully-masked softmax row is NaN and the NaN would poison later
+        # layers' K/V for the real positions
+        valid = (k <= q) & ((k >= pad_len[:, None, None]) | (k == q))
         mask = jnp.where(valid, 0.0, NEG_INF).astype(jnp.float32)[:, None]
 
         logits_all, k_self, v_self = wm.decode_prompt(
@@ -82,7 +85,9 @@ def make_beam_decode_window(*, consts: FilterConsts, options: FilterOptions,
             p=jnp.zeros((B, N)), plog=jnp.zeros((B, N)),
             tid=jnp.zeros((B, N), jnp.int32),
             pt=jnp.zeros((B, N)), ptsum=jnp.zeros((B, N)),
-            last_was_ts=false_b, penult_was_ts=jnp.ones((B,), bool),
+            # True so the i=0 penultimate flag (size < 2) is correct
+            last_was_ts=jnp.ones((B,), bool),
+            penult_was_ts=jnp.ones((B,), bool),
             has_ts=false_b,
             seek_delta=jnp.full((B,), TICKS_PER_SECOND * CHUNK_SIZE, jnp.int32),
             result_len=jnp.zeros((B,), jnp.int32),

@@ -174,7 +174,10 @@ def make_decode_window(params_treedef_free_fn=None, *,
         # causal + pad mask: (B, 1, P, P)
         q = idx[None, :, None]
         k = idx[None, None, :]
-        valid = (k <= q) & (k >= pad_len[:, None, None])
+        # pad queries must keep at least one valid key (themselves):
+        # a fully-masked softmax row is NaN and the NaN would poison later
+        # layers' K/V for the real positions
+        valid = (k <= q) & ((k >= pad_len[:, None, None]) | (k == q))
         mask = jnp.where(valid, 0.0, -jnp.inf).astype(jnp.float32)[:, None]
 
         logits_all, k_self, v_self = wm.decode_prompt(
@@ -206,7 +209,11 @@ def make_decode_window(params_treedef_free_fn=None, *,
             p=jnp.zeros((B, N)), plog=jnp.zeros((B, N)),
             tid=jnp.zeros((B, N), jnp.int32),
             pt=jnp.zeros((B, N)), ptsum=jnp.zeros((B, N)),
-            last_was_ts=false_b, penult_was_ts=jnp.ones((B,), bool),
+            # last_was_ts=True: its first USE is as next step's
+            # penultimate flag, which must be true while size < 2
+            # (reference: whisper.cpp:5133)
+            last_was_ts=jnp.ones((B,), bool),
+            penult_was_ts=jnp.ones((B,), bool),
             has_ts=false_b,
             seek_delta=jnp.full((B,), TICKS_PER_SECOND * CHUNK_SIZE, jnp.int32),
             result_len=jnp.zeros((B,), jnp.int32),

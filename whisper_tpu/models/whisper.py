@@ -342,6 +342,27 @@ def decode_prompt_cross_qk(params, tokens, positions, k_cross, v_cross,
     return logits, qk_all
 
 
+def _cross_attn_step(xq, kc, vc, compute_dtype):
+    """Cross attention for one decode step; kc/vc select the path:
+
+      * array (B, Ta, H, Dh)            — XLA einsum (default)
+      * ("bhtd", k (B, H, Ta, Dh))      — fused Pallas kernel
+      * {"q": int8 (B, H, Ta, Dh), "s"} — fused Pallas kernel, int8 K/V
+    """
+    if isinstance(kc, dict):
+        from ..ops.cross_attention import cross_attention_decode_q8
+        out = cross_attention_decode_q8(
+            xq.transpose(0, 2, 1, 3).astype(compute_dtype),
+            kc["q"], kc["s"], vc["q"], vc["s"])
+        return _merge_heads(out.transpose(0, 2, 1, 3))
+    if isinstance(kc, tuple):
+        from ..ops.cross_attention import cross_attention_decode
+        out = cross_attention_decode(
+            xq.transpose(0, 2, 1, 3).astype(compute_dtype), kc[1], vc[1])
+        return _merge_heads(out.transpose(0, 2, 1, 3))
+    return _attention(xq, kc, vc, None, compute_dtype)
+
+
 def decode_step(params, tokens, pos_ids, cache_index, kv_self, k_cross, v_cross,
                 kv_len, n_head: int, pad_len=None, compute_dtype=jnp.bfloat16):
     """One autoregressive step over a preallocated KV cache.
@@ -354,6 +375,8 @@ def decode_step(params, tokens, pos_ids, cache_index, kv_self, k_cross, v_cross,
     kv_len: scalar int32 — number of valid cache entries AFTER this write
     pad_len: (B,) int32 or None — cache slots [0, pad_len) are left-padding
         from the prompt and must not be attended to
+    k_cross/v_cross: (L, ...) stacked per-layer cross KV in any of the
+        layouts accepted by _cross_attn_step
     Returns (logits (B, n_vocab), updated kv_self).
     """
     dec = params["decoder"]
@@ -390,7 +413,7 @@ def decode_step(params, tokens, pos_ids, cache_index, kv_self, k_cross, v_cross,
 
         ln = _layernorm(x, blk["xattn_ln_w"], blk["xattn_ln_b"])
         xq = _split_heads(_linear(ln, blk["xq_w"], blk["xq_b"], compute_dtype), nh)
-        attn = _attention(xq, kc, vc, None, compute_dtype)
+        attn = _cross_attn_step(xq, kc, vc, compute_dtype)
         x = x + _linear(attn, blk["xo_w"], blk["xo_b"], compute_dtype)
 
         ln = _layernorm(x, blk["mlp_ln_w"], blk["mlp_ln_b"])
@@ -398,8 +421,17 @@ def decode_step(params, tokens, pos_ids, cache_index, kv_self, k_cross, v_cross,
         x = x + _linear(h, blk["mlp2_w"], blk["mlp2_b"], compute_dtype)
         return x, (k_cache, v_cache)
 
+    def scan_body(carry, scanned):
+        blk, kc_l, vc_l, k_cache, v_cache = scanned
+        if isinstance(k_cross, tuple):
+            kc_l, vc_l = ("bhtd", kc_l[1]), ("bhtd", vc_l[1])
+        return body(carry, (blk, kc_l, vc_l, k_cache, v_cache))
+
+    xs_k = k_cross[1] if isinstance(k_cross, tuple) else k_cross
+    xs_v = v_cross[1] if isinstance(v_cross, tuple) else v_cross
     x, (k_cache, v_cache) = jax.lax.scan(
-        body, x, (dec["blocks"], k_cross, v_cross, kv_self["k"], kv_self["v"]))
+        scan_body, x, (dec["blocks"], xs_k, xs_v,
+                       kv_self["k"], kv_self["v"]))
 
     x = _layernorm(x, dec["ln_w"], dec["ln_b"])
     logits = jnp.dot(x[:, 0].astype(compute_dtype),

@@ -1,0 +1,107 @@
+"""Fused cross-attention decode kernel (Pallas).
+
+Single-token decode reads the entire per-window cross-attention K/V
+(L × Ta × D, ~0.5 GB per 30 s window per step for large-v3) — the dominant
+HBM traffic of the token loop, bigger than the weights.  This kernel:
+
+  * fuses QK^T -> softmax -> @V per (batch, head) grid cell, so the
+    (B, H, Ta) score matrix never exists in HBM
+  * optionally reads K/V as int8 with per-position scales (exact
+    per-position rescaling: the scale folds into the logits for K and into
+    the attention weights for V), halving the dominant traffic
+
+Layout: K/V come in pre-transposed (B, H, Ta, Dh) — the transpose is done
+once per window, amortized over all decode steps.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _xattn_kernel(q_ref, k_ref, v_ref, o_ref):
+    """One (batch, head) cell: q (1, Dh) x k/v (Ta, Dh) -> o (1, Dh)."""
+    q = q_ref[0, 0]                                # (1, Dh)
+    k = k_ref[0, 0]                                # (Ta, Dh)
+    v = v_ref[0, 0]
+    dh = q.shape[-1]
+    qk = jax.lax.dot_general(
+        q.astype(jnp.bfloat16), k.astype(jnp.bfloat16),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * (dh ** -0.5)   # (1, Ta)
+    w = jax.nn.softmax(qk, axis=-1)
+    o_ref[0, 0] = jnp.dot(w.astype(jnp.bfloat16), v.astype(jnp.bfloat16),
+                          preferred_element_type=jnp.float32)
+
+
+def _xattn_kernel_q8(q_ref, k_ref, ks_ref, v_ref, vs_ref, o_ref):
+    """int8 K/V with per-position scales (B, H, Ta, 1) f32."""
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]                                # (Ta, Dh) int8
+    v = v_ref[0, 0]
+    ks = ks_ref[0, 0]                              # (Ta, 1)
+    vs = vs_ref[0, 0]
+    dh = q.shape[-1]
+    qk = jax.lax.dot_general(
+        q.astype(jnp.bfloat16), k.astype(jnp.bfloat16),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    qk = qk * ks[:, 0][None, :] * (dh ** -0.5)
+    w = jax.nn.softmax(qk, axis=-1)
+    wv = w * vs[:, 0][None, :]
+    o_ref[0, 0] = jnp.dot(wv.astype(jnp.bfloat16), v.astype(jnp.bfloat16),
+                          preferred_element_type=jnp.float32)
+
+
+@jax.jit
+def cross_attention_decode(q, k_t, v_t):
+    """q: (B, H, 1, Dh); k_t/v_t: (B, H, Ta, Dh) -> (B, H, 1, Dh) f32."""
+    B, H, _, Dh = q.shape
+    Ta = k_t.shape[2]
+    spec_q = pl.BlockSpec((1, 1, 1, Dh), lambda b, h: (b, h, 0, 0),
+                          memory_space=pltpu.VMEM)
+    spec_kv = pl.BlockSpec((1, 1, Ta, Dh), lambda b, h: (b, h, 0, 0),
+                           memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _xattn_kernel,
+        grid=(B, H),
+        in_specs=[spec_q, spec_kv, spec_kv],
+        out_specs=spec_q,
+        out_shape=jax.ShapeDtypeStruct((B, H, 1, Dh), jnp.float32),
+    )(q, k_t, v_t)
+
+
+@jax.jit
+def cross_attention_decode_q8(q, k_q, k_s, v_q, v_s):
+    """int8 K/V variant.  k_q/v_q: (B, H, Ta, Dh) int8;
+    k_s/v_s: (B, H, Ta, 1) f32 per-position scales."""
+    B, H, _, Dh = q.shape
+    Ta = k_q.shape[2]
+    spec_q = pl.BlockSpec((1, 1, 1, Dh), lambda b, h: (b, h, 0, 0),
+                          memory_space=pltpu.VMEM)
+    spec_kv = pl.BlockSpec((1, 1, Ta, Dh), lambda b, h: (b, h, 0, 0),
+                           memory_space=pltpu.VMEM)
+    spec_s = pl.BlockSpec((1, 1, Ta, 1), lambda b, h: (b, h, 0, 0),
+                          memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _xattn_kernel_q8,
+        grid=(B, H),
+        in_specs=[spec_q, spec_kv, spec_s, spec_kv, spec_s],
+        out_specs=spec_q,
+        out_shape=jax.ShapeDtypeStruct((B, H, 1, Dh), jnp.float32),
+    )(q, k_q, k_s, v_q, v_s)
+
+
+@jax.jit
+def quantize_kv(k):
+    """(..., Ta, Dh) bf16/f32 -> (int8 codes, (..., Ta, 1) f32 scales)."""
+    kf = k.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(kf), axis=-1, keepdims=True)
+    scale = jnp.maximum(amax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(kf / scale), -127, 127).astype(jnp.int8)
+    return q, scale
