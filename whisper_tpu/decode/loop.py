@@ -64,6 +64,10 @@ class LoopConfig:
     single_segment: bool
     no_timestamps: bool
     compute_dtype: Any = jnp.bfloat16
+    # cross-attention path for the token loop: "einsum" (XLA), "pallas"
+    # (fused kernel), "pallas_q8" (fused kernel + int8 K/V).  The prompt
+    # pass always uses einsum (multi-query).
+    cross_mode: str = "einsum"
 
 
 
@@ -189,6 +193,22 @@ def make_decode_window(params_treedef_free_fn=None, *,
         # (reference: src/whisper.cpp:5812-5820)
         no_speech_prob = jax.nn.softmax(logits0, axis=-1)[:, consts.token_nosp]
 
+        # cross-KV layout for the token loop (transposed once per window;
+        # amortized over every decode step)
+        if cfg.cross_mode == "pallas":
+            kc_loop = ("bhtd", k_cross.transpose(0, 1, 3, 2, 4)
+                       .astype(cfg.compute_dtype))
+            vc_loop = ("bhtd", v_cross.transpose(0, 1, 3, 2, 4)
+                       .astype(cfg.compute_dtype))
+        elif cfg.cross_mode == "pallas_q8":
+            from ..ops.cross_attention import quantize_kv
+            kq, ks = quantize_kv(k_cross.transpose(0, 1, 3, 2, 4))
+            vq, vs = quantize_kv(v_cross.transpose(0, 1, 3, 2, 4))
+            kc_loop = {"q": kq, "s": ks}
+            vc_loop = {"q": vq, "s": vs}
+        else:
+            kc_loop, vc_loop = k_cross, v_cross
+
         kv_k = jnp.zeros((L, B, C, H, Dh), cfg.compute_dtype)
         kv_v = jnp.zeros((L, B, C, H, Dh), cfg.compute_dtype)
         kv_k = kv_k.at[:, :, :P].set(k_self.astype(cfg.compute_dtype))
@@ -254,7 +274,7 @@ def make_decode_window(params_treedef_free_fn=None, *,
                 pos_ids = jnp.minimum(P - pad_len + i, cfg.n_text_ctx - 1)
                 lg_raw, kv = wm.decode_step(
                     params, tok, pos_ids, P + i,
-                    {"k": s.kv_k, "v": s.kv_v}, k_cross, v_cross,
+                    {"k": s.kv_k, "v": s.kv_v}, kc_loop, vc_loop,
                     kv_len=P + i + 1, n_head=cfg.n_head, pad_len=pad_len,
                     compute_dtype=cfg.compute_dtype)
                 return lg_raw, kv["k"], kv["v"]
