@@ -1,0 +1,177 @@
+"""Application-layer tests: CLI, output writers, server, stream,
+full_parallel, token timestamps."""
+
+import json
+import os
+import threading
+import time
+import urllib.request
+
+import numpy as np
+import pytest
+
+import whisper_tpu as wt
+from conftest import make_random_model
+
+
+@pytest.fixture(scope="module")
+def model_path(tmp_path_factory):
+    return make_random_model(tmp_path_factory.mktemp("apps"))
+
+
+@pytest.fixture(scope="module")
+def ctx(model_path):
+    return wt.WhisperContext.from_file(model_path)
+
+
+def _noise(seconds, seed=0):
+    return (np.random.RandomState(seed)
+            .randn(16000 * seconds).astype(np.float32) * 0.1)
+
+
+def _run_full(ctx):
+    p = wt.full_default_params()
+    p.print_progress = False
+    p.temperature_inc = 0.0
+    p.single_segment = True
+    p.max_tokens = 5
+    ctx.full(p, _noise(2))
+    return ctx
+
+
+def test_output_writers(ctx, tmp_path):
+    from whisper_tpu import outputs
+    _run_full(ctx)
+    base = str(tmp_path / "out")
+    assert outputs.output_txt(ctx, base + ".txt")
+    assert outputs.output_vtt(ctx, base + ".vtt")
+    assert outputs.output_srt(ctx, base + ".srt")
+    assert outputs.output_csv(ctx, base + ".csv")
+    assert outputs.output_lrc(ctx, base + ".lrc")
+    assert outputs.output_json(ctx, base + ".json", full=True)
+    assert outputs.output_score(ctx, base + ".score")
+
+    assert open(base + ".vtt").read().startswith("WEBVTT")
+    assert open(base + ".csv").readline() == "start,end,text\n"
+    doc = json.load(open(base + ".json"))
+    assert doc["model"]["vocab"] == 51864
+    assert len(doc["transcription"]) == ctx.full_n_segments()
+    srt = open(base + ".srt").read()
+    if ctx.full_n_segments():
+        assert srt.startswith("1\n")
+        assert " --> " in srt
+
+
+def test_cli_main(model_path, jfk_wav_path, tmp_path, capsys):
+    from whisper_tpu.cli import main
+    out = str(tmp_path / "cli_out")
+    rc = main(["-m", model_path, "-f", jfk_wav_path, "-d", "2000",
+               "-nf", "-otxt", "-ocsv", "-of", out, "-np"])
+    assert rc == 0
+    assert os.path.exists(out + ".txt")
+    assert os.path.exists(out + ".csv")
+
+
+def test_cli_unknown_language(model_path):
+    from whisper_tpu.cli import main
+    assert main(["-m", model_path, "-f", "x.wav", "-l", "klingon"]) == 1
+
+
+def test_full_parallel(ctx):
+    p = wt.full_default_params()
+    p.print_progress = False
+    p.temperature_inc = 0.0
+    rc = ctx.full_parallel(p, _noise(6), n_processors=2)
+    assert rc == 0
+    # segments non-overlapping and ordered
+    segs = ctx.result_all
+    for a, b in zip(segs, segs[1:]):
+        assert b.t0 >= a.t1 or b.t0 >= a.t0
+
+
+def test_token_timestamps_energy(ctx):
+    p = wt.full_default_params()
+    p.print_progress = False
+    p.temperature_inc = 0.0
+    p.token_timestamps = True
+    ctx.full(p, _noise(3))
+    for seg in ctx.result_all:
+        for t in seg.tokens:
+            assert t.t0 >= 0 and t.t1 >= t.t0
+
+
+def test_wrap_segment(ctx):
+    p = wt.full_default_params()
+    p.print_progress = False
+    p.temperature_inc = 0.0
+    p.token_timestamps = True
+    p.max_len = 4
+    ctx.full(p, _noise(3))
+    for seg in ctx.result_all:
+        # each wrapped segment's visible text respects ~max_len
+        assert len(seg.text.encode()) <= 4 + 24  # one token may overflow
+
+
+def test_stream_fixed_step(ctx):
+    from whisper_tpu.stream import StreamTranscriber
+    st = StreamTranscriber(ctx, step_ms=1000, length_ms=3000, keep_ms=200,
+                           max_tokens=4)
+    pcm = _noise(4)
+    n_events = 0
+    for i in range(0, len(pcm), st.n_samples_step):
+        for final, segs in st.feed_fixed(pcm[i:i + st.n_samples_step]):
+            n_events += 1
+    assert n_events >= 2
+
+
+def test_vad():
+    from whisper_tpu.audio.vad import similarity, vad_simple
+    loud = np.sin(np.linspace(0, 3000, 32000)).astype(np.float32)
+    quiet_tail = np.concatenate([loud, np.zeros(16000, np.float32)])
+    assert vad_simple(quiet_tail, 16000, 1000, 0.6, 100.0)
+    assert not vad_simple(np.concatenate([loud, loud]), 16000, 1000, 0.6, 0.0)
+    assert similarity("red", "red") == 1.0
+    assert similarity("red", "blue") < 0.5
+
+
+def test_server_roundtrip(model_path, jfk_wav_path):
+    import socket
+    from whisper_tpu import server as srv_mod
+    from http.server import ThreadingHTTPServer
+
+    srv_mod.STATE.ctx = wt.WhisperContext.from_file(model_path)
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    httpd = ThreadingHTTPServer(("127.0.0.1", port), srv_mod.Handler)
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    try:
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/health", timeout=10) as r:
+            assert json.load(r)["status"] == "ok"
+
+        boundary = "testboundary"
+        wav = open(jfk_wav_path, "rb").read()[:16000 * 2 * 2 + 44]
+        body = (f"--{boundary}\r\nContent-Disposition: form-data; "
+                f'name="file"; filename="a.wav"\r\n\r\n').encode() + wav + \
+            (f"\r\n--{boundary}\r\nContent-Disposition: form-data; "
+             f'name="temperature_inc"\r\n\r\n0.0'
+             f"\r\n--{boundary}--\r\n").encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/inference", data=body,
+            headers={"Content-Type":
+                     f'multipart/form-data; boundary="{boundary}"'})
+        with urllib.request.urlopen(req, timeout=120) as r:
+            doc = json.load(r)
+            assert "text" in doc
+    finally:
+        httpd.shutdown()
+
+
+def test_command_match():
+    from whisper_tpu.command import match_command
+    idx, sim = match_command("turn on the lights",
+                             ["turn off the lights", "turn on the lights",
+                              "play music"])
+    assert idx == 1 and sim == 1.0
