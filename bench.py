@@ -18,11 +18,20 @@ this environment).
 
 import argparse
 import json
+import os
 import time
 
 import numpy as np
 
 import jax
+
+# persistent compilation cache: the batched large-v3 pipeline takes minutes
+# to compile cold; cached it loads in seconds
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/wtpu_jax_cache")
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ["JAX_COMPILATION_CACHE_DIR"])
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import jax.numpy as jnp
 
 from whisper_tpu.decode.filters import FilterConsts, FilterOptions, make_process_logits

@@ -47,9 +47,20 @@ class BatchTranscriber:
     """Transcribe many audio streams concurrently on one (or more) chips."""
 
     def __init__(self, ctx: WhisperContext, batch_size: int = 8,
-                 params: FullParams | None = None):
+                 params: FullParams | None = None, mesh=None):
+        """mesh: optional jax.sharding.Mesh with a "data" axis — windows are
+        sharded over it (and params over its "model" axis if >1), scaling
+        serving across chips via ICI (the reference's whisper_full_parallel
+        / ggml-rpc role, SURVEY §2.6)."""
         self.ctx = ctx
         self.B = batch_size
+        self.mesh = mesh
+        if mesh is not None:
+            from .mesh import shard_params
+            n_data = mesh.shape["data"]
+            assert batch_size % n_data == 0, \
+                f"batch_size {batch_size} must divide over data={n_data}"
+            ctx.params = shard_params(ctx.params, mesh)
         self.params = params or full_default_params()
         p = self.params
         if p.language in (None, "", "auto") or p.detect_language:
@@ -76,8 +87,8 @@ class BatchTranscriber:
 
     # -- jitted batched encode -------------------------------------------
 
-    def _encode_batch(self, mel_windows: np.ndarray):
-        key = ("enc_batch", mel_windows.shape)
+    def _encode_batch(self, mel_windows):
+        key = ("enc_batch", tuple(mel_windows.shape))
         if key not in self.ctx._jit_cache:
             from ..models import whisper as wm
             nh_a, nh_t = (self.ctx.config.n_audio_head,
@@ -136,6 +147,11 @@ class BatchTranscriber:
                     prompt = [ctx.vocab.token_prev] + st.prompt_past[-n_take:]
                 prompts.append(prompt + self.prompt_init)
 
+            if self.mesh is not None and B == self.B:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                mel_windows = jax.device_put(
+                    jnp.asarray(mel_windows),
+                    NamedSharding(self.mesh, P("data")))
             kc, vc = self._encode_batch(mel_windows)
 
             # temperature-fallback ladder, rebatching only the failed rows
