@@ -47,6 +47,7 @@ CONFIGS = {
     "small": WhisperConfig(51865, 1500, 768, 12, 12, 448, 768, 12, 12, 80, "small"),
     "medium": WhisperConfig(51865, 1500, 1024, 16, 24, 448, 1024, 16, 24, 80, "medium"),
     "large-v3": WhisperConfig(51866, 1500, 1280, 20, 32, 448, 1280, 20, 32, 128, "large-v3"),
+    "large-v3-turbo": WhisperConfig(51866, 1500, 1280, 20, 32, 448, 1280, 20, 4, 128, "large-v3-turbo"),
 }
 
 
