@@ -137,3 +137,38 @@ def test_initial_prompt_tokenize(random_ctx, params):
     params.no_context = True
     params.temperature_inc = 0.0
     assert random_ctx.full(params, _noise(2)) == 0
+
+
+def test_multi_window_long_audio(tmp_path):
+    """65 s of audio spans multiple windows; prompt-past conditioning on."""
+    path = make_random_model(tmp_path, seed=11)
+    ctx = wt.WhisperContext.from_file(path)
+    p = wt.full_default_params()
+    p.print_progress = False
+    p.temperature_inc = 0.0
+    p.no_context = False
+    p.single_segment = True   # deterministic completion per window
+    p.max_tokens = 4
+    pcm = np.random.RandomState(5).randn(16000 * 65).astype(np.float32) * 0.1
+    assert ctx.full(p, pcm) == 0
+    assert ctx.full_n_segments() >= 2          # several windows
+    # windows advanced monotonically and prompt_past accumulated
+    t0s = [s.t0 for s in ctx.result_all]
+    assert t0s == sorted(t0s)
+    assert len(ctx.prompt_past) > 0
+
+
+def test_offset_and_duration(tmp_path):
+    path = make_random_model(tmp_path, seed=12)
+    ctx = wt.WhisperContext.from_file(path)
+    p = wt.full_default_params()
+    p.print_progress = False
+    p.temperature_inc = 0.0
+    p.single_segment = True
+    p.max_tokens = 4
+    p.offset_ms = 1000
+    p.duration_ms = 2000
+    pcm = np.random.RandomState(6).randn(16000 * 5).astype(np.float32) * 0.1
+    assert ctx.full(p, pcm) == 0
+    for s in ctx.result_all:
+        assert s.t0 >= 100   # nothing before the offset
