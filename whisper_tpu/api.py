@@ -915,6 +915,13 @@ class WhisperContext:
         return seek + seek_delta
 
     def _push_segment(self, t0, t1, text, tokens, speaker_turn_next, params):
+        if params.print_realtime:
+            from .outputs import to_timestamp
+            if params.print_timestamps:
+                print(f"[{to_timestamp(int(t0))} --> {to_timestamp(int(t1))}]"
+                      f"  {text}", flush=True)
+            else:
+                print(text, end="", flush=True)
         seg = Segment(t0=int(t0), t1=int(t1), text=text,
                       no_speech_prob=self.no_speech_prob,
                       tokens=list(tokens),

@@ -21,7 +21,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..api import FullParams, Segment, WhisperContext, full_default_params
+from ..api import (FullParams, Segment, WhisperContext, WhisperState,
+                   full_default_params)
 from ..audio.mel import log_mel_spectrogram
 from ..constants import CHUNK_SIZE, TICKS_PER_SECOND
 from ..decode.filters import FilterOptions
@@ -31,16 +32,16 @@ from ..utils.logging import log_warn
 DELTA_MIN = 10
 
 
-@dataclasses.dataclass
-class StreamState:
-    """Per-stream sliding-window session (host side)."""
-    mel: np.ndarray
-    seek: int
-    seek_end: int
-    prompt_past: list
-    result_all: list
-    no_speech_prob: float = 0.0
-    done: bool = False
+class StreamState(WhisperState):
+    """Per-stream sliding-window session: a WhisperState plus window
+    scheduling fields."""
+
+    def __init__(self, mel, seek, seek_end):
+        super().__init__()
+        self.mel = mel
+        self.seek = seek
+        self.seek_end = seek_end
+        self.done = False
 
 
 class BatchTranscriber:
@@ -117,8 +118,7 @@ class BatchTranscriber:
             states.append(StreamState(
                 mel=mel, seek=p.offset_ms // 10,
                 seek_end=(n_len_org if p.duration_ms == 0
-                          else p.offset_ms // 10 + p.duration_ms // 10),
-                prompt_past=[], result_all=[]))
+                          else p.offset_ms // 10 + p.duration_ms // 10)))
         for st in states:
             if st.seek_end < st.seek + DELTA_MIN:
                 st.done = True
@@ -252,9 +252,11 @@ class BatchTranscriber:
                 "prompt": ([ctx.vocab.token_prev] if st.prompt_past else [])
                           + st.prompt_past + self.prompt_init,
             }
-            sess_ctx = _SessionView(ctx, st)
-            st.seek = sess_ctx.emit(best, st.seek, st.seek_end, p,
-                                    self.prompt_init, self.no_timestamps)
+            with ctx.use_state(st):
+                ctx.no_speech_prob = st.no_speech_prob
+                st.seek = ctx._emit_segments(best, st.seek, st.seek_end, p,
+                                             self.prompt_init,
+                                             self.no_timestamps)
 
         if st.seek + DELTA_MIN >= st.seek_end:
             st.done = True
@@ -262,26 +264,4 @@ class BatchTranscriber:
             st.prompt_past = []
 
 
-class _SessionView:
-    """Adapter giving WhisperContext._emit_segments a per-stream state."""
 
-    def __init__(self, ctx: WhisperContext, st: StreamState):
-        self.ctx = ctx
-        self.st = st
-
-    def emit(self, best, seek, seek_end, params, prompt_init,
-             no_timestamps) -> int:
-        ctx, st = self.ctx, self.st
-        # temporarily point the context's session fields at this stream
-        saved = (ctx.prompt_past, ctx.result_all, ctx.no_speech_prob)
-        ctx.prompt_past = st.prompt_past
-        ctx.result_all = st.result_all
-        ctx.no_speech_prob = st.no_speech_prob
-        try:
-            seek_new = ctx._emit_segments(best, seek, seek_end, params,
-                                          prompt_init, no_timestamps)
-            st.prompt_past = ctx.prompt_past
-            st.result_all = ctx.result_all
-        finally:
-            ctx.prompt_past, ctx.result_all, ctx.no_speech_prob = saved
-        return seek_new
