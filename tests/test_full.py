@@ -172,3 +172,30 @@ def test_offset_and_duration(tmp_path):
     assert ctx.full(p, pcm) == 0
     for s in ctx.result_all:
         assert s.t0 >= 100   # nothing before the offset
+
+
+def test_audio_ctx_shrink(tmp_path):
+    """audio_ctx speed hack: smaller encoder context (reference:
+    whisper.h:504, whisper.cpp:5619-5624)."""
+    path = make_random_model(tmp_path, seed=13)
+    ctx = wt.WhisperContext.from_file(path)
+    p = wt.full_default_params()
+    p.print_progress = False
+    p.temperature_inc = 0.0
+    p.single_segment = True
+    p.max_tokens = 4
+    p.audio_ctx = 32                 # model has n_audio_ctx = 64
+    assert ctx.full(p, _noise(2)) == 0
+    p.audio_ctx = 1000               # > model max -> error
+    assert ctx.full(p, _noise(2)) == -5
+
+
+def test_abort_callback(tmp_path):
+    path = make_random_model(tmp_path, seed=14)
+    ctx = wt.WhisperContext.from_file(path)
+    p = wt.full_default_params()
+    p.print_progress = False
+    p.temperature_inc = 0.0
+    p.abort_callback = lambda c: True     # abort before the first window
+    assert ctx.full(p, _noise(3)) == 0
+    assert ctx.full_n_segments() == 0

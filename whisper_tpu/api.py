@@ -533,6 +533,10 @@ class WhisperContext:
                     log_error("encoder_begin_callback returned false - aborting")
                     break
 
+            if params.abort_callback and params.abort_callback(self):
+                log_warn("abort_callback requested stop")
+                break
+
             _, kc, vc = self.encode_window(seek)
 
             # drop confusing old prompt near the very end

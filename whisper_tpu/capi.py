@@ -67,6 +67,21 @@ def whisper_context_default_params() -> whisper_context_params:
     return whisper_context_params()
 
 
+def whisper_context_default_params_by_ref() -> whisper_context_params:
+    return whisper_context_params()
+
+
+def whisper_full_default_params_by_ref(strategy: int):
+    return full_default_params(strategy)
+
+
+def whisper_ctx_init_openvino_encoder(ctx, model_path=None, device=None,
+                                      cache_dir=None) -> int:
+    """No-op: external-encoder offload is unnecessary — the JAX encoder IS
+    the accelerated path (reference: whisper.h:243-254)."""
+    return 0
+
+
 # ---- init family (reference: whisper.h:195-241) --------------------------
 
 def whisper_init_from_file_with_params(path: str,
