@@ -34,6 +34,8 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import jax.numpy as jnp
 
+from whisper_tpu.audio.mel import log_mel_spectrogram_jax
+from whisper_tpu.constants import HOP_LENGTH, N_FFT
 from whisper_tpu.decode.filters import FilterConsts, FilterOptions, make_process_logits
 from whisper_tpu.models import whisper as wm
 from whisper_tpu.models.whisper import WhisperConfig
@@ -69,14 +71,18 @@ def _consts_for(cfg: WhisperConfig) -> FilterConsts:
 
 
 def build_pipeline(cfg: WhisperConfig, B: int, n_tokens: int, prompt_len: int = 4):
-    """One jitted call: encode B windows + decode n_tokens greedy steps."""
+    """One jitted call: mel + encode B windows + decode n_tokens greedy steps."""
+    from whisper_tpu.audio.filters import mel_filterbank
+    filters = jnp.asarray(mel_filterbank(cfg.n_mels))
     consts = _consts_for(cfg)
     process = make_process_logits(consts, FilterOptions())
     P = prompt_len
     C = P + n_tokens + 1
     H, Dh, L = cfg.n_text_head, cfg.head_dim_text, cfg.n_text_layer
 
-    def run(params, mel, prompt):
+    def run(params, audio, prompt):
+        # full pipeline: PCM -> on-TPU mel -> encoder -> cross-KV -> decode
+        mel = log_mel_spectrogram_jax(audio, filters)[:, :2 * cfg.n_audio_ctx]
         enc = wm.encode(params, mel, n_head=cfg.n_audio_head)
         kc, vc = wm.cross_kv(params, enc, n_head=cfg.n_text_head)
 
@@ -128,12 +134,14 @@ def main():
     B, T = args.batch, args.tokens
 
     params = random_params(cfg, seed=0, dtype=jnp.bfloat16)
-    # fresh random mel per iteration AND per run: the runtime memoizes
-    # results of identical computations across processes
+    # fresh random audio per iteration AND per run: the runtime memoizes
+    # results of identical computations across processes.  Length chosen so
+    # the mel covers a full encoder window.
+    n_samples = 2 * cfg.n_audio_ctx * HOP_LENGTH + N_FFT
     rng = np.random.RandomState()
     mels = [jnp.asarray(
-        rng.rand(B, 2 * cfg.n_audio_ctx, cfg.n_mels)
-        .astype(np.float32)) for i in range(args.iters + 1)]
+        (rng.rand(B, n_samples) - 0.5).astype(np.float32) * 0.1)
+        for i in range(args.iters + 1)]
     sot = 50258 if cfg.n_vocab >= 51865 else 50257
     prompt = jnp.tile(jnp.asarray(
         [[sot, sot + 1, sot + 100, sot + 105]], jnp.int32), (B, 1))
