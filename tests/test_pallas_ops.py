@@ -27,3 +27,73 @@ def test_pallas_mel_matches_numpy(jfk_pcm, monkeypatch):
     n = mel.shape[0]
     assert n % mel_pallas.FRAMES_PER_BLOCK == 0
     np.testing.assert_allclose(mel[:n], ref[:n], atol=5e-4)
+
+
+def test_quantized_matmul_interpret():
+    from jax.experimental.pallas import tpu as pltpu
+
+    from whisper_tpu.ops.quantized import quantized_matmul, unpack_to_codes
+    from whisper_tpu.weights import quant
+
+    rng = np.random.RandomState(0)
+    N, K, M = 256, 256, 8
+    w = (rng.randn(N, K) * 0.05).astype(np.float32)
+    raw = quant.quantize_q8_0(w)
+    codes, scales, _ = unpack_to_codes(raw, quant.GGML_TYPE_Q8_0, (N, K))
+    wd = quant.decode_tensor(raw, quant.GGML_TYPE_Q8_0, (N, K))
+    x = rng.randn(M, K).astype(np.float32)
+
+    with pltpu.force_tpu_interpret_mode():
+        y = np.asarray(quantized_matmul(
+            jnp.asarray(x), jnp.asarray(np.ascontiguousarray(codes.T)),
+            jnp.asarray(np.ascontiguousarray(scales.T))))
+    ref = x @ wd.T
+    assert np.abs(y - ref).max() / np.abs(ref).max() < 0.02
+
+
+def test_unpack_to_codes_exact():
+    from whisper_tpu.ops.quantized import unpack_to_codes
+    from whisper_tpu.weights import quant
+
+    rng = np.random.RandomState(1)
+    w = (rng.randn(64, 128) * 0.1).astype(np.float32)
+    for qt in (quant.GGML_TYPE_Q4_0, quant.GGML_TYPE_Q4_1,
+               quant.GGML_TYPE_Q5_0, quant.GGML_TYPE_Q5_1,
+               quant.GGML_TYPE_Q8_0):
+        raw = quant.QUANTIZERS[qt](w)
+        codes, scales, mins = unpack_to_codes(raw, qt, (64, 128))
+        recon = codes.astype(np.float32) * np.repeat(scales, 32, axis=1)
+        if mins is not None:
+            recon = recon + np.repeat(mins, 32, axis=1)
+        ref = quant.decode_tensor(raw, qt, (64, 128))
+        np.testing.assert_allclose(recon, ref, atol=1e-6)
+
+
+def test_cross_attention_kernel_interpret():
+    from jax.experimental.pallas import tpu as pltpu
+
+    from whisper_tpu.ops.cross_attention import (
+        cross_attention_decode, cross_attention_decode_q8, quantize_kv)
+
+    rng = np.random.RandomState(0)
+    B, H, Ta, Dh = 2, 4, 128, 64
+    q = jnp.asarray(rng.randn(B, H, 1, Dh).astype(np.float32) * 0.3)
+    k = jnp.asarray(rng.randn(B, H, Ta, Dh).astype(np.float32) * 0.3)
+    v = jnp.asarray(rng.randn(B, H, Ta, Dh).astype(np.float32) * 0.3)
+
+    qk = np.einsum("bhqd,bhkd->bhqk", np.asarray(q), np.asarray(k)) * Dh ** -0.5
+    w = np.exp(qk - qk.max(-1, keepdims=True))
+    w /= w.sum(-1, keepdims=True)
+    ref = np.einsum("bhqk,bhkd->bhqd", w, np.asarray(v))
+
+    with pltpu.force_tpu_interpret_mode():
+        out = np.asarray(cross_attention_decode(
+            q.astype(jnp.bfloat16), k.astype(jnp.bfloat16),
+            v.astype(jnp.bfloat16)))
+        kq, ks = quantize_kv(k)
+        vq, vs = quantize_kv(v)
+        out8 = np.asarray(cross_attention_decode_q8(
+            q.astype(jnp.bfloat16), kq, ks, vq, vs))
+
+    assert np.abs(out - ref).max() / np.abs(ref).max() < 0.02
+    assert np.abs(out8 - ref).max() / np.abs(ref).max() < 0.03
