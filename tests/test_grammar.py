@@ -78,3 +78,41 @@ def test_repetition_operators():
     logits = np.zeros(4, np.float32)
     g.suppress_invalid(v, logits, 100.0)
     assert logits[0] == 0 and logits[1] == 0 and logits[2] == -100
+
+
+def test_native_engine_matches_python(vocab):
+    """C++ engine vs the Python engine: identical suppression masks and
+    state evolution across a multi-token walk."""
+    from whisper_tpu.grammar import NativeGrammar, _load_native, parse_gbnf
+
+    if _load_native() is None:
+        pytest.skip("native grammar library not built")
+
+    src = open("/root/reference/grammars/chess.gbnf").read()
+    rules, symbols = parse_gbnf(src)
+    from whisper_tpu.grammar import Grammar
+    g_py = Grammar(rules, symbols["root"])
+    g_nat = NativeGrammar(rules, symbols["root"])
+
+    for step in range(4):
+        lp = np.zeros(vocab.n_vocab, np.float32)
+        ln = np.zeros(vocab.n_vocab, np.float32)
+        g_py.suppress_invalid(vocab, lp, 100.0)
+        g_nat.suppress_invalid(vocab, ln, 100.0)
+        np.testing.assert_array_equal(lp, ln)
+        allowed = np.where(lp == 0)[0]
+        allowed = [t for t in allowed if t < vocab.token_eot
+                   and vocab.id_to_token[int(t)]]
+        if not allowed:
+            break
+        tid = int(allowed[min(step, len(allowed) - 1)])
+        g_py.accept_token(vocab, tid)
+        g_nat.accept_token(vocab, tid)
+
+    # clone preserves state
+    c = g_nat.copy()
+    l1 = np.zeros(vocab.n_vocab, np.float32)
+    l2 = np.zeros(vocab.n_vocab, np.float32)
+    g_nat.suppress_invalid(vocab, l1, 100.0)
+    c.suppress_invalid(vocab, l2, 100.0)
+    np.testing.assert_array_equal(l1, l2)

@@ -487,8 +487,150 @@ def parse_gbnf(src: str) -> tuple[list[list[Element]], dict[str, int]]:
     return _Parser(src).parse()
 
 
-def grammar_from_gbnf(src: str, start_rule_name: str = "root") -> Grammar:
+
+
+# ---------------------------------------------------------------------------
+# native (C++) engine — same semantics, ~100x faster per-token suppression
+# ---------------------------------------------------------------------------
+
+class NativeGrammar:
+    """ctypes wrapper over native/libwtpu_grammar.so.
+
+    Same duck-type as Grammar (suppress_invalid / accept_token / copy);
+    vocab code-point tables are loaded into the native engine on first use.
+    """
+
+    def __init__(self, rules: list[list[Element]], start_rule: int = 0,
+                 _handle=None, _lib=None):
+        import ctypes
+
+        self.rules = rules
+        if _handle is not None:
+            self._lib = _lib
+            self._h = _handle
+            self._vocab_loaded = True
+            return
+        self._lib = _load_native()
+        if self._lib is None:
+            raise RuntimeError("native grammar library unavailable")
+        types, values, offsets = [], [], [0]
+        for rule in rules:
+            for e in rule:
+                types.append(e.type)
+                values.append(e.value)
+            offsets.append(len(types))
+        t = (ctypes.c_uint32 * len(types))(*types)
+        v = (ctypes.c_uint32 * len(values))(*values)
+        o = (ctypes.c_int32 * len(offsets))(*offsets)
+        self._h = self._lib.wtpu_grammar_init(
+            t, v, len(types), o, len(rules), start_rule)
+        self._vocab_loaded = False
+
+    @property
+    def stacks(self):
+        # truthiness probe used by callers; count lives in the engine
+        return [None] * self._lib.wtpu_grammar_n_stacks(self._h)
+
+    def _ensure_vocab(self, vocab):
+        if self._vocab_loaded:
+            return
+        import ctypes
+
+        blob = b""
+        offsets = [0]
+        for i in range(vocab.token_eot):
+            blob += vocab.id_to_token[i]
+            offsets.append(len(blob))
+        buf = (ctypes.c_uint8 * len(blob)).from_buffer_copy(blob)
+        off = (ctypes.c_int32 * len(offsets))(*offsets)
+        self._lib.wtpu_grammar_set_vocab(
+            self._h, buf, off, vocab.token_eot, vocab.token_eot)
+        self._vocab_loaded = True
+
+    def suppress_invalid(self, vocab, logits: np.ndarray,
+                         penalty: float) -> None:
+        import ctypes
+
+        self._ensure_vocab(vocab)
+        assert logits.dtype == np.float32 and logits.flags["C_CONTIGUOUS"]
+        self._lib.wtpu_grammar_suppress(
+            self._h, logits.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            len(logits), ctypes.c_float(penalty))
+
+    def accept_token(self, vocab, token: int) -> None:
+        self._ensure_vocab(vocab)
+        self._lib.wtpu_grammar_accept(self._h, int(token))
+
+    def copy(self) -> "NativeGrammar":
+        h = self._lib.wtpu_grammar_clone(self._h)
+        return NativeGrammar(self.rules, _handle=h, _lib=self._lib)
+
+    def __del__(self):
+        try:
+            self._lib.wtpu_grammar_free(self._h)
+        except Exception:
+            pass
+
+
+_NATIVE_LIB = None
+_NATIVE_TRIED = False
+
+
+def _load_native():
+    global _NATIVE_LIB, _NATIVE_TRIED
+    if _NATIVE_TRIED:
+        return _NATIVE_LIB
+    _NATIVE_TRIED = True
+    import ctypes
+    import os
+    import subprocess
+
+    native_dir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "native")
+    so = os.path.join(native_dir, "libwtpu_grammar.so")
+    if not os.path.exists(so):
+        try:
+            subprocess.run(["make", "-C", native_dir, "-s",
+                            "libwtpu_grammar.so"],
+                           check=True, capture_output=True, timeout=120)
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(so)
+    except OSError:
+        return None
+    lib.wtpu_grammar_init.restype = ctypes.c_void_p
+    lib.wtpu_grammar_init.argtypes = [
+        ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_uint32),
+        ctypes.c_int, ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
+        ctypes.c_int]
+    lib.wtpu_grammar_set_vocab.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int, ctypes.c_int]
+    lib.wtpu_grammar_suppress.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+        ctypes.c_float]
+    lib.wtpu_grammar_accept.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    lib.wtpu_grammar_n_stacks.argtypes = [ctypes.c_void_p]
+    lib.wtpu_grammar_n_stacks.restype = ctypes.c_int
+    lib.wtpu_grammar_clone.argtypes = [ctypes.c_void_p]
+    lib.wtpu_grammar_clone.restype = ctypes.c_void_p
+    lib.wtpu_grammar_free.argtypes = [ctypes.c_void_p]
+    _NATIVE_LIB = lib
+    return lib
+
+
+def grammar_from_gbnf(src: str, start_rule_name: str = "root",
+                      prefer_native: bool = True):
+    """GBNF text -> grammar engine (native C++ when built, else Python)."""
+    import os
+
     rules, symbols = parse_gbnf(src)
     if start_rule_name not in symbols:
         raise GrammarParseError(f"start rule '{start_rule_name}' not found")
+    if prefer_native and os.environ.get("WTPU_NO_NATIVE") != "1":
+        try:
+            return NativeGrammar(rules, symbols[start_rule_name])
+        except RuntimeError:
+            pass
     return Grammar(rules, symbols[start_rule_name])
