@@ -23,12 +23,12 @@ import jax
 import jax.numpy as jnp
 
 from .audio.mel import log_mel_spectrogram
-from .constants import CHUNK_SIZE, MAX_DECODERS, N_FRAMES_PER_CHUNK, TICKS_PER_SECOND
+from .constants import CHUNK_SIZE, MAX_DECODERS, TICKS_PER_SECOND
 from .decode.filters import FilterConsts, FilterOptions
 from .decode.loop import LoopConfig, make_decode_window
 from .languages import lang_id as _lang_id, lang_str
 from .models import whisper as wm
-from .tokenizer import detokenize, tokenize
+from .tokenizer import tokenize
 from .utils.logging import log_error, log_info, log_warn
 from .utils.timings import Timings
 from .weights.convert import params_from_ggml

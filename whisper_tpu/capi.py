@@ -26,7 +26,6 @@ import numpy as np
 from . import languages
 from .api import (FullParams, SamplingStrategy, WhisperContext,
                   full_default_params)
-from .constants import SAMPLE_RATE
 from .outputs import ctx_system_info
 from .utils.logging import log_set
 
@@ -170,7 +169,6 @@ def whisper_decode(ctx, tokens, n_tokens: int, n_past: int,
     """Legacy single-sequence decode; logits retrievable via
     whisper_get_logits."""
     import jax.numpy as jnp
-    from .models import whisper as wm
 
     if not hasattr(ctx, "_encoded") or ctx._encoded is None:
         return -1

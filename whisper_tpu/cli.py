@@ -11,12 +11,10 @@ from __future__ import annotations
 import argparse
 import sys
 
-import numpy as np
-
 from . import outputs
 from .api import FullParams, SamplingStrategy, WhisperContext, full_default_params
 from .audio.io import load_audio
-from .languages import lang_id, lang_str
+from .languages import lang_id
 from .outputs import to_timestamp
 from .utils.logging import set_verbosity
 

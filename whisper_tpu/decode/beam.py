@@ -25,7 +25,7 @@ import jax.numpy as jnp
 
 from ..constants import CHUNK_SIZE, TICKS_PER_SECOND
 from .filters import FilterConsts, FilterOptions, make_process_logits, sample_token_data
-from .loop import DELTA_MIN, LoopConfig, token_state_update
+from .loop import LoopConfig, token_state_update
 from ..models import whisper as wm
 
 NEG_INF = float("-inf")

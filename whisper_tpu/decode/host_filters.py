@@ -111,7 +111,10 @@ def process_logits_host(
         logits[:c.token_beg] = NEG_INF
         logprobs[:c.token_beg] = NEG_INF
     elif grammar is not None and vocab is not None:
-        grammar.suppress_invalid(vocab, logits, grammar_penalty)
+        # engines (python or native) write into a float32 penalty mask
+        mask = np.zeros(len(logits), dtype=np.float32)
+        grammar.suppress_invalid(vocab, mask, grammar_penalty)
+        logits += mask
         logprobs = compute_logprobs(logits)
 
     probs = np.where(logprobs > NEG_INF, np.exp(logprobs), 0.0)

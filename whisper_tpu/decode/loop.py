@@ -16,7 +16,6 @@ the reference's dense prompt decode exactly.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Any, NamedTuple
 
 import jax

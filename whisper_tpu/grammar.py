@@ -508,7 +508,7 @@ class NativeGrammar:
         if _handle is not None:
             self._lib = _lib
             self._h = _handle
-            self._vocab_loaded = True
+            self._vocab_loaded = False  # set by copy()
             return
         self._lib = _load_native()
         if self._lib is None:
@@ -563,7 +563,9 @@ class NativeGrammar:
 
     def copy(self) -> "NativeGrammar":
         h = self._lib.wtpu_grammar_clone(self._h)
-        return NativeGrammar(self.rules, _handle=h, _lib=self._lib)
+        g = NativeGrammar(self.rules, _handle=h, _lib=self._lib)
+        g._vocab_loaded = self._vocab_loaded
+        return g
 
     def __del__(self):
         try:

@@ -24,13 +24,11 @@ bit-exactness there is impossible by construction).
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
-from ..weights.ggml_reader import GgmlModelFile, Hparams
+from ..weights.ggml_reader import Hparams
 
 
 @dataclasses.dataclass(frozen=True)

@@ -7,11 +7,9 @@ Byte-compatible with the reference CLI writers
 from __future__ import annotations
 
 import json
-import sys
 
 import numpy as np
 
-from .constants import SAMPLE_RATE
 from .timestamps import timestamp_to_sample
 
 

@@ -14,8 +14,6 @@ This is what `bench.py`'s ≥200x realtime numbers correspond to in API form.
 
 from __future__ import annotations
 
-import dataclasses
-
 import numpy as np
 
 import jax
@@ -27,7 +25,6 @@ from ..audio.mel import log_mel_spectrogram
 from ..constants import CHUNK_SIZE, TICKS_PER_SECOND
 from ..decode.filters import FilterOptions
 from ..languages import lang_id as _lang_id
-from ..utils.logging import log_warn
 
 DELTA_MIN = 10
 

@@ -25,8 +25,6 @@ import tempfile
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
-import numpy as np
-
 from .api import SamplingStrategy, WhisperContext, full_default_params
 from .audio.io import load_audio
 from .outputs import to_timestamp

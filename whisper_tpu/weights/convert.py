@@ -67,7 +67,6 @@ def params_from_ggml(mf: GgmlModelFile, dtype=jnp.bfloat16,
     all (the reference's stub-model test path, src/whisper.cpp:1954-1955),
     in which case zero-filled parameters are synthesized.
     """
-    from .. import weights as _w
     from . import quant as _q
 
     cfg = WhisperConfig.from_hparams(mf.hparams)

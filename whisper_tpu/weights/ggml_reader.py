@@ -29,7 +29,7 @@ from typing import BinaryIO
 import numpy as np
 
 from ..constants import GGML_FILE_MAGIC, MODEL_TYPE_BY_AUDIO_LAYERS
-from ..languages import LANGUAGES, lang_str
+from ..languages import lang_str
 from . import quant
 
 GGML_QNT_VERSION_FACTOR = 1000  # reference: ggml/include/ggml.h GGML_QNT_VERSION_FACTOR
