@@ -70,8 +70,13 @@ def _consts_for(cfg: WhisperConfig) -> FilterConsts:
     )
 
 
-def build_pipeline(cfg: WhisperConfig, B: int, n_tokens: int, prompt_len: int = 4):
-    """One jitted call: mel + encode B windows + decode n_tokens greedy steps."""
+def build_pipeline(cfg: WhisperConfig, B: int, n_tokens: int, prompt_len: int = 4,
+                   kv: str = "bf16"):
+    """One jitted call: mel + encode B windows + decode n_tokens greedy steps.
+
+    kv="q8": cross-attention K/V held as int8 with per-position scales —
+    halves the dominant decode HBM traffic and memory (enables 2x batch).
+    """
     from whisper_tpu.audio.filters import mel_filterbank
     filters = jnp.asarray(mel_filterbank(cfg.n_mels))
     consts = _consts_for(cfg)
@@ -91,6 +96,13 @@ def build_pipeline(cfg: WhisperConfig, B: int, n_tokens: int, prompt_len: int = 
             params, prompt, jnp.arange(P), kc, vc,
             n_head=cfg.n_text_head, self_mask=mask)
 
+        if kv == "q8":  # the token loop reads K/V as int8 (2x batch budget)
+            from whisper_tpu.ops.cross_attention import quantize_kv
+            kq, ksc = quantize_kv(kc)
+            vq, vsc = quantize_kv(vc)
+            kc = ("q8e", kq, ksc.astype(jnp.float32))
+            vc = ("q8e", vq, vsc.astype(jnp.float32))
+
         kv_k = jnp.zeros((L, B, C, H, Dh), jnp.bfloat16).at[:, :, :P].set(
             ks.astype(jnp.bfloat16))
         kv_v = jnp.zeros((L, B, C, H, Dh), jnp.bfloat16).at[:, :, :P].set(
@@ -105,14 +117,14 @@ def build_pipeline(cfg: WhisperConfig, B: int, n_tokens: int, prompt_len: int = 
         def body(i, carry):
             lg, kv_k, kv_v, acc = carry
             tok = jnp.argmax(lg, axis=-1).astype(jnp.int32)
-            lg_raw, kv = wm.decode_step(
+            lg_raw, kvs = wm.decode_step(
                 params, tok, jnp.full((B,), P, jnp.int32) + i, P + i,
                 {"k": kv_k, "v": kv_v}, kc, vc, kv_len=P + i + 1,
                 n_head=cfg.n_text_head)
             lg, lp, _ = process(lg_raw, jnp.float32(0.0), false_b,
                                 tok >= consts.token_beg, false_b, false_b,
                                 jnp.zeros((B,), jnp.int32))
-            return lg, kv["k"], kv["v"], acc + tok
+            return lg, kvs["k"], kvs["v"], acc + tok
 
         lg, _, _, acc = jax.lax.fori_loop(
             0, n_tokens, body, (lg, kv_k, kv_v, jnp.zeros((B,), jnp.int32)))
@@ -128,6 +140,8 @@ def main():
     ap.add_argument("--tokens", type=int, default=64,
                     help="decoder steps per 30 s window")
     ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--kv", default="bf16", choices=["bf16", "q8"],
+                    help="cross-attention KV precision in the decode loop")
     args = ap.parse_args()
 
     cfg = CONFIGS[args.size]
@@ -146,7 +160,7 @@ def main():
     prompt = jnp.tile(jnp.asarray(
         [[sot, sot + 1, sot + 100, sot + 105]], jnp.int32), (B, 1))
 
-    run = build_pipeline(cfg, B, T)
+    run = build_pipeline(cfg, B, T, kv=args.kv)
 
     # warmup / compile.  NOTE: results are materialized to host numpy —
     # under remote-execution runtimes block_until_ready returns before the
@@ -174,6 +188,7 @@ def main():
         "batch": B,
         "tokens_per_window": T,
         "window_ms": round(ms_per_window, 2),
+        "kv": args.kv,
         "compile_s": round(compile_s, 1),
         "device": str(jax.devices()[0]),
     }))

@@ -46,7 +46,7 @@ def make_beam_decode_window(*, consts: FilterConsts, options: FilterOptions,
                       temperature, seek, seek_end, rng_key):
         L = k_cross.shape[0]
         H = cfg.n_head
-        Dh = k_cross.shape[-1]
+        Dh = k_cross.shape[3]          # (L, B, H, Dh, Ta)
         C = P + N + 1
 
         idx = jnp.arange(P)

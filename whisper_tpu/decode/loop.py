@@ -168,7 +168,7 @@ def make_decode_window(params_treedef_free_fn=None, *,
         L = k_cross.shape[0]
         B = prompt.shape[0]
         H = cfg.n_head
-        Dh = k_cross.shape[-1]
+        Dh = k_cross.shape[3]          # (L, B, H, Dh, Ta)
         C = P + N + 1
 
         # ---- prompt processing -------------------------------------------
@@ -194,15 +194,21 @@ def make_decode_window(params_treedef_free_fn=None, *,
 
         # cross-KV layout for the token loop (transposed once per window;
         # amortized over every decode step)
-        if cfg.cross_mode == "pallas":
-            kc_loop = ("bhtd", k_cross.transpose(0, 1, 3, 2, 4)
+        if cfg.cross_mode == "einsum_q8":
+            from ..ops.cross_attention import quantize_kv_bhdt
+            kq, ks = quantize_kv_bhdt(k_cross)
+            vq, vs = quantize_kv_bhdt(v_cross)
+            kc_loop = ("q8e", kq, ks)
+            vc_loop = ("q8e", vq, vs)
+        elif cfg.cross_mode == "pallas":
+            kc_loop = ("bhtd", k_cross.transpose(0, 1, 2, 4, 3)
                        .astype(cfg.compute_dtype))
-            vc_loop = ("bhtd", v_cross.transpose(0, 1, 3, 2, 4)
+            vc_loop = ("bhtd", v_cross.transpose(0, 1, 2, 4, 3)
                        .astype(cfg.compute_dtype))
         elif cfg.cross_mode == "pallas_q8":
             from ..ops.cross_attention import quantize_kv
-            kq, ks = quantize_kv(k_cross.transpose(0, 1, 3, 2, 4))
-            vq, vs = quantize_kv(v_cross.transpose(0, 1, 3, 2, 4))
+            kq, ks = quantize_kv(k_cross.transpose(0, 1, 2, 4, 3))
+            vq, vs = quantize_kv(v_cross.transpose(0, 1, 2, 4, 3))
             kc_loop = {"q": kq, "s": ks}
             vc_loop = {"q": vq, "s": vs}
         else:

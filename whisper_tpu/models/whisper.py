@@ -262,17 +262,43 @@ def encode(params, mel, n_head: int, compute_dtype=jnp.bfloat16,
 # ---------------------------------------------------------------------------
 
 def cross_kv(params, enc_out, n_head: int, compute_dtype=jnp.bfloat16):
-    """enc_out (B, Ta, D) -> (k_cross, v_cross): (L, B, Ta, H, Dh) each."""
+    """enc_out (B, Ta, D) -> (k_cross, v_cross): (L, B, H, Dh, Ta) each.
+
+    Layout note: this stacked buffer is the biggest live tensor of a
+    window AND is fully re-read on every decode step, so its layout sets
+    the decode bandwidth floor.  TPU tiles the trailing two dims to
+    (sublane, 128 lanes); any head-split layout with Dh=64 trailing pads
+    the lane dim 2x.  (H, Dh, Ta) trailing (Dh, Ta) = (64, ~1500) is
+    tight, and serves both contractions: QK^T (k as a (Dh, Ta) rhs) and
+    attention@V (v with Ta contracted).
+    """
     dec = params["decoder"]
     nh = n_head
 
     def body(_, blk):
         k = _linear(enc_out, blk["xk_w"], None, compute_dtype)
         v = _linear(enc_out, blk["xv_w"], blk["xv_b"], compute_dtype)
-        return None, (_split_heads(k, nh), _split_heads(v, nh))
+        # (B, Ta, H, Dh) -> (B, H, Dh, Ta), stored in compute dtype
+        k = _split_heads(k, nh).transpose(0, 2, 3, 1).astype(compute_dtype)
+        v = _split_heads(v, nh).transpose(0, 2, 3, 1).astype(compute_dtype)
+        return None, (k, v)
 
     _, (ks, vs) = jax.lax.scan(body, None, dec["blocks"])
     return ks, vs
+
+
+def _cross_attention(xq, kc, vc, compute_dtype):
+    """Multi-token cross attention; xq (B, T, H, Dh), kc/vc (B, H, Dh, Ta).
+    Returns merged (B, T, D)."""
+    dh = xq.shape[-1]
+    qk = jnp.einsum("bqhd,bhdt->bhqt", xq.astype(compute_dtype),
+                    kc.astype(compute_dtype),
+                    preferred_element_type=jnp.float32) * (dh ** -0.5)
+    w = jax.nn.softmax(qk, axis=-1)
+    out = jnp.einsum("bhqt,bhdt->bqhd", w.astype(compute_dtype),
+                     vc.astype(compute_dtype),
+                     preferred_element_type=jnp.float32)
+    return _merge_heads(out)
 
 
 # ---------------------------------------------------------------------------
@@ -284,7 +310,7 @@ def decode_prompt(params, tokens, positions, k_cross, v_cross, n_head: int,
     """Parallel decode of a token block (prompt processing).
 
     tokens: (B, T) int32; positions: (T,) or (B, T) int32
-    k_cross/v_cross: (L, B, Ta, H, Dh)
+    k_cross/v_cross: (L, B, H, Dh, Ta) (cross_kv layout)
     self_mask: additive mask broadcastable to (B, 1, T, T) (float32), or None
     Returns (logits (B, T, n_vocab), k_self (L, B, T, H, Dh), v_self).
     """
@@ -307,7 +333,7 @@ def decode_prompt(params, tokens, positions, k_cross, v_cross, n_head: int,
 
         ln = _layernorm(x, blk["xattn_ln_w"], blk["xattn_ln_b"])
         xq = _split_heads(_linear(ln, blk["xq_w"], blk["xq_b"], compute_dtype), nh)
-        attn = _attention(xq, kc, vc, None, compute_dtype)
+        attn = _cross_attention(xq, kc, vc, compute_dtype)
         x = x + _linear(attn, blk["xo_w"], blk["xo_b"], compute_dtype)
 
         ln = _layernorm(x, blk["mlp_ln_w"], blk["mlp_ln_b"])
@@ -358,13 +384,13 @@ def decode_prompt_cross_qk(params, tokens, positions, k_cross, v_cross,
 
         # cross attention with explicit softmax so weights can be captured
         dh = xq.shape[-1]
-        qk = jnp.einsum("bqhd,bkhd->bhqk", xq.astype(compute_dtype),
+        qk = jnp.einsum("bqhd,bhdt->bhqt", xq.astype(compute_dtype),
                         kc.astype(compute_dtype),
                         preferred_element_type=jnp.float32) * (dh ** -0.5)
         w = jax.nn.softmax(qk.astype(jnp.float32), axis=-1)   # (B, H, T, Ta)
         qk_sel = jnp.einsum("bhta,sh->bsta", w, sel,
                             preferred_element_type=jnp.float32)
-        out = jnp.einsum("bhqk,bkhd->bqhd", w.astype(compute_dtype),
+        out = jnp.einsum("bhqt,bhdt->bqhd", w.astype(compute_dtype),
                          vc.astype(compute_dtype),
                          preferred_element_type=jnp.float32)
         x = x + _linear(_merge_heads(out), blk["xo_w"], blk["xo_b"],
@@ -388,10 +414,28 @@ def decode_prompt_cross_qk(params, tokens, positions, k_cross, v_cross,
 def _cross_attn_step(xq, kc, vc, compute_dtype):
     """Cross attention for one decode step; kc/vc select the path:
 
-      * array (B, Ta, H, Dh)            — XLA einsum (default)
+      * array (B, H, Dh, Ta)            — XLA einsum (default, cross_kv
+                                          layout: no lane padding)
+      * ("q8e", int8 (B, H, Dh, Ta), scales (B, H, Ta)) — XLA einsum,
+        int8 K/V with exact per-position scale folding (halves the
+        dominant decode traffic/memory, enabling 2x batch)
       * ("bhtd", k (B, H, Ta, Dh))      — fused Pallas kernel
       * {"q": int8 (B, H, Ta, Dh), "s"} — fused Pallas kernel, int8 K/V
     """
+    if isinstance(kc, tuple) and kc[0] == "q8e":
+        _, kq, ks = kc
+        _, vq, vs = vc
+        dh = xq.shape[-1]
+        qk = jnp.einsum("bqhd,bhdt->bhqt", xq.astype(compute_dtype),
+                        kq.astype(compute_dtype),
+                        preferred_element_type=jnp.float32)
+        qk = qk * ks[:, :, None, :] * (dh ** -0.5)     # scales (B, H, Ta)
+        w = jax.nn.softmax(qk, axis=-1)
+        wv = w * vs[:, :, None, :]
+        out = jnp.einsum("bhqt,bhdt->bqhd", wv.astype(compute_dtype),
+                         vq.astype(compute_dtype),
+                         preferred_element_type=jnp.float32)
+        return _merge_heads(out)
     if isinstance(kc, dict):
         from ..ops.cross_attention import cross_attention_decode_q8
         out = cross_attention_decode_q8(
@@ -403,7 +447,7 @@ def _cross_attn_step(xq, kc, vc, compute_dtype):
         out = cross_attention_decode(
             xq.transpose(0, 2, 1, 3).astype(compute_dtype), kc[1], vc[1])
         return _merge_heads(out.transpose(0, 2, 1, 3))
-    return _attention(xq, kc, vc, None, compute_dtype)
+    return _cross_attention(xq, kc, vc, compute_dtype)
 
 
 def decode_step(params, tokens, pos_ids, cache_index, kv_self, k_cross, v_cross,
@@ -467,11 +511,18 @@ def decode_step(params, tokens, pos_ids, cache_index, kv_self, k_cross, v_cross,
     def scan_body(carry, scanned):
         blk, kc_l, vc_l, k_cache, v_cache = scanned
         if isinstance(k_cross, tuple):
-            kc_l, vc_l = ("bhtd", kc_l), ("bhtd", vc_l)
+            tag = k_cross[0]
+            if tag == "q8e":
+                kc_l, vc_l = ("q8e",) + kc_l, ("q8e",) + vc_l
+            else:
+                kc_l, vc_l = (tag, kc_l), (tag, vc_l)
         return body(carry, (blk, kc_l, vc_l, k_cache, v_cache))
 
-    xs_k = k_cross[1] if isinstance(k_cross, tuple) else k_cross
-    xs_v = v_cross[1] if isinstance(v_cross, tuple) else v_cross
+    if isinstance(k_cross, tuple):
+        xs_k = tuple(k_cross[1:]) if k_cross[0] == "q8e" else k_cross[1]
+        xs_v = tuple(v_cross[1:]) if v_cross[0] == "q8e" else v_cross[1]
+    else:
+        xs_k, xs_v = k_cross, v_cross
     x, (k_cache, v_cache) = jax.lax.scan(
         scan_body, x, (dec["blocks"], xs_k, xs_v,
                        kv_self["k"], kv_self["v"]))

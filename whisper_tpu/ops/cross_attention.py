@@ -97,9 +97,28 @@ def cross_attention_decode_q8(q, k_q, k_s, v_q, v_s):
 
 @jax.jit
 def quantize_kv(k):
-    """(..., Ta, Dh) bf16/f32 -> (int8 codes, (..., Ta, 1) f32 scales)."""
-    kf = k.astype(jnp.float32)
-    amax = jnp.max(jnp.abs(kf), axis=-1, keepdims=True)
+    """(..., Ta, Dh) bf16/f32 -> (int8 codes, (..., Ta, 1) f32 scales).
+
+    Arithmetic stays in the input dtype (an f32 upcast of a stacked
+    (L, B, Ta, H, Dh) cross-KV would transiently need 4 bytes/elem of HBM
+    — more than the budget the quantization is buying back).  bf16 rounding
+    costs at most ±1 code near the extremes, well under the int8
+    quantization error itself.
+    """
+    amax = jnp.max(jnp.abs(k), axis=-1, keepdims=True).astype(jnp.float32)
     scale = jnp.maximum(amax, 1e-8) / 127.0
-    q = jnp.clip(jnp.round(kf / scale), -127, 127).astype(jnp.int8)
+    inv = (1.0 / scale).astype(k.dtype)
+    q = jnp.clip(jnp.round(k * inv), -127, 127).astype(jnp.int8)
     return q, scale
+
+
+@jax.jit
+def quantize_kv_bhdt(k):
+    """cross_kv layout (..., H, Dh, Ta) -> (int8 codes same layout,
+    (..., H, Ta) f32 per-position scales).  Scale granularity is per
+    (head, position) — identical to quantize_kv, different axis order."""
+    amax = jnp.max(jnp.abs(k), axis=-2, keepdims=True).astype(jnp.float32)
+    scale = jnp.maximum(amax, 1e-8) / 127.0            # (..., H, 1, Ta)
+    inv = (1.0 / scale).astype(k.dtype)
+    q = jnp.clip(jnp.round(k * inv), -127, 127).astype(jnp.int8)
+    return q, scale[..., 0, :]                          # (..., H, Ta)
