@@ -97,11 +97,11 @@ def build_pipeline(cfg: WhisperConfig, B: int, n_tokens: int, prompt_len: int = 
             n_head=cfg.n_text_head, self_mask=mask)
 
         if kv == "q8":  # the token loop reads K/V as int8 (2x batch budget)
-            from whisper_tpu.ops.cross_attention import quantize_kv
-            kq, ksc = quantize_kv(kc)
-            vq, vsc = quantize_kv(vc)
-            kc = ("q8e", kq, ksc.astype(jnp.float32))
-            vc = ("q8e", vq, vsc.astype(jnp.float32))
+            from whisper_tpu.ops.cross_attention import quantize_kv_bhdt
+            kq, ksc = quantize_kv_bhdt(kc)
+            vq, vsc = quantize_kv_bhdt(vc)
+            kc = ("q8e", kq, ksc)
+            vc = ("q8e", vq, vsc)
 
         kv_k = jnp.zeros((L, B, C, H, Dh), jnp.bfloat16).at[:, :, :P].set(
             ks.astype(jnp.bfloat16))

@@ -199,3 +199,19 @@ def test_abort_callback(tmp_path):
     p.abort_callback = lambda c: True     # abort before the first window
     assert ctx.full(p, _noise(3)) == 0
     assert ctx.full_n_segments() == 0
+
+
+def test_cross_mode_q8_matches_einsum(tmp_path):
+    """int8 cross-KV decode path produces the same tokens at t=0."""
+    path = make_random_model(tmp_path, seed=21)
+    outs = []
+    for mode in ("einsum", "einsum_q8"):
+        ctx = wt.WhisperContext.from_file(path, cross_mode=mode)
+        p = wt.full_default_params()
+        p.print_progress = False
+        p.temperature_inc = 0.0
+        p.single_segment = True
+        p.max_tokens = 5
+        ctx.full(p, _noise(2, seed=21))
+        outs.append([(s.t0, s.t1, s.text) for s in ctx.result_all])
+    assert outs[0] == outs[1]

@@ -212,8 +212,13 @@ class WhisperContext:
                  dtw_aheads_preset: str = "none",
                  dtw_n_top: int = 0,
                  dtw_aheads=None,
-                 keep_quantized: bool = True):
+                 keep_quantized: bool = True,
+                 cross_mode: str = "einsum"):
         self.model_file = model_file
+        # cross-attention KV path in the token loop: "einsum" (bf16, exact)
+        # or "einsum_q8" (int8 K/V, ~2x decode HBM headroom; see
+        # decode/loop.py and ops/cross_attention.py)
+        self.cross_mode = cross_mode
         self.dtw_token_timestamps = dtw_token_timestamps
         self.dtw_aheads_preset = dtw_aheads_preset
         self.dtw_n_top = dtw_n_top
@@ -325,7 +330,7 @@ class WhisperContext:
                           max_tokens: int, strategy: str = "greedy",
                           extra_suppress: tuple = ()):
         key = ("dec", B, P, opts, single_segment, no_timestamps, max_tokens,
-               strategy, extra_suppress)
+               strategy, extra_suppress, self.cross_mode)
         if key not in self._jit_cache:
             consts = FilterConsts.from_vocab(self.vocab, self.hparams.n_audio_ctx)
             cfg = LoopConfig(
@@ -337,6 +342,7 @@ class WhisperContext:
                 single_segment=single_segment,
                 no_timestamps=no_timestamps,
                 compute_dtype=self.compute_dtype,
+                cross_mode=self.cross_mode,
             )
             if strategy == "beam":
                 from .decode.beam import make_beam_decode_window
