@@ -103,10 +103,10 @@ def build_pipeline(cfg: WhisperConfig, B: int, n_tokens: int, prompt_len: int = 
             kc = ("q8e", kq, ksc)
             vc = ("q8e", vq, vsc)
 
-        kv_k = jnp.zeros((L, B, C, H, Dh), jnp.bfloat16).at[:, :, :P].set(
-            ks.astype(jnp.bfloat16))
-        kv_v = jnp.zeros((L, B, C, H, Dh), jnp.bfloat16).at[:, :, :P].set(
-            vs.astype(jnp.bfloat16))
+        kv_k = jnp.zeros((L, B, H, Dh, C), jnp.bfloat16).at[..., :P].set(
+            ks.transpose(0, 1, 3, 4, 2).astype(jnp.bfloat16))
+        kv_v = jnp.zeros((L, B, H, Dh, C), jnp.bfloat16).at[..., :P].set(
+            vs.transpose(0, 1, 3, 4, 2).astype(jnp.bfloat16))
 
         false_b = jnp.zeros((B,), bool)
         lg, lp, _ = process(logits[:, -1], jnp.float32(0.0),

@@ -42,10 +42,12 @@ def host_simulate(ctx, kc, vc, prompt, seek, seek_end, opts, N,
     )(ctx.params, jnp.asarray([prompt], jnp.int32), kc, vc)
     raw = np.asarray(logits_all[0, -1])
 
-    kv = {"k": jnp.zeros((L, 1, C, H, Dh), ctx.compute_dtype),
-          "v": jnp.zeros((L, 1, C, H, Dh), ctx.compute_dtype)}
-    kv["k"] = kv["k"].at[:, :, :P].set(ks.astype(ctx.compute_dtype))
-    kv["v"] = kv["v"].at[:, :, :P].set(vs.astype(ctx.compute_dtype))
+    kv = {"k": jnp.zeros((L, 1, H, Dh, C), ctx.compute_dtype),
+          "v": jnp.zeros((L, 1, H, Dh, C), ctx.compute_dtype)}
+    kv["k"] = kv["k"].at[..., :P].set(
+        ks.transpose(0, 1, 3, 4, 2).astype(ctx.compute_dtype))
+    kv["v"] = kv["v"].at[..., :P].set(
+        vs.transpose(0, 1, 3, 4, 2).astype(ctx.compute_dtype))
 
     step = jax.jit(lambda p, t, pos, ci, kv, kc, vc, kl: wm.decode_step(
         p, t, pos, ci, kv, kc, vc, kv_len=kl, n_head=nh))

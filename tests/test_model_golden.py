@@ -75,10 +75,10 @@ def test_encoder_and_logits_match_reference_binary(golden, tiny_random, jfk_pcm)
     l1 = np.asarray(logits[0, -1])
     assert np.abs(l1 - l1_ref).max() / np.abs(l1_ref).max() < 0.01
 
-    kv = {"k": jnp.zeros((4, 1, 16, 6, 64), jnp.float32),
-          "v": jnp.zeros((4, 1, 16, 6, 64), jnp.float32)}
-    kv["k"] = kv["k"].at[:, :, :4].set(ks)
-    kv["v"] = kv["v"].at[:, :, :4].set(vs)
+    kv = {"k": jnp.zeros((4, 1, 6, 64, 16), jnp.float32),
+          "v": jnp.zeros((4, 1, 6, 64, 16), jnp.float32)}
+    kv["k"] = kv["k"].at[..., :4].set(ks.transpose(0, 1, 3, 4, 2))
+    kv["v"] = kv["v"].at[..., :4].set(vs.transpose(0, 1, 3, 4, 2))
     lg, _ = wm.decode_step(
         params, jnp.asarray([400], jnp.int32), jnp.asarray([4], jnp.int32),
         jnp.int32(4), kv, kc, vc, kv_len=jnp.int32(5), n_head=6,

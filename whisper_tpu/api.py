@@ -749,10 +749,12 @@ class WhisperContext:
         lp0 = np.exp(raw0 - raw0.max())
         no_speech_prob = float((lp0 / lp0.sum())[self.vocab.token_nosp])
 
-        kv = {"k": jnp.zeros((L, 1, C, H, Dh), self.compute_dtype),
-              "v": jnp.zeros((L, 1, C, H, Dh), self.compute_dtype)}
-        kv["k"] = kv["k"].at[:, :, :P].set(ks.astype(self.compute_dtype))
-        kv["v"] = kv["v"].at[:, :, :P].set(vs.astype(self.compute_dtype))
+        kv = {"k": jnp.zeros((L, 1, H, Dh, C), self.compute_dtype),
+              "v": jnp.zeros((L, 1, H, Dh, C), self.compute_dtype)}
+        kv["k"] = kv["k"].at[..., :P].set(
+            ks.transpose(0, 1, 3, 4, 2).astype(self.compute_dtype))
+        kv["v"] = kv["v"].at[..., :P].set(
+            vs.transpose(0, 1, 3, 4, 2).astype(self.compute_dtype))
 
         rng = np.random.RandomState(0)
         tokens, p_a, plog_a, tid_a, pt_a, ptsum_a = [], [], [], [], [], []

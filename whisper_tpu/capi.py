@@ -180,10 +180,12 @@ def whisper_decode(ctx, tokens, n_tokens: int, n_past: int,
         C = ctx.hparams.n_text_ctx
         L, H, Dh = (ctx.config.n_text_layer, ctx.config.n_text_head,
                     ctx.config.head_dim_text)
-        kv = {"k": jnp.zeros((L, 1, C, H, Dh), ctx.compute_dtype),
-              "v": jnp.zeros((L, 1, C, H, Dh), ctx.compute_dtype)}
-        kv["k"] = kv["k"].at[:, :, :len(toks)].set(ks.astype(ctx.compute_dtype))
-        kv["v"] = kv["v"].at[:, :, :len(toks)].set(vs.astype(ctx.compute_dtype))
+        kv = {"k": jnp.zeros((L, 1, H, Dh, C), ctx.compute_dtype),
+              "v": jnp.zeros((L, 1, H, Dh, C), ctx.compute_dtype)}
+        kv["k"] = kv["k"].at[..., :len(toks)].set(
+            ks.transpose(0, 1, 3, 4, 2).astype(ctx.compute_dtype))
+        kv["v"] = kv["v"].at[..., :len(toks)].set(
+            vs.transpose(0, 1, 3, 4, 2).astype(ctx.compute_dtype))
         ctx._capi_kv = kv
         ctx._capi_logits = np.asarray(logits[0])
     else:

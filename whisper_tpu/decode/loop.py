@@ -214,10 +214,13 @@ def make_decode_window(params_treedef_free_fn=None, *,
         else:
             kc_loop, vc_loop = k_cross, v_cross
 
-        kv_k = jnp.zeros((L, B, C, H, Dh), cfg.compute_dtype)
-        kv_v = jnp.zeros((L, B, C, H, Dh), cfg.compute_dtype)
-        kv_k = kv_k.at[:, :, :P].set(k_self.astype(cfg.compute_dtype))
-        kv_v = kv_v.at[:, :, :P].set(v_self.astype(cfg.compute_dtype))
+        # cache layout (L, B, H, Dh, C): lane-tight like cross_kv
+        kv_k = jnp.zeros((L, B, H, Dh, C), cfg.compute_dtype)
+        kv_v = jnp.zeros((L, B, H, Dh, C), cfg.compute_dtype)
+        kv_k = kv_k.at[..., :P].set(
+            k_self.transpose(0, 1, 3, 4, 2).astype(cfg.compute_dtype))
+        kv_v = kv_v.at[..., :P].set(
+            v_self.transpose(0, 1, 3, 4, 2).astype(cfg.compute_dtype))
 
         false_b = jnp.zeros((B,), bool)
         lg, lp, pr = process_logits(

@@ -287,13 +287,15 @@ def cross_kv(params, enc_out, n_head: int, compute_dtype=jnp.bfloat16):
     return ks, vs
 
 
-def _cross_attention(xq, kc, vc, compute_dtype):
-    """Multi-token cross attention; xq (B, T, H, Dh), kc/vc (B, H, Dh, Ta).
-    Returns merged (B, T, D)."""
+def _cross_attention(xq, kc, vc, compute_dtype, mask=None):
+    """Attention with keys/values in (B, H, Dh, T) layout;
+    xq (B, Tq, H, Dh).  Returns merged (B, Tq, D)."""
     dh = xq.shape[-1]
     qk = jnp.einsum("bqhd,bhdt->bhqt", xq.astype(compute_dtype),
                     kc.astype(compute_dtype),
                     preferred_element_type=jnp.float32) * (dh ** -0.5)
+    if mask is not None:
+        qk = qk + mask
     w = jax.nn.softmax(qk, axis=-1)
     out = jnp.einsum("bhqt,bhdt->bqhd", w.astype(compute_dtype),
                      vc.astype(compute_dtype),
@@ -458,7 +460,8 @@ def decode_step(params, tokens, pos_ids, cache_index, kv_self, k_cross, v_cross,
     pos_ids: (B,) int32 — positional-embedding index per sequence (they can
         differ when prompts of different lengths were left-padded)
     cache_index: scalar int32 — write index into the cache (same for all B)
-    kv_self: dict {"k": (L, B, C, H, Dh), "v": ...} preallocated cache
+    kv_self: dict {"k": (L, B, H, Dh, C), "v": ...} preallocated cache
+        (lane-tight trailing layout, same rationale as cross_kv)
     kv_len: scalar int32 — number of valid cache entries AFTER this write
     pad_len: (B,) int32 or None — cache slots [0, pad_len) are left-padding
         from the prompt and must not be attended to
@@ -468,7 +471,7 @@ def decode_step(params, tokens, pos_ids, cache_index, kv_self, k_cross, v_cross,
     """
     dec = params["decoder"]
     nh = n_head
-    C = kv_self["k"].shape[2]
+    C = kv_self["k"].shape[-1]
 
     x = dec["tok_emb"][tokens][:, None, :] + dec["pos"][pos_ids][:, None, :]
     x = x.astype(jnp.float32)                                  # (B, 1, D)
@@ -490,12 +493,16 @@ def decode_step(params, tokens, pos_ids, cache_index, kv_self, k_cross, v_cross,
         k_new = _split_heads(_linear(ln, blk["k_w"], None, compute_dtype), nh)
         v_new = _split_heads(_linear(ln, blk["v_w"], blk["v_b"], compute_dtype), nh)
 
+        # (B, 1, H, Dh) -> (B, H, Dh, 1) column write at cache_index
         k_cache = jax.lax.dynamic_update_slice_in_dim(
-            k_cache, k_new.astype(k_cache.dtype), cache_index, axis=1)
+            k_cache, k_new.transpose(0, 2, 3, 1).astype(k_cache.dtype),
+            cache_index, axis=3)
         v_cache = jax.lax.dynamic_update_slice_in_dim(
-            v_cache, v_new.astype(v_cache.dtype), cache_index, axis=1)
+            v_cache, v_new.transpose(0, 2, 3, 1).astype(v_cache.dtype),
+            cache_index, axis=3)
 
-        attn = _attention(q, k_cache, v_cache, attn_mask, compute_dtype)
+        attn = _cross_attention(q, k_cache, v_cache, compute_dtype,
+                                mask=attn_mask)
         x = x + _linear(attn, blk["o_w"], blk["o_b"], compute_dtype)
 
         ln = _layernorm(x, blk["xattn_ln_w"], blk["xattn_ln_b"])
