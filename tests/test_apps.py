@@ -175,3 +175,48 @@ def test_command_match():
                              ["turn off the lights", "turn on the lights",
                               "play music"])
     assert idx == 1 and sim == 1.0
+
+
+def test_server_batched_mode(model_path, jfk_wav_path):
+    """Concurrent requests ride one device batch (_BatchWorker)."""
+    import socket
+    from concurrent.futures import ThreadPoolExecutor
+    from http.server import ThreadingHTTPServer
+
+    from whisper_tpu import server as srv_mod
+
+    srv_mod.STATE.ctx = wt.WhisperContext.from_file(model_path)
+    srv_mod.STATE.batcher = srv_mod._BatchWorker(
+        srv_mod.STATE.ctx, batch_size=4, window_ms=200)
+    try:
+        with socket.socket() as s:
+            s.bind(("127.0.0.1", 0))
+            port = s.getsockname()[1]
+        httpd = ThreadingHTTPServer(("127.0.0.1", port), srv_mod.Handler)
+        thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+        thread.start()
+
+        wav = open(jfk_wav_path, "rb").read()[:16000 * 2 * 2 + 44]
+        boundary = "bb"
+        body = (f"--{boundary}\r\nContent-Disposition: form-data; "
+                f'name="file"; filename="a.wav"\r\n\r\n').encode() + wav + \
+            (f"\r\n--{boundary}\r\nContent-Disposition: form-data; "
+             f'name="temperature_inc"\r\n\r\n0.0'
+             f"\r\n--{boundary}\r\nContent-Disposition: form-data; "
+             f'name="max_len"\r\n\r\n0'
+             f"\r\n--{boundary}--\r\n").encode()
+
+        def post(_):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/inference", data=body,
+                headers={"Content-Type":
+                         f'multipart/form-data; boundary="{boundary}"'})
+            with urllib.request.urlopen(req, timeout=300) as r:
+                return json.load(r)
+
+        with ThreadPoolExecutor(4) as ex:
+            results = list(ex.map(post, range(3)))
+        assert all("text" in r for r in results)
+        httpd.shutdown()
+    finally:
+        srv_mod.STATE.batcher = None

@@ -23,6 +23,7 @@ import re
 import sys
 import tempfile
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 from .api import SamplingStrategy, WhisperContext, full_default_params
@@ -34,9 +35,118 @@ class _State:
     ctx: WhisperContext | None = None
     model_path: str = ""
     lock = threading.Lock()
+    batcher: "_BatchWorker | None" = None
 
 
 STATE = _State()
+
+
+class _BatchWorker:
+    """Cross-request batching: concurrent /inference requests with
+    compatible parameters ride one device batch (BatchTranscriber) instead
+    of queueing serially — the TPU-native answer to the reference's
+    one-context-one-request server.
+
+    Requests are collected for up to `window_ms` (or until `batch_size`
+    accumulate), grouped by a parameter signature, and transcribed
+    together; incompatible ones fall back to serial ctx.full.
+    """
+
+    def __init__(self, ctx: WhisperContext, batch_size: int = 8,
+                 window_ms: int = 50):
+        import queue
+
+        self.ctx = ctx
+        self.batch_size = batch_size
+        self.window_s = window_ms / 1000.0
+        self.queue: "queue.Queue" = queue.Queue()
+        self.thread = threading.Thread(target=self._run, daemon=True)
+        self.thread.start()
+
+    @staticmethod
+    def _signature(p) -> tuple:
+        return (p.language, p.translate, p.no_timestamps, p.single_segment,
+                p.max_tokens, p.temperature, p.temperature_inc,
+                p.beam_search.beam_size if p.strategy else -1,
+                p.offset_ms, p.duration_ms)
+
+    def submit(self, pcm, params):
+        """Blocks until this request's segments are ready; returns them."""
+        done = threading.Event()
+        slot: dict = {}
+        self.queue.put((pcm, params, done, slot))
+        done.wait()
+        if "error" in slot:
+            raise RuntimeError(slot["error"])
+        return slot["segments"]
+
+    def _run(self):
+        import queue as _q
+
+        while True:
+            first = self.queue.get()
+            batch = [first]
+            deadline = time.monotonic() + self.window_s
+            while len(batch) < self.batch_size:
+                timeout = deadline - time.monotonic()
+                if timeout <= 0:
+                    break
+                try:
+                    batch.append(self.queue.get(timeout=timeout))
+                except _q.Empty:
+                    break
+
+            groups: dict = {}
+            for item in batch:
+                groups.setdefault(self._signature(item[1]), []).append(item)
+
+            for items in groups.values():
+                self._process_group(items)
+
+    def _process_group(self, items):
+        from .parallel.batch import BatchTranscriber
+
+        params = items[0][1]
+        try:
+            if (len(items) > 1
+                    and params.language not in (None, "", "auto")
+                    and params.strategy == SamplingStrategy.GREEDY
+                    and not params.detect_language):
+                bt = BatchTranscriber(self.ctx, batch_size=len(items),
+                                      params=params)
+                results = bt.transcribe([pcm for pcm, *_ in items])
+                for (_, _, done, slot), segs in zip(items, results):
+                    slot["segments"] = segs
+                    done.set()
+                return
+            for pcm, p, done, slot in items:
+                state = self.ctx.init_state()
+                if self.ctx.full(p, pcm, state=state) != 0:
+                    slot["error"] = "failed to process audio"
+                else:
+                    slot["segments"] = list(state.result_all)
+                done.set()
+        except Exception as e:  # noqa: BLE001 — propagate per request
+            for _, _, done, slot in items:
+                if not done.is_set():
+                    slot["error"] = str(e)
+                    done.set()
+
+
+class _SegmentsView:
+    """Read-only accessor facade over a segment list (for formatters)."""
+
+    def __init__(self, segments, lang_id=0):
+        self._segs = segments
+        self._lang = lang_id
+
+    def full_n_segments(self): return len(self._segs)
+    def full_lang_id(self): return self._lang
+    def full_get_segment_t0(self, i): return self._segs[i].t0
+    def full_get_segment_t1(self, i): return self._segs[i].t1
+    def full_get_segment_text(self, i): return self._segs[i].text
+    def full_get_segment_no_speech_prob(self, i):
+        return self._segs[i].no_speech_prob
 
 
 def _parse_multipart(body: bytes, content_type: str) -> dict:
@@ -206,12 +316,17 @@ class Handler(BaseHTTPRequestHandler):
             params.print_progress = False
             fmt = _apply_request_params(params, form)
 
-            with STATE.lock:
-                if STATE.ctx is None:
-                    raise RuntimeError("no model loaded")
-                if STATE.ctx.full(params, pcm) != 0:
-                    raise RuntimeError("failed to process audio")
-                ctype, out = _format_response(STATE.ctx, fmt)
+            if STATE.ctx is None:
+                raise RuntimeError("no model loaded")
+            if STATE.batcher is not None:
+                segs = STATE.batcher.submit(pcm, params)
+                view = _SegmentsView(segs, STATE.ctx.full_lang_id())
+                ctype, out = _format_response(view, fmt)
+            else:
+                with STATE.lock:
+                    if STATE.ctx.full(params, pcm) != 0:
+                        raise RuntimeError("failed to process audio")
+                    ctype, out = _format_response(STATE.ctx, fmt)
             self._send(200, ctype, out)
         except Exception as e:
             self._send(500, "application/json", json.dumps({"error": str(e)}))
@@ -222,10 +337,19 @@ def main(argv=None) -> int:
     ap.add_argument("-m", "--model", required=True)
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=8080)
+    ap.add_argument("--batch", type=int, default=0,
+                    help="cross-request batching: max requests per device "
+                         "batch (0 = serial, reference behavior)")
+    ap.add_argument("--batch-window-ms", type=int, default=50)
     args = ap.parse_args(argv)
 
     STATE.ctx = WhisperContext.from_file(args.model)
     STATE.model_path = args.model
+    if args.batch > 0:
+        STATE.batcher = _BatchWorker(STATE.ctx, batch_size=args.batch,
+                                     window_ms=args.batch_window_ms)
+        print(f"cross-request batching: up to {args.batch} per step",
+              file=sys.stderr)
 
     srv = ThreadingHTTPServer((args.host, args.port), Handler)
     print(f"whisper-server listening on http://{args.host}:{args.port}",
