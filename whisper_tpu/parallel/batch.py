@@ -131,7 +131,9 @@ class BatchTranscriber:
             B = len(batch)
 
             mel_windows = np.zeros((B, 2 * n_ctx, n_mels), np.float32)
-            prompts = []
+            prompts = []        # with carried past (used while t < 0.5)
+            prompts_bare = []   # prompt_init only (hot retries,
+                                # reference: whisper.cpp:5763 t_cur<0.5 gate)
             for row, i in enumerate(batch):
                 st = states[i]
                 avail = max(0, min(2 * n_ctx, st.mel.shape[0] - st.seek))
@@ -143,6 +145,7 @@ class BatchTranscriber:
                                  len(st.prompt_past))
                     prompt = [ctx.vocab.token_prev] + st.prompt_past[-n_take:]
                 prompts.append(prompt + self.prompt_init)
+                prompts_bare.append(list(self.prompt_init))
 
             if self.mesh is not None and B == self.B:
                 from jax.sharding import NamedSharding, PartitionSpec as P
@@ -164,8 +167,9 @@ class BatchTranscriber:
             for it, t_cur in enumerate(temps):
                 if not pending:
                     break
+                cur_prompts = prompts if t_cur < 0.5 else prompts_bare
                 out = self._decode_rows(
-                    [prompts[r] for r in pending],
+                    [cur_prompts[r] for r in pending],
                     jnp.take(kc, jnp.asarray(pending), axis=1),
                     jnp.take(vc, jnp.asarray(pending), axis=1),
                     np.asarray([states[batch[r]].seek for r in pending]),
@@ -177,7 +181,8 @@ class BatchTranscriber:
                     ok = self._row_success(out, j, t_cur,
                                            last=(it == len(temps) - 1))
                     if ok:
-                        self._finish_window(st, out, j, int(out["n_tokens"]))
+                        self._finish_window(st, out, j, int(out["n_tokens"]),
+                                            cur_prompts[r])
                     else:
                         still_failed.append(r)
                 pending = still_failed
@@ -227,7 +232,7 @@ class BatchTranscriber:
         return True
 
     def _finish_window(self, st: StreamState, out, row: int,
-                       n_sampled: int) -> None:
+                       n_sampled: int, prompt: list) -> None:
         ctx = self.ctx
         p = self.params
         failed = bool(out["failed"][row])
@@ -246,8 +251,7 @@ class BatchTranscriber:
                 "seek_delta": seek_delta,
                 "avg_logprobs": (float(out["plog"][row][:result_len].sum())
                                  / max(result_len, 1)),
-                "prompt": ([ctx.vocab.token_prev] if st.prompt_past else [])
-                          + st.prompt_past + self.prompt_init,
+                "prompt": prompt,
             }
             with ctx.use_state(st):
                 ctx.no_speech_prob = st.no_speech_prob
