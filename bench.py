@@ -142,12 +142,16 @@ def main():
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--kv", default="bf16", choices=["bf16", "q8"],
                     help="cross-attention KV precision in the decode loop")
+    ap.add_argument("--weights", default="bf16", choices=["bf16", "q8_0"],
+                    help="decoder block weights: bf16 or block-q8 codes "
+                         "via the Pallas dequant-matmul kernel")
     args = ap.parse_args()
 
     cfg = CONFIGS[args.size]
     B, T = args.batch, args.tokens
 
-    params = random_params(cfg, seed=0, dtype=jnp.bfloat16)
+    params = random_params(cfg, seed=0, dtype=jnp.bfloat16,
+                           quantized_decoder=(args.weights == "q8_0"))
     # fresh random audio per iteration AND per run: the runtime memoizes
     # results of identical computations across processes.  Length chosen so
     # the mel covers a full encoder window.
@@ -189,6 +193,7 @@ def main():
         "tokens_per_window": T,
         "window_ms": round(ms_per_window, 2),
         "kv": args.kv,
+        "weights": args.weights,
         "compile_s": round(compile_s, 1),
         "device": str(jax.devices()[0]),
     }))

@@ -100,15 +100,15 @@ def unpack_to_codes(raw: bytes, ttype: int,
 # ---------------------------------------------------------------------------
 
 def _qmm_kernel(x_ref, codes_ref, scales_ref, acc_ref):
-    """Grid (N/BN, K/BK); K is the reduction axis (innermost).
+    """Grid (M/BM, N/BN, K/BK); K is the reduction axis (innermost).
 
     Weights are stored K-major so every tile is VMEM-tileable:
-      x:      (M, BK)        f32/bf16
+      x:      (BM, BK)       f32/bf16
       codes:  (BK, BN)       int8   — W^T codes
       scales: (BK//32, BN)   f32    — W^T block scales
-      acc:    (M, BN)        f32    — accumulated over the K grid dim
+      acc:    (BM, BN)       f32    — accumulated over the K grid dim
     """
-    k_idx = pl.program_id(1)
+    k_idx = pl.program_id(2)
 
     @pl.when(k_idx == 0)
     def _():
@@ -122,15 +122,17 @@ def _qmm_kernel(x_ref, codes_ref, scales_ref, acc_ref):
                           preferred_element_type=jnp.float32)
 
 
-@functools.partial(jax.jit, static_argnames=("block_n", "block_k"))
-def quantized_matmul(x, codes_t, scales_t, block_n: int = 512,
-                     block_k: int = 512):
+@functools.partial(jax.jit,
+                   static_argnames=("block_m", "block_n", "block_k"))
+def quantized_matmul(x, codes_t, scales_t, block_m: int = 512,
+                     block_n: int = 512, block_k: int = 512):
     """y = x @ W^T with W = codes * scales (block-32), W^T stored K-major.
 
     x: (M, K); codes_t: (K, N) int8; scales_t: (K//32, N) f32 -> (M, N) f32.
     """
     m, k = x.shape
     n = codes_t.shape[1]
+    bm = min(block_m, m)   # single-token decode: m is small, one block
     bn = min(block_n, n)
     while n % bn:
         bn //= 2
@@ -138,23 +140,24 @@ def quantized_matmul(x, codes_t, scales_t, block_n: int = 512,
     while k % bk:
         bk //= 2
     assert bn >= 128 and bk >= QK, (n, k, bn, bk)
+    grid_m = pl.cdiv(m, bm)
 
     return pl.pallas_call(
         _qmm_kernel,
-        grid=(n // bn, k // bk),
+        grid=(grid_m, n // bn, k // bk),
         in_specs=[
-            pl.BlockSpec((m, bk), lambda i, j: (0, j),
+            pl.BlockSpec((bm, bk), lambda g, i, j: (g, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((bk, bn), lambda i, j: (j, i),
+            pl.BlockSpec((bk, bn), lambda g, i, j: (j, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((bk // QK, bn), lambda i, j: (j, i),
+            pl.BlockSpec((bk // QK, bn), lambda g, i, j: (j, i),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((m, bn), lambda i, j: (0, i),
+        out_specs=pl.BlockSpec((bm, bn), lambda g, i, j: (g, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m, n), jnp.float32),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary")),
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
     )(x, codes_t, scales_t)
 
 

@@ -129,11 +129,13 @@ def params_from_ggml(mf: GgmlModelFile, dtype=jnp.bfloat16,
 
 
 def random_params(cfg: WhisperConfig, seed: int = 0, dtype=jnp.bfloat16,
-                  scale: float = 0.02):
+                  scale: float = 0.02, quantized_decoder: bool = False):
     """Random-weight parameters generated on device (benchmarks, dry runs).
 
     Timing-faithful stand-in for real checkpoints when trained weights are
     unavailable; layernorm scales are 1 so activations stay well-behaved.
+    quantized_decoder: decoder block matmul weights as block-q8 codes
+    ({"q": int8 K-major, "s": scales}) riding the Pallas dequant kernel.
     """
     import jax
 
@@ -155,6 +157,23 @@ def random_params(cfg: WhisperConfig, seed: int = 0, dtype=jnp.bfloat16,
         for k in list(params[side]["blocks"]):
             if k.endswith("ln_w"):
                 params[side]["blocks"][k] = jnp.ones_like(params[side]["blocks"][k])
+
+    if quantized_decoder:
+        from . import quant as _q
+        blocks = params["decoder"]["blocks"]
+        key = jax.random.PRNGKey(seed + 1)
+        for name in list(blocks):
+            w = blocks[name]
+            if not (hasattr(w, "ndim") and w.ndim == 3
+                    and w.shape[-1] % _q.QK == 0
+                    and w.shape[-1] % 128 == 0 and w.shape[-2] % 128 == 0):
+                continue
+            L, N, K = w.shape
+            key, k1, k2 = jax.random.split(key, 3)
+            codes = jax.random.randint(k1, (L, K, N), -127, 128, jnp.int8)
+            scales = (jax.random.uniform(k2, (L, K // _q.QK, N),
+                                         jnp.float32) * 1e-3 + 1e-4)
+            blocks[name] = {"q": codes, "s": scales}
     return params
 
 
