@@ -81,8 +81,10 @@ class StreamTranscriber:
     def feed_fixed(self, pcmf32_new: np.ndarray):
         """Fixed-step mode: returns list of (final, segments) events."""
         events = []
+        # carry formula (reference: stream.cpp:271)
         take = min(len(self.pcmf32_old),
-                   max(0, self.n_samples_len + 1000 - len(pcmf32_new)))
+                   max(0, self.n_samples_keep + self.n_samples_len
+                       - len(pcmf32_new)))
         pcm = np.concatenate([self.pcmf32_old[len(self.pcmf32_old) - take:],
                               pcmf32_new]).astype(np.float32)
         self.pcmf32_old = pcm
