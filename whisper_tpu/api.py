@@ -29,7 +29,7 @@ from .decode.loop import LoopConfig, make_decode_window
 from .languages import lang_id as _lang_id, lang_str
 from .models import whisper as wm
 from .tokenizer import tokenize
-from .utils.logging import log_error, log_info, log_warn
+from .utils.logging import log_debug, log_error, log_info, log_warn
 from .utils.timings import Timings
 from .weights.convert import params_from_ggml
 from .weights.ggml_reader import read_ggml_file
@@ -697,7 +697,24 @@ class WhisperContext:
         n_tok = int(out["n_tokens"])
         self.timings.t_decode_us += dt
         self.timings.n_decode += max(n_tok, 1)
+        self.timings.n_sample += max(n_tok, 1)
         self.timings.n_prompt += len(prompt)
+
+        import os
+        if os.environ.get("WTPU_DEBUG") == "1":
+            # per-token trace (the reference's WHISPER_DEBUG,
+            # whisper.cpp:6017-6023)
+            for j in range(out["tokens"].shape[0]):
+                toks = out["tokens"][j][:n_tok]
+                log_debug(
+                    f"decoder {j}: t={t_cur:.2f} "
+                    f"completed={bool(out['completed'][j])} "
+                    f"failed={bool(out['failed'][j])} "
+                    f"result_len={int(out['result_len'][j])} | " +
+                    " ".join(
+                        f"{int(t)}:{self.vocab.token_str(int(t))!r}"
+                        f"(p={out['p'][j][i]:.3f})"
+                        for i, t in enumerate(toks[:24])))
         return out
 
     def _prompt_step_fns(self):

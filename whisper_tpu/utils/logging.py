@@ -10,6 +10,7 @@ import sys
 from typing import Callable, Optional
 
 LOG_LEVEL_NONE = 0
+LOG_LEVEL_DEBUG = 1
 LOG_LEVEL_INFO = 2
 LOG_LEVEL_WARN = 3
 LOG_LEVEL_ERROR = 4
@@ -33,6 +34,10 @@ def _emit(level: int, msg: str) -> None:
         _callback(level, msg)
     elif level >= _verbosity:
         print(f"whisper_tpu: {msg}", file=sys.stderr)
+
+
+def log_debug(msg: str) -> None:
+    _emit(LOG_LEVEL_DEBUG, msg)
 
 
 def log_info(msg: str) -> None:
