@@ -84,3 +84,17 @@ def test_set_mel_validation(ctx):
     good = np.zeros((100, 80), np.float32)
     assert whisper.whisper_set_mel(ctx, good.T.ravel(), 100, 80) == 0
     assert whisper.whisper_n_len(ctx) == 100
+
+
+def test_full_with_preset_mel(ctx):
+    """whisper_set_mel + whisper_full(nullptr samples) (reference:
+    whisper_full_with_state skips mel when n_samples == 0)."""
+    import whisper_tpu.capi as whisper
+
+    mel = np.random.RandomState(3).rand(200, 80).astype(np.float32) * 0.5
+    assert whisper.whisper_set_mel(ctx, mel.T.ravel(), 200, 80) == 0
+    params = whisper.whisper_full_default_params(
+        whisper.WHISPER_SAMPLING_GREEDY)
+    params.print_progress = False
+    params.temperature_inc = 0.0
+    assert whisper.whisper_full(ctx, params, np.zeros(0, np.float32)) == 0
