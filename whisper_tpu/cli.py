@@ -76,6 +76,9 @@ def build_parser() -> argparse.ArgumentParser:
     a("-ng", "--no-gpu", action="store_true")        # accepted, unused on TPU
     a("-fa", "--flash-attn", action="store_true")    # accepted (XLA fuses)
     a("-sns", "--suppress-nst", action="store_true", dest="suppress_nst")
+    a("-kvq", "--kv-q8", action="store_true", dest="kv_q8",
+      help="int8 cross-attention KV in the decode loop (TPU-native; "
+           "halves decode HBM traffic)")
     a("--suppress-regex", default=None, dest="suppress_regex")
     a("--grammar", default="")
     a("--grammar-rule", default="")
@@ -175,6 +178,8 @@ def main(argv=None) -> int:
             print(f"error: unknown DTW preset '{args.dtw}'", file=sys.stderr)
             return 3
 
+    if args.kv_q8:
+        dtw_kwargs["cross_mode"] = "einsum_q8"
     ctx = WhisperContext.from_file(args.model, **dtw_kwargs)
 
     if not ctx.is_multilingual():
