@@ -215,3 +215,77 @@ def test_cross_mode_q8_matches_einsum(tmp_path):
         ctx.full(p, _noise(2, seed=21))
         outs.append([(s.t0, s.t1, s.text) for s in ctx.result_all])
     assert outs[0] == outs[1]
+
+
+def test_beam1_equals_greedy(tmp_path):
+    """Beam search with beam_size=1 degenerates to exact greedy decoding."""
+    path = make_random_model(tmp_path, seed=31)
+    pcm = _noise(2, seed=31)
+
+    def run(strategy, beam):
+        ctx = wt.WhisperContext.from_file(path)
+        p = wt.full_default_params(strategy)
+        p.print_progress = False
+        p.temperature_inc = 0.0
+        p.beam_search.beam_size = beam
+        ctx.full(p, pcm)
+        return [(s.t0, s.t1, s.text, [t.id for t in s.tokens])
+                for s in ctx.result_all]
+
+    greedy = run(wt.SamplingStrategy.GREEDY, -1)
+    beam1 = run(wt.SamplingStrategy.BEAM_SEARCH, 1)
+    assert greedy == beam1
+
+
+def test_beam_score_no_worse_than_greedy(tmp_path):
+    """The beam-5 winner's cumulative logprob >= the greedy sequence's."""
+    import jax
+    import jax.numpy as jnp
+    from whisper_tpu.decode.filters import FilterConsts, FilterOptions
+    from whisper_tpu.decode.beam import make_beam_decode_window
+    from whisper_tpu.decode.loop import LoopConfig, make_decode_window
+
+    path = make_random_model(tmp_path, seed=32)
+    ctx = wt.WhisperContext.from_file(path)
+    pcm = _noise(2, seed=32)
+    ctx.pcm_to_mel(pcm)
+    _, kc, vc = ctx.encode_window(0)
+    consts = FilterConsts.from_vocab(ctx.vocab, ctx.hparams.n_audio_ctx)
+    N = ctx.hparams.n_text_ctx // 2 - 4
+
+    def mkcfg():
+        return LoopConfig(n_head=ctx.config.n_text_head,
+                          n_text_ctx=ctx.hparams.n_text_ctx, prompt_size=8,
+                          max_tokens_loop=N, max_tokens_param=0,
+                          single_segment=False, no_timestamps=False,
+                          compute_dtype=ctx.compute_dtype)
+
+    buf = np.zeros((1, 8), np.int32)
+    buf[:, 7:] = [ctx.vocab.token_sot]
+    args = (jnp.asarray(buf), jnp.asarray([7], np.int32), jnp.float32(0.0),
+            jnp.int32(0), jnp.int32(ctx.mel_n_len_org), jax.random.PRNGKey(0))
+
+    g = jax.jit(make_decode_window(consts=consts, options=FilterOptions(),
+                                   cfg=mkcfg()))
+    out_g = jax.tree_util.tree_map(
+        np.asarray, g(ctx.params, kc, vc, *args))
+
+    B = 5
+    kc5 = jnp.broadcast_to(kc, (kc.shape[0], B) + kc.shape[2:])
+    vc5 = jnp.broadcast_to(vc, (vc.shape[0], B) + vc.shape[2:])
+    buf5 = np.repeat(buf, B, axis=0)
+    b = jax.jit(make_beam_decode_window(consts=consts,
+                                        options=FilterOptions(),
+                                        cfg=mkcfg(), beam_size=B))
+    out_b = jax.tree_util.tree_map(
+        np.asarray, b(ctx.params, kc5, vc5, jnp.asarray(buf5),
+                      jnp.asarray([7] * B, np.int32), jnp.float32(0.0),
+                      jnp.int32(0), jnp.int32(ctx.mel_n_len_org),
+                      jax.random.PRNGKey(0)))
+
+    ok_rows = [j for j in range(B) if not out_b["failed"][j]]
+    if ok_rows and not out_g["failed"][0]:
+        best_beam = max(float(out_b["sum_logprobs_all"][j]) for j in ok_rows)
+        # the greedy path is a valid beam member: beam's best can't be worse
+        # (allow small float slack)
+        assert best_beam >= float(out_g["sum_logprobs_all"][0]) - 1e-3
