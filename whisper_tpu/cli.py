@@ -244,7 +244,7 @@ def main(argv=None) -> int:
             outputs.output_csv(ctx, base + ".csv", args.diarize, pcm_stereo)
         if args.output_lrc:
             outputs.output_lrc(ctx, base + ".lrc", args.diarize, pcm_stereo)
-        if args.output_jsn:
+        if args.output_jsn or args.output_jsn_full:  # -ojf implies -oj
             outputs.output_json(ctx, base + ".json", info,
                                 full=args.output_jsn_full,
                                 diarize=args.diarize,

@@ -189,6 +189,12 @@ def output_json(ctx, fname, params_info: dict | None = None, full=False,
 
 def output_wts(ctx, fname, fname_inp, t_sec, font_path) -> bool:
     """Karaoke bash/ffmpeg script (reference: cli.cpp:766-883)."""
+    import os
+    import sys
+    if not os.path.exists(font_path):
+        print(f"output_wts: font not found at '{font_path}', please "
+              "specify a monospace font with -fp", file=sys.stderr)
+        return False
     with open(fname, "w") as f:
         f.write("#!/bin/bash\n\n")
         f.write(f"ffmpeg -i {fname_inp} -f lavfi -i "
