@@ -658,8 +658,11 @@ class WhisperContext:
                     self, params, n_seg_before, n_new, seek, n_frames,
                     medfilt_width=7)
                 if params.new_segment_callback:
-                    for i in range(n_seg_before, len(self.result_all)):
-                        params.new_segment_callback(self, 1)
+                    # deferred until after DTW stamped the tokens; one call
+                    # covering every new segment (the reference's per-seg
+                    # loop at whisper.cpp:6372-6376 double-reports)
+                    params.new_segment_callback(
+                        self, len(self.result_all) - n_seg_before)
 
             seek = seek_new
 
