@@ -289,3 +289,35 @@ def test_beam_score_no_worse_than_greedy(tmp_path):
         # the greedy path is a valid beam member: beam's best can't be worse
         # (allow small float slack)
         assert best_beam >= float(out_g["sum_logprobs_all"][0]) - 1e-3
+
+
+def test_emit_truncates_to_result_len(random_ctx, params):
+    """Tokens sampled after the last accepted timestamp must NOT be emitted
+    (reference: whisper.cpp:6180 resizes to result_len before emission) and
+    the single-timestamp-ending rule (:6380-6387) must see the truncated
+    tail (text, timestamp) and consume the whole chunk."""
+    v = random_ctx.vocab
+    beg = v.token_beg
+    # accepted: [text(100), ts(+1.0s)]; then a stray text token + EOT that
+    # belong to the NEXT window
+    toks = np.array([100, beg + 50, 101, v.token_eot], np.int32)
+    tids = np.array([beg, beg + 50, beg, beg], np.int32)
+    ones = np.ones(4, np.float32)
+    best = {
+        "tokens": toks, "tid": tids, "p": ones,
+        "plog": np.zeros(4, np.float32), "pt": ones, "ptsum": ones,
+        "result_len": 2, "n_emit": 2, "seek_delta": 100,
+        "avg_logprobs": 0.0, "prompt": [v.token_sot],
+    }
+    random_ctx.result_all = []
+    random_ctx.prompt_past = []
+    random_ctx.no_speech_prob = 0.0
+    seek_new = random_ctx._emit_segments(best, 0, 3000, params,
+                                         [v.token_sot], False)
+    segs = random_ctx.result_all
+    assert len(segs) == 1
+    assert [t.id for t in segs[0].tokens] == [100, beg + 50]
+    # prompt_past carries only the accepted tokens
+    assert random_ctx.prompt_past == [100, beg + 50]
+    # single-timestamp ending fires: whole chunk consumed, not just 1 s
+    assert seek_new == 3000

@@ -624,6 +624,12 @@ class WhisperContext:
 
                 if success:
                     j = max(best_j, 0)
+                    # the reference resizes the winning sequence to
+                    # result_len before emission (whisper.cpp:6180); only a
+                    # loop-failed decoder (possible at the final temperature
+                    # when everything failed) keeps its full sampled tail
+                    n_emit = (int(result["n_tokens"])
+                              if bool(result["failed"][j]) else seqs[j][1])
                     best = {
                         "tokens": np.asarray(result["tokens"][j]),
                         "p": np.asarray(result["p"][j]),
@@ -632,7 +638,7 @@ class WhisperContext:
                         "pt": np.asarray(result["pt"][j]),
                         "ptsum": np.asarray(result["ptsum"][j]),
                         "result_len": seqs[j][1],
-                        "n_sampled": int(result["n_tokens"]),
+                        "n_emit": n_emit,
                         "seek_delta": int(result["seek_delta"][j]),
                         "avg_logprobs": seqs[j][3],
                         "prompt": prompt,
@@ -881,15 +887,19 @@ class WhisperContext:
         Returns the new seek."""
         vocab = self.vocab
         result_len = best["result_len"]
-        n_sampled = best["n_sampled"]
         seek_delta = best["seek_delta"]
         prompt = best["prompt"]
 
+        # the sequence is truncated to result_len before emission
+        # (reference: whisper.cpp:6180 tokens.resize(result_len)) — tokens
+        # sampled after the final accepted timestamp must NOT be emitted
+        # (they belong to the next window, which re-decodes them)
+        n_emit = best.get("n_emit", result_len)
         tokens_cur = [
             TokenData(id=int(best["tokens"][i]), tid=int(best["tid"][i]),
                       p=float(best["p"][i]), plog=float(best["plog"][i]),
                       pt=float(best["pt"][i]), ptsum=float(best["ptsum"][i]))
-            for i in range(n_sampled)
+            for i in range(n_emit)
         ]
 
         is_no_speech = (self.no_speech_prob > params.no_speech_thold

@@ -240,14 +240,18 @@ class BatchTranscriber:
         seek_delta = int(out["seek_delta"][row])
         st.no_speech_prob = float(out["no_speech_prob"][row])
 
-        if failed or ctx.n_loaded == 0:
+        if ctx.n_loaded == 0:
             st.seek += TICKS_PER_SECOND * CHUNK_SIZE
         else:
+            # emission truncates to result_len (whisper.cpp:6180); a
+            # loop-failed row reaching the final temperature keeps its full
+            # sampled sequence, exactly like the serial path
             best = {
                 "tokens": out["tokens"][row], "p": out["p"][row],
                 "plog": out["plog"][row], "tid": out["tid"][row],
                 "pt": out["pt"][row], "ptsum": out["ptsum"][row],
-                "result_len": result_len, "n_sampled": n_sampled,
+                "result_len": result_len,
+                "n_emit": n_sampled if failed else result_len,
                 "seek_delta": seek_delta,
                 "avg_logprobs": (float(out["plog"][row][:result_len].sum())
                                  / max(result_len, 1)),

@@ -156,12 +156,16 @@ def _parse_multipart(body: bytes, content_type: str) -> dict:
     boundary = m.group(1).encode()
     parts: dict[str, bytes] = {}
     for chunk in body.split(b"--" + boundary):
-        chunk = chunk.strip(b"\r\n")
-        if not chunk or chunk == b"--":
-            continue
+        # exactly one CRLF follows the boundary and one precedes the next;
+        # binary payloads may legitimately start/end with 0x0D/0x0A bytes,
+        # so never strip() the data itself
+        if chunk.startswith(b"\r\n"):
+            chunk = chunk[2:]
         if b"\r\n\r\n" not in chunk:
             continue
         head, _, data = chunk.partition(b"\r\n\r\n")
+        if data.endswith(b"\r\n"):
+            data = data[:-2]
         mname = re.search(rb'name="([^"]+)"', head)
         if mname:
             parts[mname.group(1).decode()] = data
@@ -293,6 +297,10 @@ class Handler(BaseHTTPRequestHandler):
                 with STATE.lock:
                     STATE.ctx = WhisperContext.from_file(req["model"])
                     STATE.model_path = req["model"]
+                    if STATE.batcher is not None:
+                        # the worker holds its own ctx reference; rebind so
+                        # batched requests use the newly loaded model too
+                        STATE.batcher.ctx = STATE.ctx
                 self._send(200, "application/json", '{"status": "ok"}')
             except Exception as e:
                 self._send(400, "application/json",

@@ -22,16 +22,19 @@ def sample_to_timestamp(i_sample: int) -> int:
 
 
 def voice_length(text: str) -> float:
-    """Pronunciation-time heuristic (reference: src/whisper.cpp:6922-6946)."""
+    """Pronunciation-time heuristic (reference: src/whisper.cpp:6922-6946).
+
+    The reference iterates UTF-8 BYTES (C++ `for (char c : text)`), so a
+    multibyte character weighs 1.0 per byte; match that exactly."""
     res = 0.0
-    for c in text:
-        if c == " ":
+    for b in text.encode("utf-8"):
+        if b == 0x20:        # ' '
             res += 0.01
-        elif c == ",":
+        elif b == 0x2C:      # ','
             res += 2.0
-        elif c in ".!?":
+        elif b in (0x2E, 0x21, 0x3F):  # '.' '!' '?'
             res += 3.0
-        elif "0" <= c <= "9":
+        elif 0x30 <= b <= 0x39:        # '0'-'9'
             res += 3.0
         else:
             res += 1.0
