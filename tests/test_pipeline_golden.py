@@ -1,0 +1,93 @@
+"""Full-pipeline golden: ctx.full() vs the actual reference binary.
+
+The goldens `tests/golden/ref_{jfk,noise40}_greedy.json` are `-ojf` outputs
+of the reference `whisper-cli` (built CPU-only from /root/reference at the
+pinned snapshot: `cmake -DGGML_NATIVE=OFF -DGGML_OPENMP=OFF`, Release) run
+on the shared seed-7 random-weight model:
+
+    whisper-cli -m random-7.bin -f <audio> -nf -bs 1 -bo 1 -ojf
+
+with random-7.bin = make_random_model(seed=7, ftype=1) (f16 weights — the
+reference's CPU im2col requires f16 conv kernels) and
+noise40.wav = RandomState(3).randn(16000*40)*0.1 clipped, int16 WAV.
+
+This pins ORCHESTRATOR-level behavior (reference: src/whisper.cpp:5481-6397)
+token-exactly: window seek advancement, prompt-past carry across windows,
+segment splitting on timestamp pairs, the single-timestamp-ending chunk
+skip, emission truncation to result_len, and the energy token-timestamp
+pass (E31) — everything above the per-activation goldens.
+
+Segment times, texts, token ids, and token-level t0/t1 must match EXACTLY;
+token probabilities match to 1% (f32 ggml GEMM vs XLA numerics).
+
+Beam-5 is deliberately NOT pinned against the binary: the reference draws
+beam candidates multinomially via std::discrete_distribution even at t==0
+(src/whisper.cpp:5357-5430), which is libstdc++-implementation-defined —
+no cross-implementation golden exists even in principle.  Beam behavior is
+covered by property tests in test_full.py instead.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+import whisper_tpu as wt
+from conftest import make_random_model
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "golden")
+
+
+@pytest.fixture(scope="module")
+def golden_ctx(tmp_path_factory):
+    path = make_random_model(tmp_path_factory.mktemp("m"), seed=7, ftype=1)
+    return wt.WhisperContext.from_file(path)
+
+
+def _params():
+    # whisper-cli -nf -bs 1 -bo 1 -ojf equivalents
+    p = wt.full_default_params()
+    p.print_progress = False
+    p.temperature_inc = 0.0          # -nf
+    p.greedy.best_of = 1             # -bo 1
+    p.token_timestamps = True        # -ojf enables token timestamps
+    return p
+
+
+def _assert_matches_golden(ctx, golden_name):
+    ref = json.load(open(os.path.join(GOLDEN, f"{golden_name}.json")))
+    rt = ref["transcription"]
+    assert ctx.full_n_segments() == len(rt), \
+        f"segment count: ours {ctx.full_n_segments()} vs ref {len(rt)}"
+    for i, rseg in enumerate(rt):
+        seg = ctx.result_all[i]
+        assert seg.t0 * 10 == rseg["offsets"]["from"], f"seg {i} t0"
+        assert seg.t1 * 10 == rseg["offsets"]["to"], f"seg {i} t1"
+        assert seg.text == rseg["text"], f"seg {i} text"
+        rtoks = rseg["tokens"]
+        assert len(seg.tokens) == len(rtoks), f"seg {i} token count"
+        for j, (tok, rtok) in enumerate(zip(seg.tokens, rtoks)):
+            assert tok.id == rtok["id"], f"seg {i} tok {j} id"
+            assert tok.t0 * 10 == rtok["offsets"]["from"], f"seg {i} tok {j} t0"
+            assert tok.t1 * 10 == rtok["offsets"]["to"], f"seg {i} tok {j} t1"
+            assert tok.t_dtw == rtok["t_dtw"], f"seg {i} tok {j} t_dtw"
+            assert tok.p == pytest.approx(rtok["p"], rel=0.01), \
+                f"seg {i} tok {j} p"
+
+
+def test_pipeline_golden_jfk(golden_ctx, jfk_pcm):
+    """Single-window e2e: greedy t=0 on jfk.wav, token-exact vs whisper-cli."""
+    assert golden_ctx.full(_params(), jfk_pcm) == 0
+    _assert_matches_golden(golden_ctx, "ref_jfk_greedy")
+
+
+def test_pipeline_golden_multiwindow(golden_ctx):
+    """40 s multi-window e2e: seek advancement + prompt-past carry across
+    windows, token-exact vs whisper-cli on the same synthetic audio."""
+    rng = np.random.RandomState(3)
+    pcm_f = (rng.randn(16000 * 40) * 0.1).clip(-1, 1)
+    # round-trip through int16 exactly like the WAV the reference read
+    pcm = ((pcm_f * 32767).astype(np.int16)).astype(np.float32) / 32768.0
+    assert golden_ctx.full(_params(), pcm) == 0
+    _assert_matches_golden(golden_ctx, "ref_noise40_greedy")
