@@ -89,19 +89,22 @@ def build_pipeline(cfg: WhisperConfig, B: int, n_tokens: int, prompt_len: int = 
         # full pipeline: PCM -> on-TPU mel -> encoder -> cross-KV -> decode
         mel = log_mel_spectrogram_jax(audio, filters)[:, :2 * cfg.n_audio_ctx]
         enc = wm.encode(params, mel, n_head=cfg.n_audio_head)
-        kc, vc = wm.cross_kv(params, enc, n_head=cfg.n_text_head)
+
+        if kv in ("q8", "q8dt", "q8i"):  # int8 K/V (2x batch budget);
+            # quantization fused into the cross-KV scan so the full bf16
+            # stack never materializes (unlocks batch >= 48)
+            tag = {"q8": "q8e", "q8dt": "q8dt", "q8i": "q8i"}[kv]
+            (kq, ksc), (vq, vsc) = wm.cross_kv_q8(
+                params, enc, n_head=cfg.n_text_head)
+            kc = (tag, kq, ksc)
+            vc = (tag, vq, vsc)
+        else:
+            kc, vc = wm.cross_kv(params, enc, n_head=cfg.n_text_head)
 
         mask = wm.make_causal_mask(P)
         logits, ks, vs = wm.decode_prompt(
             params, prompt, jnp.arange(P), kc, vc,
             n_head=cfg.n_text_head, self_mask=mask)
-
-        if kv == "q8":  # the token loop reads K/V as int8 (2x batch budget)
-            from whisper_tpu.ops.cross_attention import quantize_kv_bhdt
-            kq, ksc = quantize_kv_bhdt(kc)
-            vq, vsc = quantize_kv_bhdt(vc)
-            kc = ("q8e", kq, ksc)
-            vc = ("q8e", vq, vsc)
 
         kv_k = jnp.zeros((L, B, H, Dh, C), jnp.bfloat16).at[..., :P].set(
             ks.transpose(0, 1, 3, 4, 2).astype(jnp.bfloat16))
@@ -136,12 +139,14 @@ def build_pipeline(cfg: WhisperConfig, B: int, n_tokens: int, prompt_len: int = 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--size", default="large-v3", choices=list(CONFIGS))
-    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--tokens", type=int, default=64,
                     help="decoder steps per 30 s window")
     ap.add_argument("--iters", type=int, default=3)
-    ap.add_argument("--kv", default="bf16", choices=["bf16", "q8"],
-                    help="cross-attention KV precision in the decode loop")
+    ap.add_argument("--kv", default="q8", choices=["bf16", "q8", "q8dt", "q8i"],
+                    help="cross-attention KV precision in the decode loop "
+                         "(q8 = int8 via XLA einsum; q8dt = int8 via the "
+                         "lane-tight fused Pallas kernel)")
     ap.add_argument("--weights", default="bf16", choices=["bf16", "q8_0"],
                     help="decoder block weights: bf16 or block-q8 codes "
                          "via the Pallas dequant-matmul kernel")

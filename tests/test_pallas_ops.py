@@ -97,3 +97,70 @@ def test_cross_attention_kernel_interpret():
 
     assert np.abs(out - ref).max() / np.abs(ref).max() < 0.02
     assert np.abs(out8 - ref).max() / np.abs(ref).max() < 0.03
+
+
+def test_encoder_attention_matches_einsum():
+    """ops/encoder_attention (fused scores-in-VMEM kernel) == einsum."""
+    import jax.numpy as jnp
+    from whisper_tpu.ops.encoder_attention import self_attention
+
+    rng = np.random.RandomState(3)
+    B, T, H, Dh = 2, 200, 4, 64          # T not a BLOCK_Q multiple: pad path
+    q = jnp.asarray(rng.randn(B, T, H, Dh).astype(np.float32) * 0.3)
+    k = jnp.asarray(rng.randn(B, T, H, Dh).astype(np.float32) * 0.3)
+    v = jnp.asarray(rng.randn(B, T, H, Dh).astype(np.float32) * 0.3)
+
+    qk = np.einsum("bqhd,bkhd->bhqk", np.asarray(q), np.asarray(k)) * Dh ** -0.5
+    w = np.exp(qk - qk.max(-1, keepdims=True))
+    w /= w.sum(-1, keepdims=True)
+    ref = np.einsum("bhqk,bkhd->bqhd", w, np.asarray(v)).reshape(B, T, H * Dh)
+
+    out = np.asarray(self_attention(q, k, v, interpret=True))
+    assert np.abs(out - ref).max() / np.abs(ref).max() < 0.02
+
+
+def test_cross_attention_q8dt_matches_ref():
+    """Lane-tight int8 decode kernel == f32 reference within quant error."""
+    import jax.numpy as jnp
+    from whisper_tpu.ops.cross_attention import (
+        cross_attention_decode_q8dt, quantize_kv_bhdt)
+    from jax.experimental.pallas import tpu as pltpu
+
+    rng = np.random.RandomState(4)
+    B, H, Dh, Ta = 2, 4, 64, 256
+    q = jnp.asarray(rng.randn(B, H, 1, Dh).astype(np.float32) * 0.3)
+    k = jnp.asarray(rng.randn(B, H, Dh, Ta).astype(np.float32) * 0.3)
+    v = jnp.asarray(rng.randn(B, H, Dh, Ta).astype(np.float32) * 0.3)
+
+    qk = np.einsum("bhqd,bhdt->bhqt", np.asarray(q), np.asarray(k)) * Dh ** -0.5
+    w = np.exp(qk - qk.max(-1, keepdims=True))
+    w /= w.sum(-1, keepdims=True)
+    ref = np.einsum("bhqt,bhdt->bhqd", w, np.asarray(v))
+
+    kq, ks = quantize_kv_bhdt(k)
+    vq, vs = quantize_kv_bhdt(v)
+    with pltpu.force_tpu_interpret_mode():
+        out = np.asarray(cross_attention_decode_q8dt(
+            q.astype(jnp.bfloat16), kq, ks, vq, vs))
+    assert np.abs(out - ref).max() / np.abs(ref).max() < 0.03
+
+
+def test_cross_kv_q8_matches_dense():
+    """cross_kv_q8 (scan-fused quantization) dequantizes back to cross_kv."""
+    import jax.numpy as jnp
+    from whisper_tpu.models import whisper as wm
+    from whisper_tpu.weights.convert import random_params
+    from whisper_tpu.models.whisper import WhisperConfig
+
+    cfg = WhisperConfig(128, 32, 64, 4, 2, 32, 64, 4, 2, 80, "test")
+    params = random_params(cfg, seed=0, dtype=jnp.float32)
+    rng = np.random.RandomState(5)
+    enc = jnp.asarray(rng.randn(2, 32, 64).astype(np.float32) * 0.3)
+
+    kc, vc = wm.cross_kv(params, enc, n_head=4, compute_dtype=jnp.float32)
+    (kq, ks), (vq, vs) = wm.cross_kv_q8(params, enc, n_head=4,
+                                        compute_dtype=jnp.float32)
+    k_deq = np.asarray(kq).astype(np.float32) * np.asarray(ks)[:, :, :, None, :]
+    v_deq = np.asarray(vq).astype(np.float32) * np.asarray(vs)[:, :, :, None, :]
+    assert np.abs(k_deq - np.asarray(kc)).max() <= np.abs(np.asarray(kc)).max() / 127 + 1e-6
+    assert np.abs(v_deq - np.asarray(vc)).max() <= np.abs(np.asarray(vc)).max() / 127 + 1e-6

@@ -154,7 +154,7 @@ def make_decode_window(params_treedef_free_fn=None, *,
         return rng, tok, p, plog, tid, pt, ptsum
 
     def decode_window(params, k_cross, v_cross, prompt, pad_len,
-                      temperature, seek, seek_end, rng_key):
+                      temperature, seek, seek_end, rng_key, row_live=None):
         """Run one full window decode on device.
 
         params: model pytree
@@ -163,6 +163,10 @@ def make_decode_window(params_treedef_free_fn=None, *,
         pad_len: (B,) i32 — number of pad slots at the start of each row
         temperature: scalar f32
         seek: scalar i32 (ticks) — window start; seek_end: scalar i32
+        row_live: optional (B,) bool — rows marked dead start completed and
+        never decode; lets callers pad partial batches to a fixed B so the
+        temperature-fallback ladder never triggers a fresh compile
+        (the reference reuses its fixed 8-decoder batch the same way).
         Returns dict of result arrays (see below) + no_speech_prob.
         """
         L = k_cross.shape[0]
@@ -194,12 +198,14 @@ def make_decode_window(params_treedef_free_fn=None, *,
 
         # cross-KV layout for the token loop (transposed once per window;
         # amortized over every decode step)
-        if cfg.cross_mode == "einsum_q8":
+        if cfg.cross_mode in ("einsum_q8", "pallas_q8dt", "einsum_q8i"):
             from ..ops.cross_attention import quantize_kv_bhdt
+            tag = {"einsum_q8": "q8e", "pallas_q8dt": "q8dt",
+                   "einsum_q8i": "q8i"}[cfg.cross_mode]
             kq, ks = quantize_kv_bhdt(k_cross)
             vq, vs = quantize_kv_bhdt(v_cross)
-            kc_loop = ("q8e", kq, ks)
-            vc_loop = ("q8e", vq, vs)
+            kc_loop = (tag, kq, ks)
+            vc_loop = (tag, vq, vs)
         elif cfg.cross_mode == "pallas":
             kc_loop = ("bhtd", k_cross.transpose(0, 1, 2, 4, 3)
                        .astype(cfg.compute_dtype))
@@ -223,6 +229,7 @@ def make_decode_window(params_treedef_free_fn=None, *,
             v_self.transpose(0, 1, 3, 4, 2).astype(cfg.compute_dtype))
 
         false_b = jnp.zeros((B,), bool)
+        dead = false_b if row_live is None else ~row_live
         lg, lp, pr = process_logits(
             logits0, temperature,
             is_initial=jnp.ones((B,), bool),
@@ -246,7 +253,7 @@ def make_decode_window(params_treedef_free_fn=None, *,
             seek_delta=jnp.full((B,), TICKS_PER_SECOND * CHUNK_SIZE, jnp.int32),
             result_len=jnp.zeros((B,), jnp.int32),
             sum_logprobs_all=jnp.zeros((B,)),
-            completed=false_b, failed=false_b,
+            completed=dead, failed=false_b,
             rng=rng_key,
         )
 

@@ -209,7 +209,13 @@ def _encoder_block(x, blk, n_head, compute_dtype, attn_impl="einsum"):
     q = _linear(ln, blk["q_w"], blk["q_b"], compute_dtype)
     k = _linear(ln, blk["k_w"], None, compute_dtype)       # K has no bias
     v = _linear(ln, blk["v_w"], blk["v_b"], compute_dtype)
-    if attn_impl == "flash":
+    if attn_impl in ("pallas", "pallas_interpret"):
+        from ..ops.encoder_attention import self_attention
+        attn = self_attention(
+            _split_heads(q, n_head), _split_heads(k, n_head),
+            _split_heads(v, n_head), compute_dtype,
+            interpret=(attn_impl == "pallas_interpret"))
+    elif attn_impl == "flash":
         attn = _flash_self_attention(
             _split_heads(q, n_head), _split_heads(k, n_head),
             _split_heads(v, n_head), compute_dtype)
@@ -225,12 +231,19 @@ def _encoder_block(x, blk, n_head, compute_dtype, attn_impl="einsum"):
 
 
 def default_encoder_attn_impl() -> str:
-    """einsum everywhere: measured on v5e, the flash kernel wins 7x as a
-    standalone op but LOSES inside the 32-layer scan (per-layer kernel
-    launch + layout transposes outweigh skipping the scores matrix, which
-    XLA already fuses well in the full graph: 57ms vs 84ms large-v3
-    encoder).  Kept selectable for future shapes."""
-    return "einsum"
+    """pallas on TPU, einsum elsewhere.
+
+    Measured on v5e, large-v3 encoder at B=32: einsum 32.6 ms/window,
+    ops/encoder_attention 22.0 ms/window (1.48x) — the win is keeping the
+    (B, H, T, T) scores in VMEM instead of round-tripping ~5.8 GB/layer of
+    f32 through HBM for softmax.  The stock jax flash kernel measured 2x
+    SLOWER than einsum at the same shape (66 ms/window): its per-layer
+    pad-to-128 + (B,H,T,Dh) transposes with lane-padded Dh=64 cost more
+    than the scores it saves.  einsum stays the fallback (CPU tests, and
+    any backend without Mosaic)."""
+    # non-cpu == the TPU path (the axon remote platform also reports the
+    # chip as TPU v5; same gate as api.py keep_quantized)
+    return "pallas" if jax.default_backend() != "cpu" else "einsum"
 
 
 def encode(params, mel, n_head: int, compute_dtype=jnp.bfloat16,
@@ -287,6 +300,31 @@ def cross_kv(params, enc_out, n_head: int, compute_dtype=jnp.bfloat16):
     return ks, vs
 
 
+def cross_kv_q8(params, enc_out, n_head: int, compute_dtype=jnp.bfloat16):
+    """cross_kv with int8 quantization fused into the layer scan.
+
+    Returns ((L, B, H, Dh, Ta) int8 codes, (L, B, H, Ta) f32 scales) x2.
+    Quantizing per layer inside the scan means the full bf16 (L, B, H, Dh,
+    Ta) stack never materializes in HBM — at large-v3 B=64 that transient
+    alone is ~7.9 GB and is what OOMs the two-step quantize-after path.
+    """
+    from ..ops.cross_attention import quantize_kv_bhdt
+    dec = params["decoder"]
+    nh = n_head
+
+    def body(_, blk):
+        k = _linear(enc_out, blk["xk_w"], None, compute_dtype)
+        v = _linear(enc_out, blk["xv_w"], blk["xv_b"], compute_dtype)
+        k = _split_heads(k, nh).transpose(0, 2, 3, 1).astype(compute_dtype)
+        v = _split_heads(v, nh).transpose(0, 2, 3, 1).astype(compute_dtype)
+        kq, ks = quantize_kv_bhdt(k)
+        vq, vs = quantize_kv_bhdt(v)
+        return None, (kq, ks, vq, vs)
+
+    _, (kq, ks, vq, vs) = jax.lax.scan(body, None, dec["blocks"])
+    return (kq, ks), (vq, vs)
+
+
 def _cross_attention(xq, kc, vc, compute_dtype, mask=None):
     """Attention with keys/values in (B, H, Dh, T) layout;
     xq (B, Tq, H, Dh).  Returns merged (B, Tq, D)."""
@@ -318,6 +356,7 @@ def decode_prompt(params, tokens, positions, k_cross, v_cross, n_head: int,
     """
     dec = params["decoder"]
     nh = n_head
+    tagged = isinstance(k_cross, tuple)   # quantized cross-KV from cross_kv_q8
 
     x = dec["tok_emb"][tokens] + dec["pos"][positions]
     x = x.astype(jnp.float32)
@@ -325,6 +364,12 @@ def decode_prompt(params, tokens, positions, k_cross, v_cross, n_head: int,
     def body(carry, scanned):
         blk, kc, vc = scanned
         x = carry
+        if tagged:
+            # dequantize this layer's K/V (scales are per (head, position))
+            kq, ksc = kc
+            vq, vsc = vc
+            kc = kq.astype(compute_dtype) * ksc[:, :, None, :].astype(compute_dtype)
+            vc = vq.astype(compute_dtype) * vsc[:, :, None, :].astype(compute_dtype)
 
         ln = _layernorm(x, blk["attn_ln_w"], blk["attn_ln_b"])
         q = _split_heads(_linear(ln, blk["q_w"], blk["q_b"], compute_dtype), nh)
@@ -343,7 +388,9 @@ def decode_prompt(params, tokens, positions, k_cross, v_cross, n_head: int,
         x = x + _linear(h, blk["mlp2_w"], blk["mlp2_b"], compute_dtype)
         return x, (k, v)
 
-    x, (k_self, v_self) = jax.lax.scan(body, x, (dec["blocks"], k_cross, v_cross))
+    xs_kc = tuple(k_cross[1:]) if tagged else k_cross
+    xs_vc = tuple(v_cross[1:]) if tagged else v_cross
+    x, (k_self, v_self) = jax.lax.scan(body, x, (dec["blocks"], xs_kc, xs_vc))
 
     x = _layernorm(x, dec["ln_w"], dec["ln_b"])
     logits = jnp.dot(x.astype(compute_dtype),
@@ -424,6 +471,38 @@ def _cross_attn_step(xq, kc, vc, compute_dtype):
       * ("bhtd", k (B, H, Ta, Dh))      — fused Pallas kernel
       * {"q": int8 (B, H, Ta, Dh), "s"} — fused Pallas kernel, int8 K/V
     """
+    if isinstance(kc, tuple) and kc[0] == "q8i":
+        # int8 x int8 native MXU dots: q is quantized per (b, head) on the
+        # fly, so no bf16 copy of K/V is ever materialized in HBM (the
+        # "q8e" einsum path pays an int8->bf16 convert round-trip of the
+        # full K/V every step)
+        _, kq, ks = kc
+        _, vq, vs = vc
+        dh = xq.shape[-1]
+        amax = jnp.max(jnp.abs(xq), axis=-1, keepdims=True)
+        qs = jnp.maximum(amax, 1e-8) / 127.0          # (B, 1, H, 1)
+        qi = jnp.clip(jnp.round(xq / qs), -127, 127).astype(jnp.int8)
+        qk = jnp.einsum("bqhd,bhdt->bhqt", qi, kq,
+                        preferred_element_type=jnp.int32)
+        qk = (qk.astype(jnp.float32) * qs.transpose(0, 2, 1, 3)
+              * ks[:, :, None, :] * (dh ** -0.5))
+        w = jax.nn.softmax(qk, axis=-1)                # (B, H, 1, Ta)
+        # fold the per-position V scale into w, then quantize w per (b, h)
+        wv = w * vs[:, :, None, :]
+        wmax = jnp.max(wv, axis=-1, keepdims=True)
+        wsc = jnp.maximum(wmax, 1e-20) / 127.0
+        wi = jnp.clip(jnp.round(wv / wsc), 0, 127).astype(jnp.int8)
+        out = jnp.einsum("bhqt,bhdt->bqhd", wi, vq,
+                         preferred_element_type=jnp.int32)
+        out = out.astype(jnp.float32) * wsc.transpose(0, 2, 1, 3)
+        return _merge_heads(out)
+    if isinstance(kc, tuple) and kc[0] == "q8dt":
+        from ..ops.cross_attention import cross_attention_decode_q8dt
+        _, kq, ks = kc
+        _, vq, vs = vc
+        out = cross_attention_decode_q8dt(
+            xq.transpose(0, 2, 1, 3).astype(compute_dtype), kq, ks, vq, vs)
+        return _merge_heads(out.transpose(0, 2, 1, 3))
     if isinstance(kc, tuple) and kc[0] == "q8e":
         _, kq, ks = kc
         _, vq, vs = vc
@@ -484,22 +563,35 @@ def decode_step(params, tokens, pos_ids, cache_index, kv_self, k_cross, v_cross,
     attn_mask = jnp.where(valid, 0.0, -jnp.inf).astype(jnp.float32)
     attn_mask = attn_mask[:, None, None, :]                     # (B,1,1,C)
 
+    L = kv_self["k"].shape[0]
+    B = kv_self["k"].shape[1]
+    Dh = kv_self["k"].shape[3]
+
     def body(carry, scanned):
-        blk, kc, vc, k_cache, v_cache = scanned
-        x = carry
+        """The full (L, B, H, Dh, C) caches ride the scan CARRY and each
+        layer writes only its one new (1, B, H, Dh, 1) column in place —
+        passing per-layer cache slabs through scan xs/ys instead measures
+        ~3.5 ms/step at large-v3 B=32 (full-cache copies for while-carry
+        aliasing + 5.6 MB/layer output re-stacking)."""
+        blk, kc, vc, l = scanned
+        x, kk, vv = carry
 
         ln = _layernorm(x, blk["attn_ln_w"], blk["attn_ln_b"])
         q = _split_heads(_linear(ln, blk["q_w"], blk["q_b"], compute_dtype), nh)
         k_new = _split_heads(_linear(ln, blk["k_w"], None, compute_dtype), nh)
         v_new = _split_heads(_linear(ln, blk["v_w"], blk["v_b"], compute_dtype), nh)
 
-        # (B, 1, H, Dh) -> (B, H, Dh, 1) column write at cache_index
-        k_cache = jax.lax.dynamic_update_slice_in_dim(
-            k_cache, k_new.transpose(0, 2, 3, 1).astype(k_cache.dtype),
-            cache_index, axis=3)
-        v_cache = jax.lax.dynamic_update_slice_in_dim(
-            v_cache, v_new.transpose(0, 2, 3, 1).astype(v_cache.dtype),
-            cache_index, axis=3)
+        # (B, 1, H, Dh) -> (1, B, H, Dh, 1) column write at [l, ..., idx]
+        kk = jax.lax.dynamic_update_slice(
+            kk, k_new.transpose(0, 2, 3, 1)[None].astype(kk.dtype),
+            (l, 0, 0, 0, cache_index))
+        vv = jax.lax.dynamic_update_slice(
+            vv, v_new.transpose(0, 2, 3, 1)[None].astype(vv.dtype),
+            (l, 0, 0, 0, cache_index))
+        k_cache = jax.lax.dynamic_slice(
+            kk, (l, 0, 0, 0, 0), (1, B, nh, Dh, C))[0]
+        v_cache = jax.lax.dynamic_slice(
+            vv, (l, 0, 0, 0, 0), (1, B, nh, Dh, C))[0]
 
         attn = _cross_attention(q, k_cache, v_cache, compute_dtype,
                                 mask=attn_mask)
@@ -513,26 +605,27 @@ def decode_step(params, tokens, pos_ids, cache_index, kv_self, k_cross, v_cross,
         ln = _layernorm(x, blk["mlp_ln_w"], blk["mlp_ln_b"])
         h = _gelu(_linear(ln, blk["mlp0_w"], blk["mlp0_b"], compute_dtype))
         x = x + _linear(h, blk["mlp2_w"], blk["mlp2_b"], compute_dtype)
-        return x, (k_cache, v_cache)
+        return (x, kk, vv), None
 
     def scan_body(carry, scanned):
-        blk, kc_l, vc_l, k_cache, v_cache = scanned
+        blk, kc_l, vc_l, l = scanned
         if isinstance(k_cross, tuple):
             tag = k_cross[0]
-            if tag == "q8e":
-                kc_l, vc_l = ("q8e",) + kc_l, ("q8e",) + vc_l
+            if tag in ("q8e", "q8dt", "q8i"):
+                kc_l, vc_l = (tag,) + kc_l, (tag,) + vc_l
             else:
                 kc_l, vc_l = (tag, kc_l), (tag, vc_l)
-        return body(carry, (blk, kc_l, vc_l, k_cache, v_cache))
+        return body(carry, (blk, kc_l, vc_l, l))
 
     if isinstance(k_cross, tuple):
-        xs_k = tuple(k_cross[1:]) if k_cross[0] == "q8e" else k_cross[1]
-        xs_v = tuple(v_cross[1:]) if v_cross[0] == "q8e" else v_cross[1]
+        two_part = k_cross[0] in ("q8e", "q8dt", "q8i")
+        xs_k = tuple(k_cross[1:]) if two_part else k_cross[1]
+        xs_v = tuple(v_cross[1:]) if two_part else v_cross[1]
     else:
         xs_k, xs_v = k_cross, v_cross
-    x, (k_cache, v_cache) = jax.lax.scan(
-        scan_body, x, (dec["blocks"], xs_k, xs_v,
-                       kv_self["k"], kv_self["v"]))
+    (x, k_cache, v_cache), _ = jax.lax.scan(
+        scan_body, (x, kv_self["k"], kv_self["v"]),
+        (dec["blocks"], xs_k, xs_v, jnp.arange(L)))
 
     x = _layernorm(x, dec["ln_w"], dec["ln_b"])
     logits = jnp.dot(x[:, 0].astype(compute_dtype),

@@ -95,6 +95,59 @@ def cross_attention_decode_q8(q, k_q, k_s, v_q, v_s):
     )(q, k_q, k_s, v_q, v_s)
 
 
+def _xattn_kernel_q8dt(q_ref, k_ref, ks_ref, v_ref, vs_ref, o_ref):
+    """Lane-tight int8 variant: one cell per BATCH row with all H heads
+    resident (K+V ~4 MB VMEM at large-v3) — per-(b,h) cells measured
+    launch-bound (the TPU grid is sequential; 640 tiny cells/layer lose).
+    The int8->bf16 conversion happens in VMEM registers — the XLA einsum
+    path materializes the converted bf16 copy through HBM every step,
+    which is the decode loop's dominant cost at production batch."""
+    q = q_ref[0]                                    # (H, 1, Dh) bf16
+    k = k_ref[0]                                    # (H, Dh, Ta) int8
+    v = v_ref[0]
+    ks = ks_ref[0]                                  # (H, Ta) f32
+    vs = vs_ref[0]
+    dh = q.shape[-1]
+    qk = jax.lax.dot_general(
+        q, k.astype(jnp.bfloat16),
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)         # (H, 1, Ta)
+    qk = qk * ks[:, None, :] * (dh ** -0.5)
+    w = jax.nn.softmax(qk, axis=-1)
+    wv = (w * vs[:, None, :]).astype(jnp.bfloat16)  # (H, 1, Ta)
+    o = jax.lax.dot_general(
+        wv, v.astype(jnp.bfloat16),
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)         # (H, 1, Dh)
+    o_ref[0] = o
+
+
+@jax.jit
+def cross_attention_decode_q8dt(q, k_q, k_s, v_q, v_s):
+    """Single-token cross attention, cross_kv layout (lane-tight).
+
+    q: (B, H, 1, Dh) bf16 — one query per (batch, head)
+    k_q/v_q: (B, H, Dh, Ta) int8 (the cross_kv layout, no transpose)
+    k_s/v_s: (B, H, Ta) f32 per-position scales
+    -> (B, H, 1, Dh) f32
+    """
+    B, H, _, Dh = q.shape
+    Ta = k_q.shape[-1]
+    spec_q = pl.BlockSpec((1, H, 1, Dh), lambda b: (b, 0, 0, 0),
+                          memory_space=pltpu.VMEM)
+    spec_kv = pl.BlockSpec((1, H, Dh, Ta), lambda b: (b, 0, 0, 0),
+                           memory_space=pltpu.VMEM)
+    spec_s = pl.BlockSpec((1, H, Ta), lambda b: (b, 0, 0),
+                          memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _xattn_kernel_q8dt,
+        grid=(B,),
+        in_specs=[spec_q, spec_kv, spec_s, spec_kv, spec_s],
+        out_specs=spec_q,
+        out_shape=jax.ShapeDtypeStruct((B, H, 1, Dh), jnp.float32),
+    )(q, k_q, k_s, v_q, v_s)
+
+
 @jax.jit
 def quantize_kv(k):
     """(..., Ta, Dh) bf16/f32 -> (int8 codes, (..., Ta, 1) f32 scales).

@@ -130,7 +130,11 @@ class BatchTranscriber:
             batch = active[:self.B]
             B = len(batch)
 
-            mel_windows = np.zeros((B, 2 * n_ctx, n_mels), np.float32)
+            # every device call is padded to the FIXED batch size self.B —
+            # partial tail batches and fallback rebatches reuse one compiled
+            # loop instead of compiling per subset size (dead rows are
+            # masked via row_live and start completed)
+            mel_windows = np.zeros((self.B, 2 * n_ctx, n_mels), np.float32)
             prompts = []        # with carried past (used while t < 0.5)
             prompts_bare = []   # prompt_init only (hot retries,
                                 # reference: whisper.cpp:5763 t_cur<0.5 gate)
@@ -147,7 +151,7 @@ class BatchTranscriber:
                 prompts.append(prompt + self.prompt_init)
                 prompts_bare.append(list(self.prompt_init))
 
-            if self.mesh is not None and B == self.B:
+            if self.mesh is not None:
                 from jax.sharding import NamedSharding, PartitionSpec as P
                 mel_windows = jax.device_put(
                     jnp.asarray(mel_windows),
@@ -170,8 +174,7 @@ class BatchTranscriber:
                 cur_prompts = prompts if t_cur < 0.5 else prompts_bare
                 out = self._decode_rows(
                     [cur_prompts[r] for r in pending],
-                    jnp.take(kc, jnp.asarray(pending), axis=1),
-                    jnp.take(vc, jnp.asarray(pending), axis=1),
+                    kc, vc, pending,
                     np.asarray([states[batch[r]].seek for r in pending]),
                     np.asarray([states[batch[r]].seek_end for r in pending]),
                     t_cur)
@@ -189,25 +192,63 @@ class BatchTranscriber:
 
         return [st.result_all for st in states]
 
-    def _decode_rows(self, prompts, kc, vc, seeks, ends, t_cur):
+    def _prompt_bucket(self, prompts) -> int:
+        return 8 if max(len(q) for q in prompts) <= 8 else (
+            self.ctx.hparams.n_text_ctx // 2 + 8)
+
+    def _decode_rows(self, prompts, kc, vc, rows, seeks, ends, t_cur):
+        """Decode `prompts[j]` against cross-KV rows `rows[j]`, padded to
+        the fixed batch; output row j corresponds to prompts[j]."""
         ctx = self.ctx
         p = self.params
-        B = len(prompts)
-        P = 8 if max(len(q) for q in prompts) <= 8 else (
-            ctx.hparams.n_text_ctx // 2 + 8)
+        n_live = len(prompts)
+        B = self.B
+        P = self._prompt_bucket(prompts)
         buf = np.zeros((B, P), np.int32)
-        pad_len = np.zeros((B,), np.int32)
+        pad_len = np.full((B,), P - 1, np.int32)
         for row, q in enumerate(prompts):
             pad_len[row] = P - len(q)
             buf[row, P - len(q):] = q
+        # gather live rows to the front; dead slots replay row 0's KV (any
+        # valid data works — they start completed and are never read back)
+        idx = list(rows) + [rows[0] if rows else 0] * (B - n_live)
+        if n_live < B or list(rows) != list(range(B)):
+            gather = jnp.asarray(idx)
+            kc = jnp.take(kc, gather, axis=1)
+            vc = jnp.take(vc, gather, axis=1)
+        live = np.zeros((B,), bool)
+        live[:n_live] = True
+        seeks_p = np.zeros((B,), np.int32)
+        ends_p = np.zeros((B,), np.int32)
+        seeks_p[:n_live] = seeks
+        ends_p[:n_live] = ends
         fn = ctx._decode_window_fn(
             B, P, self.opts, p.single_segment, self.no_timestamps,
             p.max_tokens, "greedy")
         out = fn(ctx.params, kc, vc, jnp.asarray(buf), jnp.asarray(pad_len),
-                 jnp.float32(t_cur), jnp.asarray(seeks, dtype=jnp.int32),
-                 jnp.asarray(ends, dtype=jnp.int32),
-                 jax.random.PRNGKey(int(t_cur * 100)))
+                 jnp.float32(t_cur), jnp.asarray(seeks_p),
+                 jnp.asarray(ends_p), jax.random.PRNGKey(int(t_cur * 100)),
+                 jnp.asarray(live))
         return jax.tree_util.tree_map(np.asarray, out)
+
+    def warmup(self) -> None:
+        """Pre-compile the encoder and both prompt-bucket decode variants
+        so a serving process never jit-compiles on a live request."""
+        ctx = self.ctx
+        n_ctx = ctx.hparams.n_audio_ctx
+        mel = np.zeros((self.B, 2 * n_ctx, ctx.hparams.n_mels), np.float32)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            mel = jax.device_put(jnp.asarray(mel),
+                                 NamedSharding(self.mesh, P("data")))
+        kc, vc = self._encode_batch(mel)
+        bare = list(self.prompt_init)
+        carried = ([ctx.vocab.token_prev]
+                   + [0] * (ctx.hparams.n_text_ctx // 2 - 1) + bare)
+        for prompt in (bare, carried):
+            out = self._decode_rows([prompt], kc, vc, [0],
+                                    np.asarray([0]), np.asarray([0]), 0.0)
+            del out
 
     def _row_success(self, out, j, t_cur, last: bool) -> bool:
         """Per-stream fallback criteria (reference: whisper.cpp:6169-6230)."""

@@ -53,15 +53,30 @@ class _BatchWorker:
     """
 
     def __init__(self, ctx: WhisperContext, batch_size: int = 8,
-                 window_ms: int = 50):
+                 window_ms: int = 50, warmup: bool = True):
         import queue
 
         self.ctx = ctx
         self.batch_size = batch_size
         self.window_s = window_ms / 1000.0
         self.queue: "queue.Queue" = queue.Queue()
+        if warmup and ctx.n_loaded > 0:
+            # pre-compile the encoder + both decode prompt buckets so no
+            # live request ever waits on jit
+            from .parallel.batch import BatchTranscriber
+            t0 = time.perf_counter()
+            BatchTranscriber(ctx, batch_size=batch_size,
+                             params=self._default_params()).warmup()
+            print(f"server: warmed jit caches in "
+                  f"{time.perf_counter() - t0:.1f}s", file=sys.stderr)
         self.thread = threading.Thread(target=self._run, daemon=True)
         self.thread.start()
+
+    @staticmethod
+    def _default_params():
+        p = full_default_params()
+        p.print_progress = False
+        return p
 
     @staticmethod
     def _signature(p) -> tuple:
@@ -112,7 +127,10 @@ class _BatchWorker:
                     and params.language not in (None, "", "auto")
                     and params.strategy == SamplingStrategy.GREEDY
                     and not params.detect_language):
-                bt = BatchTranscriber(self.ctx, batch_size=len(items),
+                # fixed batch size: partial groups are padded inside the
+                # transcriber, so every group reuses one compiled loop
+                bt = BatchTranscriber(self.ctx,
+                                      batch_size=self.batch_size,
                                       params=params)
                 results = bt.transcribe([pcm for pcm, *_ in items])
                 for (_, _, done, slot), segs in zip(items, results):
