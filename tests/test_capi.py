@@ -98,3 +98,64 @@ def test_full_with_preset_mel(ctx):
     params.print_progress = False
     params.temperature_inc = 0.0
     assert whisper.whisper_full(ctx, params, np.zeros(0, np.float32)) == 0
+
+
+def test_header_parity():
+    """Every function name in the reference whisper.h exists in capi.py.
+
+    The name list is a committed golden (tests/golden/whisper_h_functions.txt,
+    extracted from include/whisper.h); if the reference tree is present the
+    list is re-derived live so drift is caught."""
+    import os
+    import re
+    import subprocess
+
+    golden = os.path.join(os.path.dirname(__file__), "golden",
+                          "whisper_h_functions.txt")
+    names = set(open(golden).read().split())
+    ref_h = "/root/reference/include/whisper.h"
+    if os.path.exists(ref_h):
+        live = set(re.findall(r"\b(whisper_[a-z0-9_]+)\s*\(",
+                              open(ref_h).read()))
+        assert live == names, sorted(live ^ names)
+    missing = [n for n in sorted(names) if not hasattr(whisper, n)]
+    assert not missing, missing
+
+
+def test_no_state_init(ctx, tmp_path):
+    """no_state variants defer state allocation to whisper_init_state
+    (reference: whisper.h:199-203, #523)."""
+    model = make_random_model(tmp_path)
+    c = whisper.whisper_init_from_file_with_params_no_state(
+        str(model), whisper.whisper_context_default_params())
+    assert c._cur_state is None
+    state = whisper.whisper_init_state(c)
+    assert state is not None
+    mel = np.zeros(80 * 100, np.float32)
+    assert whisper.whisper_set_mel_with_state(c, state, mel, 100, 80) == 0
+
+
+def test_loader_init(tmp_path):
+    """whisper_init_with_params drains a model_loader-style object
+    (reference: whisper.h:156-166, 197)."""
+    model = make_random_model(tmp_path)
+    data = open(model, "rb").read()
+
+    class Loader:
+        def __init__(self):
+            self.pos = 0
+
+        def read(self, n):
+            out = data[self.pos:self.pos + n]
+            self.pos += len(out)
+            return out
+
+        def eof(self):
+            return self.pos >= len(data)
+
+        def close(self):
+            pass
+
+    c = whisper.whisper_init_with_params(
+        Loader(), whisper.whisper_context_default_params())
+    assert whisper.whisper_n_vocab(c) == c.hparams.n_vocab

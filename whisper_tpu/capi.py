@@ -74,11 +74,18 @@ def whisper_full_default_params_by_ref(strategy: int):
     return full_default_params(strategy)
 
 
-def whisper_ctx_init_openvino_encoder(ctx, model_path=None, device=None,
-                                      cache_dir=None) -> int:
+def whisper_ctx_init_openvino_encoder_with_state(ctx, state, model_path=None,
+                                                 device=None,
+                                                 cache_dir=None) -> int:
     """No-op: external-encoder offload is unnecessary — the JAX encoder IS
     the accelerated path (reference: whisper.h:243-254)."""
     return 0
+
+
+def whisper_ctx_init_openvino_encoder(ctx, model_path=None, device=None,
+                                      cache_dir=None) -> int:
+    return whisper_ctx_init_openvino_encoder_with_state(
+        ctx, None, model_path, device, cache_dir)
 
 
 # ---- init family (reference: whisper.h:195-241) --------------------------
@@ -98,6 +105,57 @@ def whisper_init_from_buffer_with_params(buf: bytes,
     return WhisperContext.from_buffer(buf)
 
 
+def _read_loader(loader) -> bytes:
+    """Drain a whisper_model_loader-style object into bytes.
+
+    The reference's loader is {context, read(buf, n), eof(), close()}
+    (whisper.h:156-166).  Accepts any object with read()/eof() callables
+    (or a plain file-like with read())."""
+    if hasattr(loader, "eof") and callable(loader.eof):
+        chunks = []
+        while not loader.eof():
+            chunk = loader.read(1 << 20)
+            if not chunk:
+                break
+            chunks.append(bytes(chunk))
+        if hasattr(loader, "close") and callable(loader.close):
+            loader.close()
+        return b"".join(chunks)
+    return bytes(loader.read())
+
+
+def whisper_init_with_params(loader, params: whisper_context_params):
+    """Init from a whisper_model_loader (reference: whisper.h:197)."""
+    return whisper_init_from_buffer_with_params(_read_loader(loader), params)
+
+
+# -- no_state variants (reference: whisper.h:199-203, #523): the context is
+# created without its internal state; the caller must whisper_init_state()
+# and use the *_with_state API family.
+
+def _drop_default_state(ctx):
+    ctx._default_state = None
+    ctx._cur_state = None
+    return ctx
+
+
+def whisper_init_from_file_with_params_no_state(
+        path: str, params: whisper_context_params):
+    return _drop_default_state(
+        whisper_init_from_file_with_params(path, params))
+
+
+def whisper_init_from_buffer_with_params_no_state(
+        buf: bytes, params: whisper_context_params):
+    return _drop_default_state(
+        whisper_init_from_buffer_with_params(buf, params))
+
+
+def whisper_init_with_params_no_state(loader,
+                                      params: whisper_context_params):
+    return _drop_default_state(whisper_init_with_params(loader, params))
+
+
 def whisper_init_from_file(path: str):  # deprecated alias
     return whisper_init_from_file_with_params(
         path, whisper_context_default_params())
@@ -105,6 +163,25 @@ def whisper_init_from_file(path: str):  # deprecated alias
 
 def whisper_init_from_buffer(buf: bytes):  # deprecated alias
     return WhisperContext.from_buffer(buf)
+
+
+def whisper_init(loader):  # deprecated alias
+    return whisper_init_with_params(loader, whisper_context_default_params())
+
+
+def whisper_init_from_file_no_state(path: str):  # deprecated alias
+    return whisper_init_from_file_with_params_no_state(
+        path, whisper_context_default_params())
+
+
+def whisper_init_from_buffer_no_state(buf: bytes):  # deprecated alias
+    return whisper_init_from_buffer_with_params_no_state(
+        buf, whisper_context_default_params())
+
+
+def whisper_init_no_state(loader):  # deprecated alias
+    return whisper_init_with_params_no_state(
+        loader, whisper_context_default_params())
 
 
 def whisper_init_state(ctx):

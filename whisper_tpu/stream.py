@@ -145,6 +145,62 @@ def _wav_chunks(path: str, chunk_ms: int, realtime: bool) -> Iterator[np.ndarray
         yield pcm[i:i + n]
 
 
+def _mic_chunks(device: int, chunk_ms: int) -> Iterator[np.ndarray]:
+    """Live microphone capture (reference: stream.cpp:118-260 via SDL).
+
+    Prefers the `sounddevice` PortAudio binding when importable (not baked
+    into this image — optional); otherwise pipes s16le @16 kHz from an
+    `arecord` or `ffmpeg` subprocess.  `device` is the capture device index
+    (sounddevice) or ALSA card number (arecord); -1 = system default.
+    """
+    n = (SAMPLE_RATE * chunk_ms) // 1000
+    try:
+        import queue
+
+        import sounddevice as sd  # optional dependency
+
+        q: "queue.Queue[np.ndarray]" = queue.Queue()
+
+        def cb(indata, frames, t, status):
+            q.put(indata[:, 0].copy())
+
+        with sd.InputStream(samplerate=SAMPLE_RATE, channels=1,
+                            dtype="float32", blocksize=n,
+                            device=None if device < 0 else device,
+                            callback=cb):
+            while True:
+                yield q.get()
+        return
+    except ImportError:
+        pass
+
+    import shutil
+    import subprocess
+
+    if shutil.which("arecord"):
+        cmd = ["arecord", "-q", "-f", "S16_LE", "-r", str(SAMPLE_RATE),
+               "-c", "1", "-t", "raw"]
+        if device >= 0:
+            cmd += ["-D", f"hw:{device}"]
+    elif shutil.which("ffmpeg"):
+        src = "default" if device < 0 else f"hw:{device}"
+        cmd = ["ffmpeg", "-loglevel", "quiet", "-f", "alsa", "-i", src,
+               "-ar", str(SAMPLE_RATE), "-ac", "1", "-f", "s16le", "-"]
+    else:
+        raise RuntimeError(
+            "no capture backend: install `sounddevice`, `arecord` or "
+            "`ffmpeg`, or pipe s16le PCM to stdin instead")
+    proc = subprocess.Popen(cmd, stdout=subprocess.PIPE)
+    try:
+        while True:
+            buf = proc.stdout.read(n * 2)
+            if not buf:
+                return
+            yield np.frombuffer(buf, dtype="<i2").astype(np.float32) / 32768.0
+    finally:
+        proc.kill()
+
+
 def _stdin_chunks(chunk_ms: int) -> Iterator[np.ndarray]:
     n = (SAMPLE_RATE * chunk_ms) // 1000 * 2  # s16le bytes
     while True:
@@ -159,6 +215,10 @@ def main(argv=None) -> int:
     ap.add_argument("-m", "--model", required=True)
     ap.add_argument("-f", "--file", default=None,
                     help="wav file to stream (default: raw s16le stdin)")
+    ap.add_argument("-c", "--capture", type=int, default=None,
+                    metavar="ID",
+                    help="capture from microphone ID (-1 = default device; "
+                         "needs sounddevice, arecord or ffmpeg)")
     ap.add_argument("--step", type=int, default=3000, dest="step_ms")
     ap.add_argument("--length", type=int, default=10000, dest="length_ms")
     ap.add_argument("--keep", type=int, default=200, dest="keep_ms")
@@ -185,8 +245,12 @@ def main(argv=None) -> int:
         beam_size=args.beam_size)
 
     chunk_ms = st.step_ms if not st.use_vad else 100
-    source = (_wav_chunks(args.file, chunk_ms, args.realtime)
-              if args.file else _stdin_chunks(chunk_ms))
+    if args.capture is not None:
+        source = _mic_chunks(args.capture, chunk_ms)
+    elif args.file:
+        source = _wav_chunks(args.file, chunk_ms, args.realtime)
+    else:
+        source = _stdin_chunks(chunk_ms)
 
     if st.use_vad:
         ring = np.zeros(0, np.float32)
