@@ -43,14 +43,10 @@ from whisper_tpu.weights.convert import random_params
 
 BASELINE_RTF = 27.0  # reference M2 Ultra large-v2 anchor (BASELINE.md)
 
-CONFIGS = {
-    "tiny": WhisperConfig(51865, 1500, 384, 6, 4, 448, 384, 6, 4, 80, "tiny"),
-    "base": WhisperConfig(51865, 1500, 512, 8, 6, 448, 512, 8, 6, 80, "base"),
-    "small": WhisperConfig(51865, 1500, 768, 12, 12, 448, 768, 12, 12, 80, "small"),
-    "medium": WhisperConfig(51865, 1500, 1024, 16, 24, 448, 1024, 16, 24, 80, "medium"),
-    "large-v3": WhisperConfig(51866, 1500, 1280, 20, 32, 448, 1280, 20, 32, 128, "large-v3"),
-    "large-v3-turbo": WhisperConfig(51866, 1500, 1280, 20, 32, 448, 1280, 20, 4, 128, "large-v3-turbo"),
-}
+from whisper_tpu.models.whisper import MODEL_DIMS
+
+CONFIGS = {name: WhisperConfig(*dims, model_type=name)
+           for name, dims in MODEL_DIMS.items()}
 
 
 def _consts_for(cfg: WhisperConfig) -> FilterConsts:
@@ -136,6 +132,45 @@ def build_pipeline(cfg: WhisperConfig, B: int, n_tokens: int, prompt_len: int = 
     return jax.jit(run)
 
 
+def bench_serving(size: str, B: int, kv: str, stream_s: int = 150):
+    """Measure the PRODUCTION serving path: BatchTranscriber.transcribe on
+    B synthetic streams — host mel, batched encode, the while_loop decode
+    with filter chain + early exit, host segment assembly.
+
+    Fallback ladder is disabled (temperature_inc=0) and max_tokens=64 so the
+    workload matches the kernel bench's 64 tokens/window and stays bounded
+    on random weights (which never sample EOT organically).
+    Returns (rtf, p50_window_ms, p99_window_ms, audio_s, wall_s).
+    """
+    import whisper_tpu as wt
+    from whisper_tpu.parallel.batch import BatchTranscriber
+
+    ctx = wt.WhisperContext.from_random(
+        size, seed=0, cross_mode="einsum_q8" if kv != "bf16" else "einsum")
+    p = wt.full_default_params()
+    p.print_progress = False
+    p.language = "en"
+    p.max_tokens = 64
+    p.temperature_inc = 0.0
+    bt = BatchTranscriber(ctx, batch_size=B, params=p)
+    bt.warmup()   # compile encoder + both decode variants off the clock
+
+    rng = np.random.RandomState(7)
+    streams = [(rng.randn(16000 * stream_s) * 0.1).astype(np.float32)
+               for _ in range(B)]
+    t0 = time.perf_counter()
+    out = bt.transcribe(streams)
+    wall = time.perf_counter() - t0
+    assert sum(len(s) for s in out) > 0, "serving bench produced no segments"
+
+    audio_s = float(B * stream_s)
+    per_window = sorted(dt for _, dt in bt.window_times)
+    p50 = per_window[len(per_window) // 2] * 1000
+    p99 = per_window[min(len(per_window) - 1,
+                         int(len(per_window) * 0.99))] * 1000
+    return audio_s / wall, p50, p99, audio_s, wall
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--size", default="large-v3", choices=list(CONFIGS))
@@ -143,6 +178,12 @@ def main():
     ap.add_argument("--tokens", type=int, default=64,
                     help="decoder steps per 30 s window")
     ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--mode", default="both",
+                    choices=["kernel", "serving", "both"],
+                    help="kernel = jitted mel+encode+fixed-token decode "
+                         "(upper bound); serving = BatchTranscriber end-to-"
+                         "end (the API path); both = one JSON line with "
+                         "kernel headline + serving_* keys")
     ap.add_argument("--kv", default="q8", choices=["bf16", "q8", "q8dt", "q8i"],
                     help="cross-attention KV precision in the decode loop "
                          "(q8 = int8 via XLA einsum; q8dt = int8 via the "
@@ -154,6 +195,31 @@ def main():
 
     cfg = CONFIGS[args.size]
     B, T = args.batch, args.tokens
+
+    record = {
+        "metric": f"rtf_{args.size.replace('-', '_')}",
+        "unit": "x_realtime",
+        "batch": B,
+        "kv": args.kv,
+        "weights": args.weights,
+        "device": str(jax.devices()[0]),
+    }
+
+    if args.mode in ("serving", "both"):
+        s_rtf, s_p50, s_p99, s_audio, s_wall = bench_serving(
+            args.size, B, args.kv)
+        record.update({
+            "serving_rtf": round(s_rtf, 2),
+            "serving_window_p50_ms": round(s_p50, 2),
+            "serving_window_p99_ms": round(s_p99, 2),
+            "serving_audio_s": s_audio,
+            "serving_wall_s": round(s_wall, 2),
+        })
+        if args.mode == "serving":
+            record["value"] = round(s_rtf, 2)
+            record["vs_baseline"] = round(s_rtf / BASELINE_RTF, 3)
+            print(json.dumps(record))
+            return
 
     params = random_params(cfg, seed=0, dtype=jnp.bfloat16,
                            quantized_decoder=(args.weights == "q8_0"))
@@ -189,19 +255,14 @@ def main():
     rtf = audio_s / dt
     ms_per_window = dt / B * 1000
 
-    print(json.dumps({
-        "metric": f"rtf_{args.size.replace('-', '_')}",
+    record.update({
         "value": round(rtf, 2),
-        "unit": "x_realtime",
         "vs_baseline": round(rtf / BASELINE_RTF, 3),
-        "batch": B,
         "tokens_per_window": T,
         "window_ms": round(ms_per_window, 2),
-        "kv": args.kv,
-        "weights": args.weights,
         "compile_s": round(compile_s, 1),
-        "device": str(jax.devices()[0]),
-    }))
+    })
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

@@ -235,6 +235,7 @@ class WhisperContext:
             model_file, dtype=compute_dtype, keep_quantized=keep_q)
         self._default_state = WhisperState()
         self._cur_state = self._default_state
+        self.mesh = None   # set by BatchTranscriber(mesh=...) for multichip
         self._jit_cache: dict = {}
         self._enc_cache: dict = {}
         self._cross: tuple | None = None
@@ -256,6 +257,65 @@ class WhisperContext:
     @classmethod
     def from_buffer(cls, buf: bytes, compute_dtype=jnp.bfloat16) -> "WhisperContext":
         return cls(read_ggml_file(buf), compute_dtype=compute_dtype)
+
+    @classmethod
+    def from_random(cls, size: str = "large-v3", seed: int = 0,
+                    compute_dtype=jnp.bfloat16,
+                    cross_mode: str = "einsum") -> "WhisperContext":
+        """Random-weight context at exact named dims with a synthetic vocab.
+
+        The timing-faithful bench/serving-test fixture: every tensor shape,
+        special-token id and filter constant matches the real model, only
+        the weight values (and token strings) are synthetic.  Used by
+        bench.py's serving mode, which has no model files available.
+        """
+        from .models.whisper import MODEL_DIMS, WhisperConfig
+        from .weights.convert import random_params
+        from .weights.ggml_reader import Hparams, Vocab
+
+        dims = MODEL_DIMS[size]
+        cfg = WhisperConfig(*dims, model_type=size)
+        n_vocab = cfg.n_vocab
+        # special-token layout (reference: src/whisper.cpp:473-502): the
+        # multilingual table holds `nl` languages after sot; v3's two extra
+        # languages shift every later special token by dt
+        shift = 1 if n_vocab >= 51865 else 0
+        nl = n_vocab - 51765 - shift
+        dt = nl - 98
+        id_to_token = [b" t%d" % i for i in range(n_vocab)]
+        vocab = Vocab(
+            n_vocab=n_vocab, id_to_token=id_to_token,
+            token_to_id={t: i for i, t in enumerate(id_to_token)},
+            token_eot=50256 + shift, token_sot=50257 + shift,
+            token_translate=50357 + shift + dt,
+            token_transcribe=50358 + shift + dt,
+            token_solm=50359 + shift + dt, token_prev=50360 + shift + dt,
+            token_nosp=50361 + shift + dt, token_not=50362 + shift + dt,
+            token_beg=50363 + shift + dt)
+
+        from .audio.filters import mel_filterbank
+
+        self = object.__new__(cls)
+        self.model_file = None
+        self.cross_mode = cross_mode
+        self.dtw_token_timestamps = False
+        self.dtw_aheads_preset = "none"
+        self.dtw_n_top = 0
+        self.dtw_aheads = None
+        self.hparams = Hparams(*dims, ftype=1)
+        self.vocab = vocab
+        self.filters = mel_filterbank(cfg.n_mels).astype(np.float32)
+        self.compute_dtype = compute_dtype
+        self.params = random_params(cfg, seed=seed, dtype=compute_dtype)
+        self.n_loaded = len(jax.tree_util.tree_leaves(self.params))
+        self.config = cfg
+        self._default_state = WhisperState()
+        self._cur_state = self._default_state
+        self.mesh = None
+        self._jit_cache = {}
+        self._enc_cache = {}
+        self._cross = None
+        return self
 
     # ---- introspection (reference: whisper.h:380-439) --------------------
 
@@ -349,10 +409,20 @@ class WhisperContext:
                 fn = make_beam_decode_window(consts=consts, options=opts,
                                              cfg=cfg, beam_size=B,
                                              extra_suppress=extra_suppress)
+                self._jit_cache[key] = jax.jit(fn)
             else:
                 fn = make_decode_window(consts=consts, options=opts, cfg=cfg,
-                                        extra_suppress=extra_suppress)
-            self._jit_cache[key] = jax.jit(fn)
+                                        extra_suppress=extra_suppress,
+                                        mesh=self.mesh)
+                if self.mesh is not None:
+                    # explicit multichip layout: windows over "data", heads
+                    # over "model" (see parallel/mesh.py)
+                    from .parallel.mesh import decode_window_shardings
+                    self._jit_cache[key] = jax.jit(
+                        fn, in_shardings=decode_window_shardings(
+                            self.mesh, self.params))
+                else:
+                    self._jit_cache[key] = jax.jit(fn)
         return self._jit_cache[key]
 
     def _mel_window(self, seek: int) -> np.ndarray:
@@ -699,8 +769,11 @@ class WhisperContext:
             vc = jnp.broadcast_to(vc, (vc.shape[0], n_cur) + vc.shape[2:])
 
         t0 = time.perf_counter()
+        extra_args = (() if strategy == "beam"
+                      else (jnp.ones((n_cur,), bool),))  # row_live: all live
         out = fn(self.params, kc, vc, jnp.asarray(buf), jnp.asarray(pad_len),
-                 jnp.float32(t_cur), jnp.int32(seek), jnp.int32(seek_end), rng)
+                 jnp.float32(t_cur), jnp.int32(seek), jnp.int32(seek_end), rng,
+                 *extra_args)
         out = jax.tree_util.tree_map(np.asarray, out)
         dt = int((time.perf_counter() - t0) * 1e6)
         n_tok = int(out["n_tokens"])

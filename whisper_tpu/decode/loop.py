@@ -123,14 +123,30 @@ def make_decode_window(params_treedef_free_fn=None, *,
                        options: FilterOptions,
                        cfg: LoopConfig,
                        strategy: str = "greedy",
-                       extra_suppress: tuple = ()):
+                       extra_suppress: tuple = (),
+                       mesh=None):
     """Build the jitted window-decode function.
 
     strategy: "greedy" (argmax at t==0, multinomial draw at t>0 — the
     reference's WHISPER_SAMPLING_GREEDY, src/whisper.cpp:5875-5883).
     Beam search lives in beam.py.
+
+    mesh: optional jax.sharding.Mesh — pins the self-attention KV cache to
+    an explicit (None, "data", "model", None, None) layout so the while
+    carry stays batch-sharded/head-sharded instead of relying on GSPMD
+    propagation.
     """
     process_logits = make_process_logits(consts, options, extra_suppress)
+    if mesh is not None:
+        from jax.sharding import NamedSharding
+        from ..parallel.mesh import kv_spec
+        _kv_sh = NamedSharding(mesh, kv_spec())
+
+        def constrain_kv(x):
+            return jax.lax.with_sharding_constraint(x, _kv_sh)
+    else:
+        def constrain_kv(x):
+            return x
     P = cfg.prompt_size
     N = cfg.max_tokens_loop
     token_beg = consts.token_beg
@@ -223,10 +239,10 @@ def make_decode_window(params_treedef_free_fn=None, *,
         # cache layout (L, B, H, Dh, C): lane-tight like cross_kv
         kv_k = jnp.zeros((L, B, H, Dh, C), cfg.compute_dtype)
         kv_v = jnp.zeros((L, B, H, Dh, C), cfg.compute_dtype)
-        kv_k = kv_k.at[..., :P].set(
-            k_self.transpose(0, 1, 3, 4, 2).astype(cfg.compute_dtype))
-        kv_v = kv_v.at[..., :P].set(
-            v_self.transpose(0, 1, 3, 4, 2).astype(cfg.compute_dtype))
+        kv_k = constrain_kv(kv_k.at[..., :P].set(
+            k_self.transpose(0, 1, 3, 4, 2).astype(cfg.compute_dtype)))
+        kv_v = constrain_kv(kv_v.at[..., :P].set(
+            v_self.transpose(0, 1, 3, 4, 2).astype(cfg.compute_dtype)))
 
         false_b = jnp.zeros((B,), bool)
         dead = false_b if row_live is None else ~row_live

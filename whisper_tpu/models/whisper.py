@@ -30,6 +30,23 @@ import jax.numpy as jnp
 
 from ..weights.ggml_reader import Hparams
 
+# canonical dims per released model (reference: README.md model table /
+# models/convert-pt-to-ggml.py); order matches WhisperConfig fields
+MODEL_DIMS = {
+    "tiny": (51865, 1500, 384, 6, 4, 448, 384, 6, 4, 80),
+    "tiny.en": (51864, 1500, 384, 6, 4, 448, 384, 6, 4, 80),
+    "base": (51865, 1500, 512, 8, 6, 448, 512, 8, 6, 80),
+    "base.en": (51864, 1500, 512, 8, 6, 448, 512, 8, 6, 80),
+    "small": (51865, 1500, 768, 12, 12, 448, 768, 12, 12, 80),
+    "small.en": (51864, 1500, 768, 12, 12, 448, 768, 12, 12, 80),
+    "medium": (51865, 1500, 1024, 16, 24, 448, 1024, 16, 24, 80),
+    "medium.en": (51864, 1500, 1024, 16, 24, 448, 1024, 16, 24, 80),
+    "large-v1": (51865, 1500, 1280, 20, 32, 448, 1280, 20, 32, 80),
+    "large-v2": (51865, 1500, 1280, 20, 32, 448, 1280, 20, 32, 80),
+    "large-v3": (51866, 1500, 1280, 20, 32, 448, 1280, 20, 32, 128),
+    "large-v3-turbo": (51866, 1500, 1280, 20, 32, 448, 1280, 20, 4, 128),
+}
+
 
 @dataclasses.dataclass(frozen=True)
 class WhisperConfig:

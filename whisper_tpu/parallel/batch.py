@@ -59,6 +59,7 @@ class BatchTranscriber:
             assert batch_size % n_data == 0, \
                 f"batch_size {batch_size} must divide over data={n_data}"
             ctx.params = shard_params(ctx.params, mesh)
+            ctx.mesh = mesh   # _decode_window_fn pins explicit in_shardings
         self.params = params or full_default_params()
         p = self.params
         if p.language in (None, "", "auto") or p.detect_language:
@@ -123,10 +124,17 @@ class BatchTranscriber:
         n_ctx = ctx.hparams.n_audio_ctx
         n_mels = ctx.hparams.n_mels
 
+        # per-iteration wall times (n_windows, seconds) — one iteration is
+        # one batched encode + decode ladder, i.e. the latency a window
+        # experiences; bench.py reports p50/p99 from this
+        self.window_times: list[tuple[int, float]] = []
+        import time as _time
+
         while True:
             active = [i for i, st in enumerate(states) if not st.done]
             if not active:
                 break
+            _t_iter = _time.perf_counter()
             batch = active[:self.B]
             B = len(batch)
 
@@ -189,6 +197,7 @@ class BatchTranscriber:
                     else:
                         still_failed.append(r)
                 pending = still_failed
+            self.window_times.append((B, _time.perf_counter() - _t_iter))
 
         return [st.result_all for st in states]
 

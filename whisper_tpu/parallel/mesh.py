@@ -83,3 +83,34 @@ def batch_spec() -> P:
 
 def shard_batch(x, mesh: Mesh):
     return jax.device_put(x, NamedSharding(mesh, P("data")))
+
+
+def kv_spec() -> P:
+    """KV layout (L, B, H, Dh, T): batch over "data", heads over "model".
+
+    Applies to both the cross-attention KV stack (T = Ta) and the decoder
+    self-attention cache (T = C).  Heads shard over "model" because the
+    xk/xv/k/v projection out-features are "model"-sharded, so each model
+    shard holds and attends over its own head slice with no collective
+    until the out-projection psum."""
+    return P(None, "data", "model", None, None)
+
+
+def decode_window_shardings(mesh: Mesh, params) -> tuple:
+    """in_shardings for the production `make_decode_window` signature:
+    (params, k_cross, v_cross, prompt, pad_len, temperature, seek,
+     seek_end, rng_key, row_live).
+
+    Explicit specs (rather than GSPMD propagation alone) pin the decode
+    loop's layout: windows over "data", attention heads over "model",
+    scalars/rng replicated."""
+    def ns(s):
+        return NamedSharding(mesh, s)
+
+    p_sh = jax.tree_util.tree_map(
+        ns, param_specs(params), is_leaf=lambda x: isinstance(x, P))
+    # seek/seek_end are replicated: they are scalars on the serial path and
+    # tiny (B,) vectors on the batch path — not worth a collective either way
+    return (p_sh, ns(kv_spec()), ns(kv_spec()),
+            ns(P("data", None)), ns(P("data")), ns(P()),
+            ns(P()), ns(P()), ns(P()), ns(P("data")))
