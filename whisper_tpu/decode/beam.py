@@ -12,10 +12,15 @@ LIVE beams, and reorders the KV cache with one gather on the beam axis —
 no cell bookkeeping.  Finished beams are frozen in place: they keep their
 slot, contribute no candidates, and live slots are filled rank-order from
 the global top-k (the same slot-filling the reference's cur_c loop does).
-One deliberate deviation: candidate selection is deterministic top-k by
-logprob (textbook beam search) rather than the reference's k multinomial
-draws from a shared RNG — at temperature 0 the distributions are sharply
-peaked and the reference's draws collapse to near-top-k anyway.
+
+Candidate selection follows the reference's temperature split
+(src/whisper.cpp:5357-5430): at t == 0 candidates are the top-k by
+logprob; at t > 0 each expanding beam DRAWS beam_size candidates
+multinomially (the reference's std::discrete_distribution), duplicates
+collapse (same (beam, token) draw scores once), and the global top-k runs
+over the drawn set only.  One deliberate deviation remains: the draws use
+JAX's counter-based PRNG, so exact candidate ids differ from any libstdc++
+stream — distributional parity, not bit parity.
 """
 
 from __future__ import annotations
@@ -98,6 +103,7 @@ def make_beam_decode_window(*, consts: FilterConsts, options: FilterOptions,
             completed=false_b, failed=false_b,
             # at step 0 every beam is an identical copy: only row 0 expands
             live_mask_init=jnp.arange(B) == 0,
+            rng=rng_key,
         )
 
         def cond(s):
@@ -111,6 +117,19 @@ def make_beam_decode_window(*, consts: FilterConsts, options: FilterOptions,
             # ---- candidate scores over (B, V) ---------------------------
             scores = s["cum"][:, None] + s["logprobs"]
             scores = jnp.where(expand[:, None], scores, NEG_INF)
+
+            # t > 0: each expanding beam draws B multinomial candidates
+            # (reference: whisper.cpp:5357-5430); only drawn (beam, token)
+            # cells keep their score, so duplicates collapse and the global
+            # top-k picks among the drawn set.  t == 0: deterministic top-k.
+            rng, sub = jax.random.split(s["rng"])
+            drawn = jax.random.categorical(
+                sub, s["logprobs"], axis=-1, shape=(B, B)).T   # (B beams, B)
+            drawn_mask = jnp.zeros((B, V), bool).at[
+                jnp.arange(B)[:, None], drawn].set(True)
+            scores_t = jnp.where(drawn_mask, scores, NEG_INF)
+            scores = jnp.where(temperature < 1e-6, scores, scores_t)
+
             flat = scores.reshape(-1)
             top_vals, top_idx = jax.lax.top_k(flat, B)
             parent = (top_idx // V).astype(jnp.int32)
@@ -205,7 +224,7 @@ def make_beam_decode_window(*, consts: FilterConsts, options: FilterOptions,
                 last_was_ts=last_was_ts, penult_was_ts=penult_was_ts,
                 has_ts=has_ts, seek_delta=seek_delta, result_len=result_len,
                 cum=new_cum, completed=completed, failed=failed,
-                live_mask_init=s["live_mask_init"])
+                live_mask_init=s["live_mask_init"], rng=rng)
 
         final = jax.lax.while_loop(cond, body, state)
 
