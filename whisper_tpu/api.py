@@ -397,7 +397,12 @@ class WhisperContext:
                 n_head=self.config.n_text_head,
                 n_text_ctx=self.hparams.n_text_ctx,
                 prompt_size=P,
-                max_tokens_loop=self.hparams.n_text_ctx // 2 - 4,
+                # max_tokens caps the loop at i >= max_tokens, so trip count
+                # and the (B, N)/(…, C) buffers can shrink to match — same
+                # tokens, ~3x less KV memory at serving's max_tokens=64
+                max_tokens_loop=(
+                    min(self.hparams.n_text_ctx // 2 - 4, max_tokens + 1)
+                    if max_tokens > 0 else self.hparams.n_text_ctx // 2 - 4),
                 max_tokens_param=max_tokens,
                 single_segment=single_segment,
                 no_timestamps=no_timestamps,
@@ -420,7 +425,9 @@ class WhisperContext:
                     from .parallel.mesh import decode_window_shardings
                     self._jit_cache[key] = jax.jit(
                         fn, in_shardings=decode_window_shardings(
-                            self.mesh, self.params))
+                            self.mesh, self.params,
+                            quant_cross=self.cross_mode in (
+                                "einsum_q8", "pallas_q8dt", "einsum_q8i")))
                 else:
                     self._jit_cache[key] = jax.jit(fn)
         return self._jit_cache[key]
@@ -647,14 +654,32 @@ class WhisperContext:
                 needs_host_loop = (params.grammar_rules is not None
                                    or params.logits_filter_callback is not None)
                 if needs_host_loop:
-                    result = self._decode_window_compat(
-                        prompt, kc, vc, t_cur, seek, seek_end,
-                        params, opts, no_timestamps,
-                        grammar=params.grammar_rules)
-                    n_cur = 1
+                    host_beam = (params.strategy == SamplingStrategy.BEAM_SEARCH
+                                 and t_cur <= 0.0
+                                 and params.beam_search.beam_size > 1)
+                    if host_beam:
+                        # grammar under beam search (reference applies
+                        # grammar per decoder inside its beam loop,
+                        # whisper.cpp:5925-5977)
+                        from .decode.host_beam import decode_window_host_beam
+                        n_cur = params.beam_search.beam_size
+                        result = decode_window_host_beam(
+                            self, prompt, kc, vc, t_cur, seek, seek_end,
+                            params, opts, no_timestamps,
+                            grammar=params.grammar_rules, beam_size=n_cur)
+                    else:
+                        result = self._decode_window_compat(
+                            prompt, kc, vc, t_cur, seek, seek_end,
+                            params, opts, no_timestamps,
+                            grammar=params.grammar_rules)
+                        n_cur = 1
                 else:
-                    use_beam = (params.strategy == SamplingStrategy.BEAM_SEARCH
-                                and t_cur <= 0.0)
+                    # beam search runs at every ladder temperature like the
+                    # reference (whisper.cpp:5881-5890 keeps beam-candidate
+                    # sampling at t > 0, with best_of slots per :5718-5724;
+                    # candidates switch from top-k to multinomial draws
+                    # inside beam.py, whisper.cpp:5357-5430)
+                    use_beam = params.strategy == SamplingStrategy.BEAM_SEARCH
                     result = self._decode_window(
                         prompt, kc, vc, n_cur, t_cur, seek, seek_end,
                         params, opts, no_timestamps, rng,
@@ -1068,6 +1093,22 @@ class WhisperContext:
         if n_processors <= 1:
             return self.full(params, samples)
 
+        # the TPU-native fast path: chunks ride ONE batched device pipeline
+        # (B-axis = chunks) instead of running back-to-back — the real
+        # speedup n_processors promises.  Falls back to the serial loop for
+        # features the batched loop doesn't cover (grammar, callbacks,
+        # beam, language auto-detect).
+        can_batch = (params.grammar_rules is None
+                     and params.logits_filter_callback is None
+                     and params.encoder_begin_callback is None
+                     and params.abort_callback is None
+                     and params.strategy == SamplingStrategy.GREEDY
+                     and not params.detect_language
+                     and params.language not in (None, "", "auto")
+                     and self.n_loaded > 0)
+        if can_batch:
+            return self._full_parallel_batched(params, samples, n_processors)
+
         offset_samples = (16000 * params.offset_ms) // 1000
         n_per = (len(samples) - offset_samples) // n_processors
         offset_t = params.offset_ms // 10
@@ -1109,6 +1150,55 @@ class WhisperContext:
             log_warn(f"split {i + 1} - {to_timestamp(t)}")
         log_warn("the transcription quality may be degraded near these boundaries")
         return ret
+
+    def _full_parallel_batched(self, params: FullParams, samples,
+                               n_processors: int) -> int:
+        """full_parallel via the batched pipeline: every chunk is a row of
+        one BatchTranscriber batch (parallel/batch.py).  Segment merging,
+        timestamp shifts and overlap clamping match the serial path."""
+        from .parallel.batch import BatchTranscriber
+
+        offset_samples = (16000 * params.offset_ms) // 1000
+        n_per = (len(samples) - offset_samples) // n_processors
+        offset_t = params.offset_ms // 10
+
+        chunks = []
+        for i in range(n_processors):
+            start = offset_samples + i * n_per
+            end = (len(samples) if i == n_processors - 1
+                   else start + n_per)
+            chunks.append(np.asarray(samples[start:end], np.float32))
+
+        chunk_params = dataclasses.replace(
+            params, offset_ms=0, print_progress=False, print_realtime=False,
+            new_segment_callback=None, progress_callback=None)
+        bt = BatchTranscriber(self, batch_size=n_processors,
+                              params=chunk_params)
+        results = bt.transcribe(chunks)
+
+        merged: list[Segment] = []
+        for i, segs in enumerate(results):
+            shift = 100 * (i * n_per) // 16000 + offset_t
+            for seg in segs:
+                seg.t0 += shift
+                seg.t1 += shift
+                if merged:
+                    seg.t0 = max(seg.t0, merged[-1].t1)
+                merged.append(seg)
+                if params.new_segment_callback:
+                    self.result_all = merged
+                    params.new_segment_callback(self, 1)
+        self.result_all = merged
+
+        log_warn(f"the audio has been split into {n_processors} chunks at "
+                 "the following times:")
+        from .outputs import to_timestamp
+        for i in range(n_processors - 1):
+            t = 100 * ((i + 1) * n_per) // 16000 + offset_t
+            log_warn(f"split {i + 1} - {to_timestamp(t)}")
+        log_warn("the transcription quality may be degraded near these "
+                 "boundaries")
+        return 0
 
     # ---- segment accessors (reference: src/whisper.cpp:6522-6617) --------
 
