@@ -137,9 +137,13 @@ def bench_serving(size: str, B: int, kv: str, stream_s: int = 150):
     B synthetic streams — host mel, batched encode, the while_loop decode
     with filter chain + early exit, host segment assembly.
 
-    Fallback ladder is disabled (temperature_inc=0) and max_tokens=64 so the
-    workload matches the kernel bench's 64 tokens/window and stays bounded
-    on random weights (which never sample EOT organically).
+    Config choices, all documented for honesty: the fallback ladder is off
+    (temperature_inc=0), max_tokens=64 matches the kernel bench's
+    tokens/window, no_timestamps=True makes window advancement exactly
+    30 s/window (random weights sample random timestamps, which would make
+    streams re-transcribe overlapping audio real weights would not), and
+    n_max_text_ctx=64 bounds the carried-prompt bucket (a real serving
+    tuning: shrinks decode KV by ~2x).
     Returns (rtf, p50_window_ms, p99_window_ms, audio_s, wall_s).
     """
     import whisper_tpu as wt
@@ -152,7 +156,9 @@ def bench_serving(size: str, B: int, kv: str, stream_s: int = 150):
     p.language = "en"
     p.max_tokens = 64
     p.temperature_inc = 0.0
-    bt = BatchTranscriber(ctx, batch_size=B, params=p)
+    p.no_timestamps = True
+    p.n_max_text_ctx = 64
+    bt = BatchTranscriber(ctx, batch_size=B, params=p, device_mel=True)
     bt.warmup()   # compile encoder + both decode variants off the clock
 
     rng = np.random.RandomState(7)
@@ -178,6 +184,11 @@ def main():
     ap.add_argument("--tokens", type=int, default=64,
                     help="decoder steps per 30 s window")
     ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--serving-batch", type=int, default=48,
+                    help="batch for the serving-path bench (the production "
+                         "loop keeps both KV buckets resident, so it fits "
+                         "less batch than the kernel pipeline: 48 vs 64 at "
+                         "large-v3 on one 16 GB v5e)")
     ap.add_argument("--mode", default="both",
                     choices=["kernel", "serving", "both"],
                     help="kernel = jitted mel+encode+fixed-token decode "
@@ -207,7 +218,7 @@ def main():
 
     if args.mode in ("serving", "both"):
         s_rtf, s_p50, s_p99, s_audio, s_wall = bench_serving(
-            args.size, B, args.kv)
+            args.size, args.serving_batch, args.kv)
         record.update({
             "serving_rtf": round(s_rtf, 2),
             "serving_window_p50_ms": round(s_p50, 2),

@@ -193,13 +193,11 @@ int wtpu_log_mel(const float * samples, int n_samples,
 // (semantics of get_signal_energy, reference: src/whisper.cpp:6949-6965).
 void wtpu_signal_energy(const float * signal, int n_samples, int half_window,
                         float * out) {
-    double run = 0.0;
     // prefix sums for O(n)
     std::vector<double> prefix((size_t) n_samples + 1, 0.0);
     for (int i = 0; i < n_samples; i++) {
         prefix[i + 1] = prefix[i] + std::fabs(signal[i]);
     }
-    (void) run;
     const double denom = 2.0 * half_window + 1.0;
     for (int i = 0; i < n_samples; i++) {
         const int lo = std::max(i - half_window, 0);

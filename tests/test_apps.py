@@ -220,3 +220,24 @@ def test_server_batched_mode(model_path, jfk_wav_path):
         httpd.shutdown()
     finally:
         srv_mod.STATE.batcher = None
+
+
+def test_full_parallel_batched_matches_serial(ctx):
+    """full_parallel routes through the batched pipeline when eligible;
+    the fast path must produce exactly the serial path's segments."""
+    p = wt.full_default_params()
+    p.print_progress = False
+    p.temperature_inc = 0.0
+    pcm = _noise(6, seed=3)
+
+    # serial fallback forced via a (never-firing) abort callback
+    ps = wt.full_default_params()
+    ps.print_progress = False
+    ps.temperature_inc = 0.0
+    ps.abort_callback = lambda c: False
+    assert ctx.full_parallel(ps, pcm, n_processors=2) == 0
+    serial = [(s.t0, s.t1, s.text) for s in ctx.result_all]
+
+    assert ctx.full_parallel(p, pcm, n_processors=2) == 0
+    batched = [(s.t0, s.t1, s.text) for s in ctx.result_all]
+    assert batched == serial

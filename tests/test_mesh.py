@@ -82,3 +82,28 @@ def test_dryrun_multichip():
     spec.loader.exec_module(mod)
     n = min(8, len(jax.devices()))
     mod.dryrun_multichip(n)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_slice_mesh_batch_matches_single(tmp_path):
+    """(slice, data, model) topology — DCN-style pure DP across slices.
+    Batched transcription on 2 slices x 2 data x 2 model must equal the
+    single-device result (the ggml-rpc scale-out role, SURVEY §2.6)."""
+    from whisper_tpu.parallel.batch import BatchTranscriber
+    from whisper_tpu.parallel.mesh import make_mesh
+
+    path = make_random_model(tmp_path, d=128, heads=8)
+    streams = [_noise(2, seed=d) for d in range(4)]
+
+    ctx = wt.WhisperContext.from_file(path)
+    bt0 = BatchTranscriber(ctx, batch_size=4, params=_mkparams())
+    ref = [[(s.t0, s.t1, s.text) for s in segs]
+           for segs in bt0.transcribe(streams)]
+
+    mesh = make_mesh(n_data=2, n_model=2, n_slice=2)
+    assert mesh.axis_names == ("slice", "data", "model")
+    ctx2 = wt.WhisperContext.from_file(path)
+    bt = BatchTranscriber(ctx2, batch_size=4, params=_mkparams(), mesh=mesh)
+    out = [[(s.t0, s.t1, s.text) for s in segs]
+           for segs in bt.transcribe(streams)]
+    assert out == ref

@@ -140,7 +140,7 @@ def make_decode_window(params_treedef_free_fn=None, *,
     if mesh is not None:
         from jax.sharding import NamedSharding
         from ..parallel.mesh import kv_spec
-        _kv_sh = NamedSharding(mesh, kv_spec())
+        _kv_sh = NamedSharding(mesh, kv_spec(mesh))
 
         def constrain_kv(x):
             return jax.lax.with_sharding_constraint(x, _kv_sh)
@@ -174,7 +174,10 @@ def make_decode_window(params_treedef_free_fn=None, *,
         """Run one full window decode on device.
 
         params: model pytree
-        k_cross/v_cross: (L, B, Ta, H, Dh) cross-attention KV
+        k_cross/v_cross: (L, B, H, Dh, Ta) cross-attention KV, or a
+        pre-quantized (codes int8 (L,B,H,Dh,Ta), scales f32 (L,B,H,Ta))
+        pair from cross_kv_q8 (requires a q8 cross_mode) — the fused form
+        whose bf16 stack never materializes (large-v3 B=64 OOMs otherwise)
         prompt: (B, P) i32 — LEFT-padded prompt (pad value irrelevant)
         pad_len: (B,) i32 — number of pad slots at the start of each row
         temperature: scalar f32
@@ -185,10 +188,18 @@ def make_decode_window(params_treedef_free_fn=None, *,
         (the reference reuses its fixed 8-decoder batch the same way).
         Returns dict of result arrays (see below) + no_speech_prob.
         """
-        L = k_cross.shape[0]
+        prequant = not hasattr(k_cross, "shape")   # (codes, scales) pair
+        if prequant:
+            assert cfg.cross_mode in ("einsum_q8", "pallas_q8dt",
+                                      "einsum_q8i"), \
+                f"pre-quantized cross-KV needs a q8 cross_mode, " \
+                f"got {cfg.cross_mode}"
+            kq_shape = k_cross[0].shape
+            L, Dh = kq_shape[0], kq_shape[3]
+        else:
+            L, Dh = k_cross.shape[0], k_cross.shape[3]   # (L, B, H, Dh, Ta)
         B = prompt.shape[0]
         H = cfg.n_head
-        Dh = k_cross.shape[3]          # (L, B, H, Dh, Ta)
         C = P + N + 1
 
         # ---- prompt processing -------------------------------------------
@@ -203,8 +214,13 @@ def make_decode_window(params_treedef_free_fn=None, *,
         valid = (k <= q) & ((k >= pad_len[:, None, None]) | (k == q))
         mask = jnp.where(valid, 0.0, -jnp.inf).astype(jnp.float32)[:, None]
 
+        if prequant:
+            kc_p = ("q8",) + tuple(k_cross)   # decode_prompt's tagged form
+            vc_p = ("q8",) + tuple(v_cross)
+        else:
+            kc_p, vc_p = k_cross, v_cross
         logits_all, k_self, v_self = wm.decode_prompt(
-            params, prompt, positions, k_cross, v_cross, cfg.n_head,
+            params, prompt, positions, kc_p, vc_p, cfg.n_head,
             self_mask=mask, compute_dtype=cfg.compute_dtype)
         logits0 = logits_all[:, -1]                       # (B, V)
 
@@ -215,13 +231,17 @@ def make_decode_window(params_treedef_free_fn=None, *,
         # cross-KV layout for the token loop (transposed once per window;
         # amortized over every decode step)
         if cfg.cross_mode in ("einsum_q8", "pallas_q8dt", "einsum_q8i"):
-            from ..ops.cross_attention import quantize_kv_bhdt
             tag = {"einsum_q8": "q8e", "pallas_q8dt": "q8dt",
                    "einsum_q8i": "q8i"}[cfg.cross_mode]
-            kq, ks = quantize_kv_bhdt(k_cross)
-            vq, vs = quantize_kv_bhdt(v_cross)
-            kc_loop = (tag, kq, ks)
-            vc_loop = (tag, vq, vs)
+            if prequant:   # already (codes, scales) from cross_kv_q8
+                kc_loop = (tag,) + tuple(k_cross)
+                vc_loop = (tag,) + tuple(v_cross)
+            else:
+                from ..ops.cross_attention import quantize_kv_bhdt
+                kq, ks = quantize_kv_bhdt(k_cross)
+                vq, vs = quantize_kv_bhdt(v_cross)
+                kc_loop = (tag, kq, ks)
+                vc_loop = (tag, vq, vs)
         elif cfg.cross_mode == "pallas":
             kc_loop = ("bhtd", k_cross.transpose(0, 1, 2, 4, 3)
                        .astype(cfg.compute_dtype))

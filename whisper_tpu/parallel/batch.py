@@ -45,17 +45,28 @@ class BatchTranscriber:
     """Transcribe many audio streams concurrently on one (or more) chips."""
 
     def __init__(self, ctx: WhisperContext, batch_size: int = 8,
-                 params: FullParams | None = None, mesh=None):
+                 params: FullParams | None = None, mesh=None,
+                 device_mel: bool = False):
         """mesh: optional jax.sharding.Mesh with a "data" axis — windows are
         sharded over it (and params over its "model" axis if >1), scaling
         serving across chips via ICI (the reference's whisper_full_parallel
-        / ggml-rpc role, SURVEY §2.6)."""
+        / ggml-rpc role, SURVEY §2.6).
+
+        device_mel: compute the mel spectrogram ON the TPU, fused into the
+        batched encode (framing gather + DFT matmuls, audio/mel.py).  Kills
+        the host-mel stage (~40% of serving wall at 48 streams).  Deviation:
+        the log-mel max-normalization is then per 30 s window rather than
+        per stream — the same chunk-local normalization the reference's
+        stream example has (examples/stream/stream.cpp feeds whisper_full
+        30 s chunks); off by default so batch == serial stays token-exact.
+        """
         self.ctx = ctx
         self.B = batch_size
         self.mesh = mesh
+        self.device_mel = device_mel
         if mesh is not None:
             from .mesh import shard_params
-            n_data = mesh.shape["data"]
+            n_data = mesh.shape["data"] * mesh.shape.get("slice", 1)
             assert batch_size % n_data == 0, \
                 f"batch_size {batch_size} must divide over data={n_data}"
             ctx.params = shard_params(ctx.params, mesh)
@@ -87,16 +98,30 @@ class BatchTranscriber:
     # -- jitted batched encode -------------------------------------------
 
     def _encode_batch(self, mel_windows):
-        key = ("enc_batch", tuple(mel_windows.shape))
+        key = ("enc_batch", tuple(mel_windows.shape), self.ctx.cross_mode)
         if key not in self.ctx._jit_cache:
             from ..models import whisper as wm
             nh_a, nh_t = (self.ctx.config.n_audio_head,
                           self.ctx.config.n_text_head)
             cd = self.ctx.compute_dtype
+            quant = self.ctx.cross_mode in ("einsum_q8", "pallas_q8dt",
+                                            "einsum_q8i")
+
+            n_ctx = self.ctx.hparams.n_audio_ctx
+            filters = jnp.asarray(self.ctx.filters, jnp.float32)
 
             @jax.jit
             def run(params, mel):
+                if mel.ndim == 2:   # device_mel: raw padded samples in
+                    from ..audio.mel import log_mel_spectrogram_jax
+                    mel = log_mel_spectrogram_jax(mel, filters)[:, :2 * n_ctx]
                 enc = wm.encode(params, mel, n_head=nh_a, compute_dtype=cd)
+                if quant:
+                    # int8 quantization fused into the cross-KV scan: the
+                    # full bf16 (L,B,H,Dh,Ta) stack never materializes
+                    # (large-v3 B=64 is ~7.9 GB/tensor — OOM otherwise)
+                    return wm.cross_kv_q8(params, enc, n_head=nh_t,
+                                          compute_dtype=cd)
                 return wm.cross_kv(params, enc, n_head=nh_t, compute_dtype=cd)
 
             self.ctx._jit_cache[key] = run
@@ -111,6 +136,18 @@ class BatchTranscriber:
         p = self.params
         states = []
         for pcm in streams:
+            if self.device_mel:
+                # mel runs on the TPU inside _encode_batch; the host only
+                # pads (reflect head + 30 s zero tail, audio/mel.py)
+                from ..audio.mel import pad_audio
+                padded, _, n_len_org = pad_audio(np.asarray(pcm, np.float32))
+                st = StreamState(
+                    mel=None, seek=p.offset_ms // 10,
+                    seek_end=(n_len_org if p.duration_ms == 0
+                              else p.offset_ms // 10 + p.duration_ms // 10))
+                st.pcm_padded = padded
+                states.append(st)
+                continue
             mel, n_len_org = log_mel_spectrogram(
                 np.asarray(pcm, np.float32), ctx.filters)
             states.append(StreamState(
@@ -142,14 +179,25 @@ class BatchTranscriber:
             # partial tail batches and fallback rebatches reuse one compiled
             # loop instead of compiling per subset size (dead rows are
             # masked via row_live and start completed)
-            mel_windows = np.zeros((self.B, 2 * n_ctx, n_mels), np.float32)
+            if self.device_mel:
+                from ..constants import HOP_LENGTH, N_FFT
+                S = 2 * n_ctx * HOP_LENGTH + N_FFT
+                mel_windows = np.zeros((self.B, S), np.float32)
+            else:
+                mel_windows = np.zeros((self.B, 2 * n_ctx, n_mels),
+                                       np.float32)
             prompts = []        # with carried past (used while t < 0.5)
             prompts_bare = []   # prompt_init only (hot retries,
                                 # reference: whisper.cpp:5763 t_cur<0.5 gate)
             for row, i in enumerate(batch):
                 st = states[i]
-                avail = max(0, min(2 * n_ctx, st.mel.shape[0] - st.seek))
-                mel_windows[row, :avail] = st.mel[st.seek:st.seek + avail]
+                if self.device_mel:
+                    start = st.seek * HOP_LENGTH
+                    chunk = st.pcm_padded[start:start + S]
+                    mel_windows[row, :len(chunk)] = chunk
+                else:
+                    avail = max(0, min(2 * n_ctx, st.mel.shape[0] - st.seek))
+                    mel_windows[row, :avail] = st.mel[st.seek:st.seek + avail]
                 prompt = []
                 if st.prompt_past and p.n_max_text_ctx > 0:
                     n_take = min(p.n_max_text_ctx,
@@ -160,10 +208,11 @@ class BatchTranscriber:
                 prompts_bare.append(list(self.prompt_init))
 
             if self.mesh is not None:
-                from jax.sharding import NamedSharding, PartitionSpec as P
+                from jax.sharding import NamedSharding
+                from .mesh import batch_spec
                 mel_windows = jax.device_put(
                     jnp.asarray(mel_windows),
-                    NamedSharding(self.mesh, P("data")))
+                    NamedSharding(self.mesh, batch_spec(self.mesh)))
             kc, vc = self._encode_batch(mel_windows)
 
             # temperature-fallback ladder, rebatching only the failed rows
@@ -180,19 +229,24 @@ class BatchTranscriber:
                 if not pending:
                     break
                 cur_prompts = prompts if t_cur < 0.5 else prompts_bare
+                live = np.zeros((self.B,), bool)
+                live[pending] = True
+                seeks = np.zeros((self.B,), np.int32)
+                ends = np.zeros((self.B,), np.int32)
+                for r in pending:
+                    seeks[r] = states[batch[r]].seek
+                    ends[r] = states[batch[r]].seek_end
                 out = self._decode_rows(
-                    [cur_prompts[r] for r in pending],
-                    kc, vc, pending,
-                    np.asarray([states[batch[r]].seek for r in pending]),
-                    np.asarray([states[batch[r]].seek_end for r in pending]),
-                    t_cur)
+                    [cur_prompts[r] if r < B and live[r] else
+                     list(self.prompt_init) for r in range(self.B)],
+                    kc, vc, live, seeks, ends, t_cur)
                 still_failed = []
-                for j, r in enumerate(pending):
+                for r in pending:
                     st = states[batch[r]]
-                    ok = self._row_success(out, j, t_cur,
+                    ok = self._row_success(out, r, t_cur,
                                            last=(it == len(temps) - 1))
                     if ok:
-                        self._finish_window(st, out, j, int(out["n_tokens"]),
+                        self._finish_window(st, out, r, int(out["n_tokens"]),
                                             cur_prompts[r])
                     else:
                         still_failed.append(r)
@@ -202,41 +256,42 @@ class BatchTranscriber:
         return [st.result_all for st in states]
 
     def _prompt_bucket(self, prompts) -> int:
-        return 8 if max(len(q) for q in prompts) <= 8 else (
-            self.ctx.hparams.n_text_ctx // 2 + 8)
+        """Fixed prompt-buffer size: one small bucket for bare prompts, one
+        carried-past bucket sized by how much past the params allow.  A
+        small n_max_text_ctx therefore shrinks the whole decode KV (C =
+        P + N + 1) instead of paying the full n_text_ctx//2 buffer."""
+        if max(len(q) for q in prompts) <= 8:
+            return 8
+        cap = min(self.params.n_max_text_ctx, self.ctx.hparams.n_text_ctx // 2)
+        need = 1 + cap + len(self.prompt_init)   # token_prev + past + init
+        return max(8, (need + 7) // 8 * 8)
 
-    def _decode_rows(self, prompts, kc, vc, rows, seeks, ends, t_cur):
-        """Decode `prompts[j]` against cross-KV rows `rows[j]`, padded to
-        the fixed batch; output row j corresponds to prompts[j]."""
+    def _decode_rows(self, prompts, kc, vc, live, seeks, ends, t_cur):
+        """Decode `prompts[r]` against cross-KV row r for every live row.
+
+        Rows stay in their natural batch positions — no cross-KV gather
+        (an eager take on the q8 stack would transiently double ~8 GB at
+        large-v3 B=48+ and OOM the chip); dead rows decode their own
+        (masked, ignored) window.  Output row r corresponds to prompts[r].
+        """
         ctx = self.ctx
         p = self.params
-        n_live = len(prompts)
         B = self.B
-        P = self._prompt_bucket(prompts)
+        assert len(prompts) == B
+        P = self._prompt_bucket([q for r, q in enumerate(prompts)
+                                 if live[r]] or [self.prompt_init])
         buf = np.zeros((B, P), np.int32)
         pad_len = np.full((B,), P - 1, np.int32)
         for row, q in enumerate(prompts):
             pad_len[row] = P - len(q)
             buf[row, P - len(q):] = q
-        # gather live rows to the front; dead slots replay row 0's KV (any
-        # valid data works — they start completed and are never read back)
-        idx = list(rows) + [rows[0] if rows else 0] * (B - n_live)
-        if n_live < B or list(rows) != list(range(B)):
-            gather = jnp.asarray(idx)
-            kc = jnp.take(kc, gather, axis=1)
-            vc = jnp.take(vc, gather, axis=1)
-        live = np.zeros((B,), bool)
-        live[:n_live] = True
-        seeks_p = np.zeros((B,), np.int32)
-        ends_p = np.zeros((B,), np.int32)
-        seeks_p[:n_live] = seeks
-        ends_p[:n_live] = ends
         fn = ctx._decode_window_fn(
             B, P, self.opts, p.single_segment, self.no_timestamps,
             p.max_tokens, "greedy")
         out = fn(ctx.params, kc, vc, jnp.asarray(buf), jnp.asarray(pad_len),
-                 jnp.float32(t_cur), jnp.asarray(seeks_p),
-                 jnp.asarray(ends_p), jax.random.PRNGKey(int(t_cur * 100)),
+                 jnp.float32(t_cur), jnp.asarray(seeks, dtype=jnp.int32),
+                 jnp.asarray(ends, dtype=jnp.int32),
+                 jax.random.PRNGKey(int(t_cur * 100)),
                  jnp.asarray(live))
         return jax.tree_util.tree_map(np.asarray, out)
 
@@ -245,18 +300,28 @@ class BatchTranscriber:
         so a serving process never jit-compiles on a live request."""
         ctx = self.ctx
         n_ctx = ctx.hparams.n_audio_ctx
-        mel = np.zeros((self.B, 2 * n_ctx, ctx.hparams.n_mels), np.float32)
+        if self.device_mel:
+            from ..constants import HOP_LENGTH, N_FFT
+            mel = np.zeros((self.B, 2 * n_ctx * HOP_LENGTH + N_FFT),
+                           np.float32)
+        else:
+            mel = np.zeros((self.B, 2 * n_ctx, ctx.hparams.n_mels),
+                           np.float32)
         if self.mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec as P
+            from jax.sharding import NamedSharding
+            from .mesh import batch_spec
             mel = jax.device_put(jnp.asarray(mel),
-                                 NamedSharding(self.mesh, P("data")))
+                                 NamedSharding(self.mesh, batch_spec(self.mesh)))
         kc, vc = self._encode_batch(mel)
         bare = list(self.prompt_init)
-        carried = ([ctx.vocab.token_prev]
-                   + [0] * (ctx.hparams.n_text_ctx // 2 - 1) + bare)
+        cap = min(self.params.n_max_text_ctx, ctx.hparams.n_text_ctx // 2)
+        carried = [ctx.vocab.token_prev] + [0] * cap + bare
+        live = np.zeros((self.B,), bool)
+        live[0] = True
+        zeros = np.zeros((self.B,), np.int32)
         for prompt in (bare, carried):
-            out = self._decode_rows([prompt], kc, vc, [0],
-                                    np.asarray([0]), np.asarray([0]), 0.0)
+            out = self._decode_rows([prompt] * self.B, kc, vc, live,
+                                    zeros, zeros, 0.0)
             del out
 
     def _row_success(self, out, j, t_cur, last: bool) -> bool:

@@ -2,10 +2,14 @@
 
 The reference's only distribution stories are a multi-backend graph
 scheduler and a TCP RPC backend (SURVEY §2.4, §2.6).  The TPU-native
-equivalent is a `jax.sharding.Mesh` with two logical axes:
+equivalent is a `jax.sharding.Mesh` with up to three logical axes:
 
-  * "data"  — batch of 30 s windows / streams (the analog of
-              whisper_full_parallel's chunk data-parallelism,
+  * "slice" — optional outer data parallelism ACROSS pod slices: traffic
+              on this axis rides DCN, so only the batch dim maps to it
+              (pure DP — no per-token collectives cross a slice boundary).
+              The analog of the reference's ggml-rpc scale-out.
+  * "data"  — batch of 30 s windows / streams within a slice (the analog
+              of whisper_full_parallel's chunk data-parallelism,
               reference: src/whisper.cpp:6407-6520)
   * "model" — tensor parallelism over attention heads and MLP hidden dim
               (no analog in the reference; lets large-v3 scale past one
@@ -23,15 +27,29 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def make_mesh(n_data: int = 1, n_model: int = 1,
+def make_mesh(n_data: int = 1, n_model: int = 1, n_slice: int = 1,
               devices=None) -> Mesh:
-    """Build a ("data", "model") mesh over the given (or all) devices."""
+    """Build a ("data", "model") mesh — or ("slice", "data", "model") when
+    n_slice > 1 — over the given (or all) devices.
+
+    On real multi-slice hardware pass `devices=jax.devices()` from a
+    jax.distributed-initialized process set; device order groups each
+    slice's chips contiguously, so reshaping puts "slice" outermost and
+    keeps "data"/"model" collectives on ICI."""
     if devices is None:
         devices = jax.devices()
-    n = n_data * n_model
+    n = n_slice * n_data * n_model
     assert len(devices) >= n, f"need {n} devices, have {len(devices)}"
+    if n_slice > 1:
+        arr = np.asarray(devices[:n]).reshape(n_slice, n_data, n_model)
+        return Mesh(arr, axis_names=("slice", "data", "model"))
     arr = np.asarray(devices[:n]).reshape(n_data, n_model)
     return Mesh(arr, axis_names=("data", "model"))
+
+
+def data_axes(mesh: Mesh):
+    """The axis (or axis tuple) batch dims shard over."""
+    return (("slice", "data") if "slice" in mesh.axis_names else "data")
 
 
 # Per-leaf PartitionSpec for the whisper param pytree.
@@ -76,41 +94,52 @@ def shard_params(params, mesh: Mesh):
         params, specs)
 
 
-def batch_spec() -> P:
-    """Activations: batch over "data", replicated over "model"."""
-    return P("data")
+def batch_spec(mesh: Mesh) -> P:
+    """Activations: batch over the data axes, replicated over "model"."""
+    return P(data_axes(mesh))
 
 
 def shard_batch(x, mesh: Mesh):
-    return jax.device_put(x, NamedSharding(mesh, P("data")))
+    return jax.device_put(x, NamedSharding(mesh, batch_spec(mesh)))
 
 
-def kv_spec() -> P:
-    """KV layout (L, B, H, Dh, T): batch over "data", heads over "model".
+def kv_spec(mesh: Mesh) -> P:
+    """KV layout (L, B, H, Dh, T): batch over the data axes, heads over
+    "model".
 
     Applies to both the cross-attention KV stack (T = Ta) and the decoder
     self-attention cache (T = C).  Heads shard over "model" because the
     xk/xv/k/v projection out-features are "model"-sharded, so each model
     shard holds and attends over its own head slice with no collective
     until the out-projection psum."""
-    return P(None, "data", "model", None, None)
+    return P(None, data_axes(mesh), "model", None, None)
 
 
-def decode_window_shardings(mesh: Mesh, params) -> tuple:
+def decode_window_shardings(mesh: Mesh, params,
+                            quant_cross: bool = False) -> tuple:
     """in_shardings for the production `make_decode_window` signature:
     (params, k_cross, v_cross, prompt, pad_len, temperature, seek,
      seek_end, rng_key, row_live).
 
+    quant_cross: k/v_cross are (codes (L,B,H,Dh,Ta), scales (L,B,H,Ta))
+    pairs from cross_kv_q8 instead of single bf16 arrays.
+
     Explicit specs (rather than GSPMD propagation alone) pin the decode
-    loop's layout: windows over "data", attention heads over "model",
-    scalars/rng replicated."""
+    loop's layout: windows over the data axes, attention heads over
+    "model", scalars/rng replicated.  Params carry no "slice"/"data" axis,
+    so across slices they are replicated and every per-token collective
+    stays within a slice (ICI); only input scatter touches DCN."""
     def ns(s):
         return NamedSharding(mesh, s)
 
+    da = data_axes(mesh)
     p_sh = jax.tree_util.tree_map(
         ns, param_specs(params), is_leaf=lambda x: isinstance(x, P))
+    cross = (ns(kv_spec(mesh)),
+             ns(P(None, da, "model", None))) if quant_cross \
+        else ns(kv_spec(mesh))
     # seek/seek_end are replicated: they are scalars on the serial path and
     # tiny (B,) vectors on the batch path — not worth a collective either way
-    return (p_sh, ns(kv_spec()), ns(kv_spec()),
-            ns(P("data", None)), ns(P("data")), ns(P()),
-            ns(P()), ns(P()), ns(P()), ns(P("data")))
+    return (p_sh, cross, cross,
+            ns(P(da, None)), ns(P(da)), ns(P()),
+            ns(P()), ns(P()), ns(P()), ns(P(da)))
