@@ -164,3 +164,31 @@ def test_cross_kv_q8_matches_dense():
     v_deq = np.asarray(vq).astype(np.float32) * np.asarray(vs)[:, :, :, None, :]
     assert np.abs(k_deq - np.asarray(kc)).max() <= np.abs(np.asarray(kc)).max() / 127 + 1e-6
     assert np.abs(v_deq - np.asarray(vc)).max() <= np.abs(np.asarray(vc)).max() / 127 + 1e-6
+
+
+def test_quantized_matmul_mins_interpret():
+    """q4_1/q5_1 path: the kernel's per-block offset ("m") branch matches
+    a dense matmul against the exactly-decoded weights."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from whisper_tpu.ops.quantized import quantized_matmul, unpack_to_codes
+    from whisper_tpu.weights import quant
+
+    rng = np.random.RandomState(1)
+    N, K, M = 256, 256, 8
+    w = (rng.randn(N, K) * 0.05 + 0.01).astype(np.float32)
+    for qfn, ttype in ((quant.quantize_q4_1, quant.GGML_TYPE_Q4_1),
+                       (quant.quantize_q5_1, quant.GGML_TYPE_Q5_1)):
+        raw = qfn(w)
+        codes, scales, mins = unpack_to_codes(raw, ttype, (N, K))
+        assert mins is not None
+        wd = quant.decode_tensor(raw, ttype, (N, K))
+        x = rng.randn(M, K).astype(np.float32)
+
+        with pltpu.force_tpu_interpret_mode():
+            y = np.asarray(quantized_matmul(
+                jnp.asarray(x), jnp.asarray(np.ascontiguousarray(codes.T)),
+                jnp.asarray(np.ascontiguousarray(scales.T)),
+                jnp.asarray(np.ascontiguousarray(mins.T))))
+        ref = x @ wd.T
+        assert np.abs(y - ref).max() / np.abs(ref).max() < 0.03, ttype

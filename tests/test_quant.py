@@ -49,3 +49,34 @@ def test_f16_passthrough():
     x = np.random.RandomState(1).randn(4, 32).astype(np.float16)
     out = quant.decode_tensor(x.tobytes(), quant.GGML_TYPE_F16, (4, 32))
     np.testing.assert_array_equal(out, x.astype(np.float32))
+
+
+def test_keep_quantized_q4_1_packed(tmp_path):
+    """q4_1/q5_1 files stay packed under keep_quantized (codes+scales+mins)
+    instead of silently densifying; exactness vs decode_tensor."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.dirname(__file__))
+    from conftest import make_random_model
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from whisper_tpu.ops.quantized import dequantize_weights
+    from whisper_tpu.weights.convert import params_from_ggml
+    from whisper_tpu.weights.ggml_reader import read_ggml_file
+    from whisper_tpu.weights import quant
+
+    path = make_random_model(tmp_path, d=128, heads=4, ftype=3,
+                             qtype=quant.GGML_TYPE_Q4_1)
+    mf = read_ggml_file(path)
+    params, cfg = params_from_ggml(mf, keep_quantized=True)
+    qw = params["decoder"]["blocks"]["q_w"]
+    assert isinstance(qw, dict) and "m" in qw, "q4_1 must stay packed"
+
+    rt = mf.tensors["decoder.blocks.0.attn.query.weight"]
+    dense = quant.decode_tensor(rt.data, rt.ttype, rt.shape)
+    redq = np.asarray(dequantize_weights(
+        jnp.asarray(qw["q"][0]).T, jnp.asarray(qw["s"][0]).T,
+        jnp.asarray(qw["m"][0]).T, dtype=jnp.float32))
+    np.testing.assert_allclose(redq, dense, atol=1e-6)

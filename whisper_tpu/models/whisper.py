@@ -122,12 +122,13 @@ def _layernorm(x, w, b, eps: float = 1e-5):
 
 def _linear(x, w, b=None, compute_dtype=jnp.bfloat16):
     if isinstance(w, dict):
-        # block-quantized weight: {"q": (K, N) int8 codes, "s": (K//32, N)}
+        # block-quantized weight: {"q": (K, N) int8 codes, "s": (K//32, N),
+        # ["m": (K//32, N) offsets for q4_1/q5_1]}
         # -> fused dequant-matmul Pallas kernel (ops/quantized.py)
         from ..ops.quantized import quantized_matmul
         shape = x.shape
         y = quantized_matmul(x.reshape(-1, shape[-1]).astype(compute_dtype),
-                             w["q"], w["s"])
+                             w["q"], w["s"], w.get("m"))
         y = y.reshape(shape[:-1] + (w["q"].shape[-1],))
     else:
         y = jnp.dot(x.astype(compute_dtype), w.astype(compute_dtype).T,

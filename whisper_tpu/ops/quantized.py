@@ -122,13 +122,31 @@ def _qmm_kernel(x_ref, codes_ref, scales_ref, acc_ref):
                           preferred_element_type=jnp.float32)
 
 
+def _qmm_kernel_mins(x_ref, codes_ref, scales_ref, mins_ref, acc_ref):
+    """_qmm_kernel with per-block offsets (q4_1/q5_1: W = q*d + m)."""
+    k_idx = pl.program_id(2)
+
+    @pl.when(k_idx == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    codes = codes_ref[:]
+    wt = (codes.astype(jnp.bfloat16)
+          * jnp.repeat(scales_ref[:].astype(jnp.bfloat16), QK, axis=0)
+          + jnp.repeat(mins_ref[:].astype(jnp.bfloat16), QK, axis=0))
+
+    acc_ref[:] += jnp.dot(x_ref[:].astype(jnp.bfloat16), wt,
+                          preferred_element_type=jnp.float32)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("block_m", "block_n", "block_k"))
-def quantized_matmul(x, codes_t, scales_t, block_m: int = 512,
+def quantized_matmul(x, codes_t, scales_t, mins_t=None, block_m: int = 512,
                      block_n: int = 512, block_k: int = 512):
-    """y = x @ W^T with W = codes * scales (block-32), W^T stored K-major.
+    """y = x @ W^T with W = codes * scales (+ mins) (block-32), W^T K-major.
 
-    x: (M, K); codes_t: (K, N) int8; scales_t: (K//32, N) f32 -> (M, N) f32.
+    x: (M, K); codes_t: (K, N) int8; scales_t: (K//32, N) f32;
+    mins_t: (K//32, N) f32 or None (q4_1/q5_1 block offsets) -> (M, N) f32.
     """
     m, k = x.shape
     n = codes_t.shape[1]
@@ -142,23 +160,32 @@ def quantized_matmul(x, codes_t, scales_t, block_m: int = 512,
     assert bn >= 128 and bk >= QK, (n, k, bn, bk)
     grid_m = pl.cdiv(m, bm)
 
+    scale_spec = pl.BlockSpec((bk // QK, bn), lambda g, i, j: (j, i),
+                              memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec((bm, bk), lambda g, i, j: (g, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((bk, bn), lambda g, i, j: (j, i),
+                     memory_space=pltpu.VMEM),
+        scale_spec,
+    ]
+    args = [x, codes_t, scales_t]
+    kernel = _qmm_kernel
+    if mins_t is not None:
+        in_specs.append(scale_spec)
+        args.append(mins_t)
+        kernel = _qmm_kernel_mins
+
     return pl.pallas_call(
-        _qmm_kernel,
+        kernel,
         grid=(grid_m, n // bn, k // bk),
-        in_specs=[
-            pl.BlockSpec((bm, bk), lambda g, i, j: (g, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((bk, bn), lambda g, i, j: (j, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((bk // QK, bn), lambda g, i, j: (j, i),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((bm, bn), lambda g, i, j: (g, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m, n), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary")),
-    )(x, codes_t, scales_t)
+    )(*args)
 
 
 def dequantize_weights(codes, scales, mins=None, dtype=jnp.bfloat16):

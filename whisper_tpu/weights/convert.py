@@ -61,7 +61,8 @@ def params_from_ggml(mf: GgmlModelFile, dtype=jnp.bfloat16,
     form ({"q": int8 codes K-major, "s": block scales}) so the decode path
     runs the fused dequant-matmul Pallas kernel instead of loading bf16
     copies — the decoder is HBM-bandwidth bound, the encoder is not, so the
-    encoder is always densified.  Supported for q4_0/q5_0/q8_0 files.
+    encoder is always densified.  All five codecs stay packed (q4_0/q4_1/
+    q5_0/q5_1/q8_0; the _1 variants carry per-block offsets "m").
 
     Raises KeyError for missing tensors unless the file has no tensors at
     all (the reference's stub-model test path, src/whisper.cpp:1954-1955),
@@ -80,17 +81,19 @@ def params_from_ggml(mf: GgmlModelFile, dtype=jnp.bfloat16,
         from ..ops.quantized import unpack_to_codes
         for name, rt in mf.tensors.items():
             if (name.startswith("decoder.blocks.")
-                    and rt.ttype in (_q.GGML_TYPE_Q4_0, _q.GGML_TYPE_Q5_0,
+                    and rt.ttype in (_q.GGML_TYPE_Q4_0, _q.GGML_TYPE_Q4_1,
+                                     _q.GGML_TYPE_Q5_0, _q.GGML_TYPE_Q5_1,
                                      _q.GGML_TYPE_Q8_0)
                     and len(rt.shape) == 2
                     and rt.shape[1] % _q.QK == 0
                     and rt.shape[1] % 128 == 0 and rt.shape[0] % 128 == 0):
                 codes, scales, mins = unpack_to_codes(rt.data, rt.ttype, rt.shape)
-                assert mins is None
                 quantizable[name] = {
                     "q": np.ascontiguousarray(codes.T),
                     "s": np.ascontiguousarray(scales.T),
                 }
+                if mins is not None:   # q4_1/q5_1 block offsets
+                    quantizable[name]["m"] = np.ascontiguousarray(mins.T)
 
     def stack(prefix: str, n_layer: int, table) -> dict:
         out = {}
@@ -103,6 +106,9 @@ def params_from_ggml(mf: GgmlModelFile, dtype=jnp.bfloat16,
                     "s": jnp.asarray(np.stack(
                         [quantizable[n]["s"] for n in names])),
                 }
+                if "m" in quantizable[names[0]]:
+                    out[key]["m"] = jnp.asarray(np.stack(
+                        [quantizable[n]["m"] for n in names]))
                 continue
             arrs = [t[n] for n in names]
             out[key] = _cast(key, np.stack(arrs), dtype)
