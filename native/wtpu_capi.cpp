@@ -1,0 +1,677 @@
+/* libwhisper_tpu.so — the whisper.h C ABI over the TPU framework.
+ *
+ * A C program written against the reference whisper.h links against this
+ * library instead (reference: include/whisper.h:1-676; examples/main).
+ * Each exported function acquires the GIL of an embedded CPython
+ * interpreter and marshals into whisper_tpu.capi, so the full TPU engine
+ * (jitted while_loop decode, batched serving, Pallas kernels) sits behind
+ * the plain C surface.
+ *
+ * Coverage: the core transcription workflow (init/free, full/
+ * full_with_state/full_parallel, every segment/token accessor, vocab and
+ * language introspection, tokenize, pcm_to_mel, timings) plus the
+ * new_segment and progress callbacks via a C->Python trampoline.
+ * Not marshalled in v1 (pass NULL/0): encoder_begin/abort/logits_filter
+ * callbacks and in-struct grammar_rules (use the Python surface for
+ * GBNF decoding).
+ *
+ * Build:  make libwhisper_tpu.so   (see Makefile; links libpython)
+ * The interpreter locates the repo root from this library's own path
+ * (override with WHISPER_TPU_ROOT).
+ */
+#define PY_SSIZE_T_CLEAN
+#include <Python.h>
+
+#include <dlfcn.h>
+
+#include <cstdint>
+#include <cstring>
+#include <deque>
+#include <mutex>
+#include <string>
+
+#include "whisper_tpu.h"
+
+// ---------------------------------------------------------------------------
+// interpreter bootstrap
+// ---------------------------------------------------------------------------
+
+static PyObject * g_capi = nullptr;   // whisper_tpu.capi module
+static PyObject * g_np = nullptr;     // numpy module
+
+static void ensure_python() {
+    static std::once_flag once;
+    std::call_once(once, [] {
+        const bool own = !Py_IsInitialized();
+        if (own) {
+            Py_InitializeEx(0);
+        }
+        PyGILState_STATE g = PyGILState_Ensure();
+
+        // repo root: $WHISPER_TPU_ROOT or dirname(dirname(this .so))
+        std::string root;
+        if (const char * env = getenv("WHISPER_TPU_ROOT")) {
+            root = env;
+        } else {
+            Dl_info info;
+            if (dladdr((void *) &ensure_python, &info) && info.dli_fname) {
+                root = info.dli_fname;
+                auto cut = [&root] {
+                    size_t p = root.find_last_of('/');
+                    root = (p == std::string::npos) ? "." : root.substr(0, p);
+                };
+                cut();  // .../native
+                cut();  // repo root
+            }
+        }
+        PyObject * sys_path = PySys_GetObject("path");  // borrowed
+        PyObject * r = PyUnicode_FromString(root.c_str());
+        PyList_Insert(sys_path, 0, r);
+        Py_DECREF(r);
+
+        g_np = PyImport_ImportModule("numpy");
+        g_capi = PyImport_ImportModule("whisper_tpu.capi");
+        if (!g_capi) {
+            PyErr_Print();
+            fprintf(stderr, "whisper_tpu: failed to import whisper_tpu.capi "
+                            "(root=%s)\n", root.c_str());
+        }
+        PyGILState_Release(g);
+        if (own) {
+            // drop the GIL so any thread can take it via PyGILState_Ensure
+            PyEval_SaveThread();
+        }
+    });
+}
+
+struct Gil {
+    PyGILState_STATE st;
+    Gil() { ensure_python(); st = PyGILState_Ensure(); }
+    ~Gil() { PyGILState_Release(st); }
+};
+
+// opaque handles: boxes around Python objects
+struct whisper_context {
+    PyObject * obj;
+    std::deque<std::string> strings;   // storage for returned const char*
+    const char * keep(PyObject * s) {
+        if (!s) return "";
+        const char * u = PyUnicode_AsUTF8(s);
+        strings.push_back(u ? u : "");
+        if (strings.size() > 256) strings.pop_front();
+        return strings.back().c_str();
+    }
+};
+struct whisper_state {
+    PyObject * obj;
+    std::deque<std::string> strings;
+    const char * keep(PyObject * s) {
+        if (!s) return "";
+        const char * u = PyUnicode_AsUTF8(s);
+        strings.push_back(u ? u : "");
+        if (strings.size() > 256) strings.pop_front();
+        return strings.back().c_str();
+    }
+};
+
+// call g_capi.<name>(args...) -> new ref (nullptr on error, error printed)
+static PyObject * call(const char * name, PyObject * args) {
+    if (!g_capi) { Py_XDECREF(args); return nullptr; }
+    PyObject * fn = PyObject_GetAttrString(g_capi, name);
+    if (!fn) { PyErr_Print(); Py_XDECREF(args); return nullptr; }
+    PyObject * out = PyObject_CallObject(fn, args);
+    Py_DECREF(fn);
+    Py_XDECREF(args);
+    if (!out) PyErr_Print();
+    return out;
+}
+
+static long call_long(const char * name, PyObject * args, long dflt = -1) {
+    PyObject * r = call(name, args);
+    if (!r) return dflt;
+    long v = PyLong_AsLong(r);
+    if (PyErr_Occurred()) { PyErr_Clear(); v = dflt; }
+    Py_DECREF(r);
+    return v;
+}
+
+static double call_double(const char * name, PyObject * args,
+                          double dflt = 0.0) {
+    PyObject * r = call(name, args);
+    if (!r) return dflt;
+    double v = PyFloat_AsDouble(r);
+    if (PyErr_Occurred()) { PyErr_Clear(); v = dflt; }
+    Py_DECREF(r);
+    return v;
+}
+
+// float* -> numpy f32 array (copies: the caller's buffer has no lifetime
+// guarantee past the call)
+static PyObject * np_from_f32(const float * samples, int n) {
+    PyObject * mv = PyMemoryView_FromMemory(
+        (char *) samples, (Py_ssize_t) n * 4, PyBUF_READ);
+    PyObject * arr = PyObject_CallMethod(g_np, "frombuffer", "Os", mv, "<f4");
+    Py_DECREF(mv);
+    if (!arr) { PyErr_Print(); return nullptr; }
+    PyObject * copy = PyObject_CallMethod(arr, "copy", nullptr);
+    Py_DECREF(arr);
+    return copy;
+}
+
+// ---------------------------------------------------------------------------
+// callback trampolines (C fn pointer wrapped as a Python callable)
+// ---------------------------------------------------------------------------
+
+struct CbBox {
+    whisper_context * ctx;
+    void * fn;
+    void * user_data;
+};
+
+static PyObject * new_segment_tramp(PyObject * self, PyObject * args) {
+    CbBox * box = (CbBox *) PyCapsule_GetPointer(self, "wtpu.cb");
+    PyObject * ctx_obj;
+    int n_new;
+    if (!PyArg_ParseTuple(args, "Oi", &ctx_obj, &n_new)) return nullptr;
+    ((whisper_new_segment_callback) box->fn)(box->ctx, nullptr, n_new,
+                                             box->user_data);
+    Py_RETURN_NONE;
+}
+
+static PyObject * progress_tramp(PyObject * self, PyObject * args) {
+    CbBox * box = (CbBox *) PyCapsule_GetPointer(self, "wtpu.cb");
+    PyObject * ctx_obj;
+    int progress;
+    if (!PyArg_ParseTuple(args, "Oi", &ctx_obj, &progress)) return nullptr;
+    ((whisper_progress_callback) box->fn)(box->ctx, nullptr, progress,
+                                          box->user_data);
+    Py_RETURN_NONE;
+}
+
+static void cb_capsule_free(PyObject * cap) {
+    delete (CbBox *) PyCapsule_GetPointer(cap, "wtpu.cb");
+}
+
+static PyMethodDef g_seg_def = {"new_segment", new_segment_tramp,
+                                METH_VARARGS, nullptr};
+static PyMethodDef g_prog_def = {"progress", progress_tramp,
+                                 METH_VARARGS, nullptr};
+
+static PyObject * make_trampoline(PyMethodDef * def, whisper_context * ctx,
+                                  void * fn, void * user_data) {
+    CbBox * box = new CbBox{ctx, fn, user_data};
+    PyObject * cap = PyCapsule_New(box, "wtpu.cb", cb_capsule_free);
+    PyObject * f = PyCFunction_New(def, cap);
+    Py_DECREF(cap);
+    return f;
+}
+
+// ---------------------------------------------------------------------------
+// params conversion
+// ---------------------------------------------------------------------------
+
+static void set_attr(PyObject * o, const char * k, PyObject * v) {
+    PyObject_SetAttrString(o, k, v);
+    Py_DECREF(v);
+}
+
+static PyObject * params_to_py(whisper_context * cctx,
+                               const whisper_full_params & p) {
+    PyObject * args = Py_BuildValue("(i)", (int) p.strategy);
+    PyObject * fp = call("whisper_full_default_params", args);
+    if (!fp) return nullptr;
+
+    set_attr(fp, "n_max_text_ctx", PyLong_FromLong(p.n_max_text_ctx));
+    set_attr(fp, "offset_ms", PyLong_FromLong(p.offset_ms));
+    set_attr(fp, "duration_ms", PyLong_FromLong(p.duration_ms));
+    set_attr(fp, "translate", PyBool_FromLong(p.translate));
+    set_attr(fp, "no_context", PyBool_FromLong(p.no_context));
+    set_attr(fp, "no_timestamps", PyBool_FromLong(p.no_timestamps));
+    set_attr(fp, "single_segment", PyBool_FromLong(p.single_segment));
+    set_attr(fp, "print_special", PyBool_FromLong(p.print_special));
+    set_attr(fp, "print_progress", PyBool_FromLong(p.print_progress));
+    set_attr(fp, "print_realtime", PyBool_FromLong(p.print_realtime));
+    set_attr(fp, "print_timestamps", PyBool_FromLong(p.print_timestamps));
+    set_attr(fp, "token_timestamps", PyBool_FromLong(p.token_timestamps));
+    set_attr(fp, "thold_pt", PyFloat_FromDouble(p.thold_pt));
+    set_attr(fp, "thold_ptsum", PyFloat_FromDouble(p.thold_ptsum));
+    set_attr(fp, "max_len", PyLong_FromLong(p.max_len));
+    set_attr(fp, "split_on_word", PyBool_FromLong(p.split_on_word));
+    set_attr(fp, "max_tokens", PyLong_FromLong(p.max_tokens));
+    set_attr(fp, "debug_mode", PyBool_FromLong(p.debug_mode));
+    set_attr(fp, "audio_ctx", PyLong_FromLong(p.audio_ctx));
+    set_attr(fp, "tdrz_enable", PyBool_FromLong(p.tdrz_enable));
+    if (p.suppress_regex)
+        set_attr(fp, "suppress_regex", PyUnicode_FromString(p.suppress_regex));
+    if (p.initial_prompt)
+        set_attr(fp, "initial_prompt", PyUnicode_FromString(p.initial_prompt));
+    if (p.prompt_tokens && p.prompt_n_tokens > 0) {
+        PyObject * lst = PyList_New(p.prompt_n_tokens);
+        for (int i = 0; i < p.prompt_n_tokens; i++)
+            PyList_SET_ITEM(lst, i, PyLong_FromLong(p.prompt_tokens[i]));
+        set_attr(fp, "prompt_tokens", lst);
+    }
+    set_attr(fp, "language", p.language
+             ? PyUnicode_FromString(p.language) : PyUnicode_FromString(""));
+    set_attr(fp, "detect_language", PyBool_FromLong(p.detect_language));
+    set_attr(fp, "suppress_blank", PyBool_FromLong(p.suppress_blank));
+    set_attr(fp, "suppress_nst", PyBool_FromLong(p.suppress_nst));
+    set_attr(fp, "temperature", PyFloat_FromDouble(p.temperature));
+    set_attr(fp, "max_initial_ts", PyFloat_FromDouble(p.max_initial_ts));
+    set_attr(fp, "length_penalty", PyFloat_FromDouble(p.length_penalty));
+    set_attr(fp, "temperature_inc", PyFloat_FromDouble(p.temperature_inc));
+    set_attr(fp, "entropy_thold", PyFloat_FromDouble(p.entropy_thold));
+    set_attr(fp, "logprob_thold", PyFloat_FromDouble(p.logprob_thold));
+    set_attr(fp, "no_speech_thold", PyFloat_FromDouble(p.no_speech_thold));
+
+    PyObject * greedy = PyObject_GetAttrString(fp, "greedy");
+    if (greedy) {
+        set_attr(greedy, "best_of", PyLong_FromLong(p.greedy.best_of));
+        Py_DECREF(greedy);
+    }
+    PyObject * beam = PyObject_GetAttrString(fp, "beam_search");
+    if (beam) {
+        set_attr(beam, "beam_size", PyLong_FromLong(p.beam_search.beam_size));
+        set_attr(beam, "patience", PyFloat_FromDouble(p.beam_search.patience));
+        Py_DECREF(beam);
+    }
+
+    if (p.new_segment_callback)
+        set_attr(fp, "new_segment_callback", make_trampoline(
+            &g_seg_def, cctx, (void *) p.new_segment_callback,
+            p.new_segment_callback_user_data));
+    if (p.progress_callback)
+        set_attr(fp, "progress_callback", make_trampoline(
+            &g_prog_def, cctx, (void *) p.progress_callback,
+            p.progress_callback_user_data));
+    return fp;
+}
+
+// ---------------------------------------------------------------------------
+// exported API
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+struct whisper_context_params whisper_context_default_params(void) {
+    whisper_context_params p;
+    memset(&p, 0, sizeof(p));
+    p.use_gpu = true;
+    p.gpu_device = 0;
+    p.dtw_aheads_preset = WHISPER_AHEADS_NONE;
+    p.dtw_n_top = -1;
+    return p;
+}
+
+static const char * AHEADS_NAMES[] = {
+    "none", "n_top_most", "custom", "tiny.en", "tiny", "base.en", "base",
+    "small.en", "small", "medium.en", "medium", "large-v1", "large-v2",
+    "large-v3", "large-v3-turbo",
+};
+
+struct whisper_context * whisper_init_from_file_with_params(
+        const char * path_model, struct whisper_context_params params) {
+    Gil gil;
+    PyObject * cp = call("whisper_context_default_params", nullptr);
+    if (!cp) return nullptr;
+    set_attr(cp, "dtw_token_timestamps",
+             PyBool_FromLong(params.dtw_token_timestamps));
+    set_attr(cp, "dtw_aheads_preset",
+             PyUnicode_FromString(AHEADS_NAMES[params.dtw_aheads_preset]));
+    set_attr(cp, "dtw_n_top", PyLong_FromLong(params.dtw_n_top));
+
+    PyObject * args = Py_BuildValue("(sO)", path_model, cp);
+    Py_DECREF(cp);
+    PyObject * obj = call("whisper_init_from_file_with_params", args);
+    if (!obj) return nullptr;
+    whisper_context * ctx = new whisper_context();
+    ctx->obj = obj;
+    return ctx;
+}
+
+struct whisper_context * whisper_init_from_file(const char * path_model) {
+    return whisper_init_from_file_with_params(
+        path_model, whisper_context_default_params());
+}
+
+struct whisper_state * whisper_init_state(struct whisper_context * ctx) {
+    Gil gil;
+    PyObject * obj = call("whisper_init_state",
+                          Py_BuildValue("(O)", ctx->obj));
+    if (!obj) return nullptr;
+    whisper_state * st = new whisper_state();
+    st->obj = obj;
+    return st;
+}
+
+void whisper_free(struct whisper_context * ctx) {
+    if (!ctx) return;
+    { Gil gil; Py_XDECREF(ctx->obj); }
+    delete ctx;
+}
+
+void whisper_free_state(struct whisper_state * state) {
+    if (!state) return;
+    { Gil gil; Py_XDECREF(state->obj); }
+    delete state;
+}
+
+struct whisper_full_params whisper_full_default_params(
+        enum whisper_sampling_strategy strategy) {
+    whisper_full_params p;
+    memset(&p, 0, sizeof(p));
+    p.strategy = strategy;
+    p.n_threads = 4;
+    p.n_max_text_ctx = 16384;
+    p.translate = false;
+    p.no_context = true;
+    p.single_segment = false;
+    p.print_special = false;
+    p.print_progress = true;
+    p.print_realtime = false;
+    p.print_timestamps = true;
+    p.thold_pt = 0.01f;
+    p.thold_ptsum = 0.01f;
+    p.max_len = 0;
+    p.max_tokens = 0;
+    p.audio_ctx = 0;
+    p.language = "en";
+    p.suppress_blank = true;
+    p.suppress_nst = false;
+    p.temperature = 0.0f;
+    p.max_initial_ts = 1.0f;
+    p.length_penalty = -1.0f;
+    p.temperature_inc = 0.2f;
+    p.entropy_thold = 2.4f;
+    p.logprob_thold = -1.0f;
+    p.no_speech_thold = 0.6f;
+    p.greedy.best_of = strategy == WHISPER_SAMPLING_GREEDY ? 5 : 5;
+    p.beam_search.beam_size = strategy == WHISPER_SAMPLING_BEAM_SEARCH ? 5 : -1;
+    p.beam_search.patience = -1.0f;
+    p.grammar_penalty = 100.0f;
+    return p;
+}
+
+int whisper_full(struct whisper_context * ctx,
+                 struct whisper_full_params params,
+                 const float * samples, int n_samples) {
+    Gil gil;
+    PyObject * fp = params_to_py(ctx, params);
+    PyObject * arr = np_from_f32(samples, n_samples);
+    if (!fp || !arr) { Py_XDECREF(fp); Py_XDECREF(arr); return -1; }
+    return (int) call_long("whisper_full",
+                           Py_BuildValue("(ONN)", ctx->obj, fp, arr));
+}
+
+int whisper_full_with_state(struct whisper_context * ctx,
+                            struct whisper_state * state,
+                            struct whisper_full_params params,
+                            const float * samples, int n_samples) {
+    Gil gil;
+    PyObject * fp = params_to_py(ctx, params);
+    PyObject * arr = np_from_f32(samples, n_samples);
+    if (!fp || !arr) { Py_XDECREF(fp); Py_XDECREF(arr); return -1; }
+    return (int) call_long("whisper_full_with_state",
+                           Py_BuildValue("(OONN)", ctx->obj, state->obj,
+                                         fp, arr));
+}
+
+int whisper_full_parallel(struct whisper_context * ctx,
+                          struct whisper_full_params params,
+                          const float * samples, int n_samples,
+                          int n_processors) {
+    Gil gil;
+    PyObject * fp = params_to_py(ctx, params);
+    PyObject * arr = np_from_f32(samples, n_samples);
+    if (!fp || !arr) { Py_XDECREF(fp); Py_XDECREF(arr); return -1; }
+    PyObject * none = Py_None;
+    Py_INCREF(none);
+    return (int) call_long("whisper_full_parallel",
+                           Py_BuildValue("(ONNNi)", ctx->obj, fp, arr, none,
+                                         n_processors));
+}
+
+#define CTX_LONG(name) \
+    Gil gil; return (int) call_long(#name, Py_BuildValue("(O)", ctx->obj));
+
+int whisper_full_n_segments(struct whisper_context * ctx) {
+    CTX_LONG(whisper_full_n_segments)
+}
+int whisper_full_n_segments_from_state(struct whisper_state * state) {
+    Gil gil;
+    return (int) call_long("whisper_full_n_segments_from_state",
+                           Py_BuildValue("(O)", state->obj));
+}
+int whisper_full_lang_id(struct whisper_context * ctx) {
+    CTX_LONG(whisper_full_lang_id)
+}
+int whisper_n_vocab(struct whisper_context * ctx) { CTX_LONG(whisper_n_vocab) }
+int whisper_n_text_ctx(struct whisper_context * ctx) { CTX_LONG(whisper_n_text_ctx) }
+int whisper_n_audio_ctx(struct whisper_context * ctx) { CTX_LONG(whisper_n_audio_ctx) }
+int whisper_is_multilingual(struct whisper_context * ctx) { CTX_LONG(whisper_is_multilingual) }
+
+#define TOKEN_FN(name) \
+    whisper_token name(struct whisper_context * ctx) { \
+        Gil gil; \
+        return (whisper_token) call_long(#name, Py_BuildValue("(O)", ctx->obj)); \
+    }
+TOKEN_FN(whisper_token_eot)
+TOKEN_FN(whisper_token_sot)
+TOKEN_FN(whisper_token_solm)
+TOKEN_FN(whisper_token_prev)
+TOKEN_FN(whisper_token_nosp)
+TOKEN_FN(whisper_token_not)
+TOKEN_FN(whisper_token_beg)
+TOKEN_FN(whisper_token_translate)
+TOKEN_FN(whisper_token_transcribe)
+
+whisper_token whisper_token_lang(struct whisper_context * ctx, int lang_id) {
+    Gil gil;
+    return (whisper_token) call_long(
+        "whisper_token_lang", Py_BuildValue("(Oi)", ctx->obj, lang_id));
+}
+
+int64_t whisper_full_get_segment_t0(struct whisper_context * ctx, int i) {
+    Gil gil;
+    return call_long("whisper_full_get_segment_t0",
+                     Py_BuildValue("(Oi)", ctx->obj, i));
+}
+int64_t whisper_full_get_segment_t1(struct whisper_context * ctx, int i) {
+    Gil gil;
+    return call_long("whisper_full_get_segment_t1",
+                     Py_BuildValue("(Oi)", ctx->obj, i));
+}
+bool whisper_full_get_segment_speaker_turn_next(struct whisper_context * ctx,
+                                                int i) {
+    Gil gil;
+    return call_long("whisper_full_get_segment_speaker_turn_next",
+                     Py_BuildValue("(Oi)", ctx->obj, i), 0) != 0;
+}
+const char * whisper_full_get_segment_text(struct whisper_context * ctx,
+                                           int i) {
+    Gil gil;
+    PyObject * r = call("whisper_full_get_segment_text",
+                        Py_BuildValue("(Oi)", ctx->obj, i));
+    const char * out = ctx->keep(r);
+    Py_XDECREF(r);
+    return out;
+}
+int whisper_full_n_tokens(struct whisper_context * ctx, int i) {
+    Gil gil;
+    return (int) call_long("whisper_full_n_tokens",
+                           Py_BuildValue("(Oi)", ctx->obj, i));
+}
+const char * whisper_full_get_token_text(struct whisper_context * ctx,
+                                         int i, int j) {
+    Gil gil;
+    PyObject * r = call("whisper_full_get_token_text",
+                        Py_BuildValue("(Oii)", ctx->obj, i, j));
+    const char * out = ctx->keep(r);
+    Py_XDECREF(r);
+    return out;
+}
+whisper_token whisper_full_get_token_id(struct whisper_context * ctx,
+                                        int i, int j) {
+    Gil gil;
+    return (whisper_token) call_long(
+        "whisper_full_get_token_id", Py_BuildValue("(Oii)", ctx->obj, i, j));
+}
+float whisper_full_get_token_p(struct whisper_context * ctx, int i, int j) {
+    Gil gil;
+    return (float) call_double("whisper_full_get_token_p",
+                               Py_BuildValue("(Oii)", ctx->obj, i, j));
+}
+whisper_token_data whisper_full_get_token_data(struct whisper_context * ctx,
+                                               int i, int j) {
+    Gil gil;
+    whisper_token_data d;
+    memset(&d, 0, sizeof(d));
+    d.t_dtw = -1;
+    PyObject * r = call("whisper_full_get_token_data",
+                        Py_BuildValue("(Oii)", ctx->obj, i, j));
+    if (!r) return d;
+    auto geti = [&](const char * k, long dflt) {
+        PyObject * v = PyObject_GetAttrString(r, k);
+        long out = v ? PyLong_AsLong(v) : dflt;
+        if (PyErr_Occurred()) { PyErr_Clear(); out = dflt; }
+        Py_XDECREF(v);
+        return out;
+    };
+    auto getf = [&](const char * k) {
+        PyObject * v = PyObject_GetAttrString(r, k);
+        double out = v ? PyFloat_AsDouble(v) : 0.0;
+        if (PyErr_Occurred()) { PyErr_Clear(); out = 0.0; }
+        Py_XDECREF(v);
+        return (float) out;
+    };
+    d.id = (whisper_token) geti("id", 0);
+    d.tid = (whisper_token) geti("tid", 0);
+    d.p = getf("p");
+    d.plog = getf("plog");
+    d.pt = getf("pt");
+    d.ptsum = getf("ptsum");
+    d.t0 = geti("t0", -1);
+    d.t1 = geti("t1", -1);
+    d.t_dtw = geti("t_dtw", -1);
+    d.vlen = getf("vlen");
+    Py_DECREF(r);
+    return d;
+}
+
+int64_t whisper_full_get_segment_t0_from_state(struct whisper_state * s,
+                                               int i) {
+    Gil gil;
+    return call_long("whisper_full_get_segment_t0_from_state",
+                     Py_BuildValue("(Oi)", s->obj, i));
+}
+int64_t whisper_full_get_segment_t1_from_state(struct whisper_state * s,
+                                               int i) {
+    Gil gil;
+    return call_long("whisper_full_get_segment_t1_from_state",
+                     Py_BuildValue("(Oi)", s->obj, i));
+}
+const char * whisper_full_get_segment_text_from_state(
+        struct whisper_state * s, int i) {
+    Gil gil;
+    PyObject * r = call("whisper_full_get_segment_text_from_state",
+                        Py_BuildValue("(Oi)", s->obj, i));
+    const char * out = s->keep(r);
+    Py_XDECREF(r);
+    return out;
+}
+
+const char * whisper_token_to_str(struct whisper_context * ctx,
+                                  whisper_token token) {
+    Gil gil;
+    PyObject * r = call("whisper_token_to_str",
+                        Py_BuildValue("(Oi)", ctx->obj, (int) token));
+    const char * out = ctx->keep(r);
+    Py_XDECREF(r);
+    return out;
+}
+
+int whisper_tokenize(struct whisper_context * ctx, const char * text,
+                     whisper_token * tokens, int n_max_tokens) {
+    Gil gil;
+    PyObject * r = PyObject_CallMethod(ctx->obj, "tokenize", "s", text);
+    if (!r) { PyErr_Print(); return -1; }
+    Py_ssize_t n = PyList_Size(r);
+    if ((int) n > n_max_tokens) {
+        Py_DECREF(r);
+        return -(int) n;
+    }
+    for (Py_ssize_t i = 0; i < n; i++)
+        tokens[i] = (whisper_token) PyLong_AsLong(PyList_GET_ITEM(r, i));
+    Py_DECREF(r);
+    return (int) n;
+}
+
+int whisper_token_count(struct whisper_context * ctx, const char * text) {
+    Gil gil;
+    return (int) call_long("whisper_token_count",
+                           Py_BuildValue("(Os)", ctx->obj, text));
+}
+
+int whisper_lang_max_id(void) {
+    Gil gil;
+    return (int) call_long("whisper_lang_max_id", nullptr);
+}
+int whisper_lang_id(const char * lang) {
+    Gil gil;
+    return (int) call_long("whisper_lang_id", Py_BuildValue("(s)", lang));
+}
+static std::deque<std::string> g_lang_strings;
+const char * whisper_lang_str(int id) {
+    Gil gil;
+    PyObject * r = call("whisper_lang_str", Py_BuildValue("(i)", id));
+    if (!r || r == Py_None) { Py_XDECREF(r); return nullptr; }
+    g_lang_strings.push_back(PyUnicode_AsUTF8(r));
+    Py_DECREF(r);
+    return g_lang_strings.back().c_str();
+}
+const char * whisper_lang_str_full(int id) {
+    Gil gil;
+    PyObject * r = call("whisper_lang_str_full", Py_BuildValue("(i)", id));
+    if (!r || r == Py_None) { Py_XDECREF(r); return nullptr; }
+    g_lang_strings.push_back(PyUnicode_AsUTF8(r));
+    Py_DECREF(r);
+    return g_lang_strings.back().c_str();
+}
+
+int whisper_pcm_to_mel(struct whisper_context * ctx, const float * samples,
+                       int n_samples, int n_threads) {
+    Gil gil;
+    PyObject * arr = np_from_f32(samples, n_samples);
+    if (!arr) return -1;
+    return (int) call_long("whisper_pcm_to_mel",
+                           Py_BuildValue("(ONOi)", ctx->obj, arr,
+                                         Py_None, n_threads));
+}
+
+void whisper_print_timings(struct whisper_context * ctx) {
+    Gil gil;
+    PyObject * r = call("whisper_print_timings",
+                        Py_BuildValue("(O)", ctx->obj));
+    Py_XDECREF(r);
+}
+void whisper_reset_timings(struct whisper_context * ctx) {
+    Gil gil;
+    PyObject * r = call("whisper_reset_timings",
+                        Py_BuildValue("(O)", ctx->obj));
+    Py_XDECREF(r);
+}
+const char * whisper_print_system_info(void) {
+    Gil gil;
+    static std::string info;
+    PyObject * r = call("whisper_print_system_info", nullptr);
+    if (r) {
+        info = PyUnicode_AsUTF8(r);
+        Py_DECREF(r);
+    }
+    return info.c_str();
+}
+const char * whisper_version(void) {
+    return "whisper_tpu-1.7.5-compat";
+}
+
+}  // extern "C"

@@ -1,0 +1,58 @@
+"""C ABI (libwhisper_tpu.so): a real C program against the whisper.h
+surface must reproduce the Python path's segments.
+
+Compiles examples/c_demo.c, links against native/libwhisper_tpu.so (the
+embedded-interpreter C ABI, native/wtpu_capi.cpp), runs it on the shared
+random-weight model + jfk.wav, and compares the SEG| lines with
+ctx.full() run in-process."""
+
+import os
+import shutil
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+import whisper_tpu as wt
+from conftest import make_random_model
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+LIB = os.path.join(ROOT, "native", "libwhisper_tpu.so")
+
+
+@pytest.mark.skipif(not os.path.exists(LIB), reason="libwhisper_tpu not built")
+@pytest.mark.skipif(shutil.which("gcc") is None, reason="no C compiler")
+def test_c_demo_matches_python(tmp_path, jfk_pcm):
+    model = make_random_model(tmp_path)
+
+    exe = str(tmp_path / "c_demo")
+    subprocess.run(
+        ["gcc", os.path.join(ROOT, "examples", "c_demo.c"),
+         "-I" + os.path.join(ROOT, "native"),
+         "-L" + os.path.join(ROOT, "native"), "-lwhisper_tpu", "-o", exe],
+        check=True)
+
+    raw = str(tmp_path / "jfk.f32")
+    np.asarray(jfk_pcm, np.float32).tofile(raw)
+
+    env = dict(os.environ,
+               LD_LIBRARY_PATH=os.path.join(ROOT, "native"),
+               WHISPER_TPU_ROOT=ROOT,
+               JAX_PLATFORMS=os.environ.get("JAX_PLATFORMS", "cpu"))
+    out = subprocess.run([exe, model, raw], env=env, capture_output=True,
+                         text=True, timeout=540, check=True).stdout
+    c_segs = [line.split("|")[1:4] for line in out.splitlines()
+              if line.startswith("SEG|")]
+    assert c_segs, out
+    assert "tokenize ' and so' -> " in out
+    assert "callback_segments=" in out
+
+    ctx = wt.WhisperContext.from_file(model)
+    p = wt.full_default_params()
+    p.print_progress = False
+    p.temperature_inc = 0.0
+    assert ctx.full(p, jfk_pcm) == 0
+    py_segs = [[str(s.t0), str(s.t1), s.text]
+               for s in ctx.result_all]
+    assert c_segs == py_segs

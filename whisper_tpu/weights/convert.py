@@ -80,6 +80,13 @@ def params_from_ggml(mf: GgmlModelFile, dtype=jnp.bfloat16,
     if keep_quantized:
         from ..ops.quantized import unpack_to_codes
         for name, rt in mf.tensors.items():
+            # cross_attn key/value projections run ONCE per window at
+            # M = B*Ta (~100k rows) where XLA's MXU matmul beats the
+            # BW-oriented dequant kernel; keep those dense (they are
+            # <2% of decoder bytes), pack everything the token loop reads
+            if name.endswith(("cross_attn.key.weight",
+                              "cross_attn.value.weight")):
+                continue
             if (name.startswith("decoder.blocks.")
                     and rt.ttype in (_q.GGML_TYPE_Q4_0, _q.GGML_TYPE_Q4_1,
                                      _q.GGML_TYPE_Q5_0, _q.GGML_TYPE_Q5_1,
@@ -169,6 +176,8 @@ def random_params(cfg: WhisperConfig, seed: int = 0, dtype=jnp.bfloat16,
         blocks = params["decoder"]["blocks"]
         key = jax.random.PRNGKey(seed + 1)
         for name in list(blocks):
+            if name in ("xk_w", "xv_w"):   # per-window M~100k: XLA wins
+                continue
             w = blocks[name]
             if not (hasattr(w, "ndim") and w.ndim == 3
                     and w.shape[-1] % _q.QK == 0
