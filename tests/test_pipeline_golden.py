@@ -91,3 +91,32 @@ def test_pipeline_golden_multiwindow(golden_ctx):
     pcm = ((pcm_f * 32767).astype(np.int16)).astype(np.float32) / 32768.0
     assert golden_ctx.full(_params(), pcm) == 0
     _assert_matches_golden(golden_ctx, "ref_noise40_greedy")
+
+
+def test_pipeline_golden_silence(golden_ctx):
+    """10 s of digital silence: pins the all-zero-mel / no-speech behavior
+    (the reference still emits whatever greedy decodes; what matters is
+    WE advance seek and segment identically)."""
+    assert golden_ctx.full(_params(), np.zeros(16000 * 10, np.float32)) == 0
+    _assert_matches_golden(golden_ctx, "ref_silence_greedy")
+
+
+def test_pipeline_golden_maxlen(golden_ctx, jfk_pcm):
+    """-ml 16: max_len segment splitting during token-timestamp emission
+    (reference: whisper_exp_compute_token_level_timestamps + split path)."""
+    p = _params()
+    p.max_len = 16
+    assert golden_ctx.full(p, jfk_pcm) == 0
+    _assert_matches_golden(golden_ctx, "ref_jfk_maxlen")
+
+
+def test_pipeline_golden_translate_de(tmp_path, jfk_pcm):
+    """Multilingual model, -l de -tr: pins the language + task token
+    prompt assembly (sot, lang_de, translate) against the binary."""
+    path = make_random_model(tmp_path, seed=7, ftype=1, n_vocab=51865)
+    ctx = wt.WhisperContext.from_file(path)
+    p = _params()
+    p.language = "de"
+    p.translate = True
+    assert ctx.full(p, jfk_pcm) == 0
+    _assert_matches_golden(ctx, "ref_jfk_de_translate")

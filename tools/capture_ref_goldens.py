@@ -1,0 +1,86 @@
+#!/usr/bin/env python3
+"""Capture full-pipeline goldens from the reference whisper-cli binary.
+
+Regenerates tests/golden/ref_*.json: runs the reference binary (built
+CPU-only from /root/reference: cmake -DGGML_NATIVE=OFF -DGGML_OPENMP=OFF)
+over the shared seed-7 random-weight model and stores the -ojf output.
+See tests/test_pipeline_golden.py for what each golden pins.
+
+Usage: python tools/capture_ref_goldens.py /path/to/whisper-cli
+"""
+
+import json
+import os
+import pathlib
+import shutil
+import subprocess
+import sys
+import wave
+
+import numpy as np
+
+ROOT = pathlib.Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(ROOT))
+sys.path.insert(0, str(ROOT / "tests"))
+
+GOLDEN = ROOT / "tests" / "golden"
+
+
+def write_wav(path, pcm_f32):
+    pcm16 = (np.clip(pcm_f32, -1, 1) * 32767).astype("<i2")
+    with wave.open(str(path), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes(pcm16.tobytes())
+
+
+def run(cli, model, wav, out, extra=()):
+    cmd = [cli, "-m", str(model), "-f", str(wav), "-nf", "-bs", "1",
+           "-bo", "1", "-ojf", "-of", str(out), *extra]
+    print("+", " ".join(cmd))
+    subprocess.run(cmd, check=True, capture_output=True)
+    data = json.load(open(f"{out}.json"))
+    return data
+
+
+def main():
+    cli = sys.argv[1]
+    tmp = pathlib.Path("/tmp/wtpu_goldens")
+    tmp.mkdir(exist_ok=True)
+
+    from conftest import make_random_model
+
+    model_dir = tmp / "m"
+    model_dir.mkdir(exist_ok=True)
+    model = make_random_model(model_dir, seed=7, ftype=1)
+    # multilingual variant (seed 7, padded vocab): pins lang/task prompt
+    ml_dir = tmp / "ml"
+    ml_dir.mkdir(exist_ok=True)
+    model_ml = make_random_model(ml_dir, seed=7, ftype=1, n_vocab=51865)
+
+    jfk = "/root/reference/samples/jfk.wav"
+
+    noise40 = tmp / "noise40.wav"
+    write_wav(noise40, np.random.RandomState(3).randn(16000 * 40) * 0.1)
+
+    silence = tmp / "silence10.wav"
+    write_wav(silence, np.zeros(16000 * 10))
+
+    captures = [
+        ("ref_jfk_greedy", model, jfk, ()),
+        ("ref_noise40_greedy", model, noise40, ()),
+        ("ref_silence_greedy", model, silence, ()),
+        ("ref_jfk_maxlen", model, jfk, ("-ml", "16")),
+        ("ref_jfk_de_translate", model_ml, jfk, ("-l", "de", "-tr")),
+    ]
+    for name, m, wav, extra in captures:
+        data = run(cli, m, wav, tmp / name, extra)
+        with open(GOLDEN / f"{name}.json", "w") as f:
+            json.dump(data, f, indent=1)
+        print(f"  -> {GOLDEN / name}.json "
+              f"({len(data['transcription'])} segments)")
+
+
+if __name__ == "__main__":
+    main()
