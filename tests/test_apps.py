@@ -241,3 +241,46 @@ def test_full_parallel_batched_matches_serial(ctx):
     assert ctx.full_parallel(p, pcm, n_processors=2) == 0
     batched = [(s.t0, s.t1, s.text) for s in ctx.result_all]
     assert batched == serial
+
+
+def test_stream_mic_capture_fallback(model_path, tmp_path, monkeypatch):
+    """-c/--capture: with no sounddevice, _mic_chunks pipes s16le from an
+    arecord subprocess (reference: stream.cpp SDL capture).  A fake arecord
+    on PATH feeds 4 s of sine; the stream must transcribe it like the
+    stdin path would."""
+    import os
+    import subprocess
+    import sys
+
+    fake = tmp_path / "arecord"
+    fake.write_text(
+        "#!/usr/bin/env python3\n"
+        "import sys, numpy as np\n"
+        "pcm = (np.sin(np.arange(16000*4)*0.05)*8000).astype('<i2')\n"
+        "sys.stdout.buffer.write(pcm.tobytes())\n")
+    fake.chmod(0o755)
+
+    env = dict(os.environ, PATH=f"{tmp_path}:{os.environ['PATH']}",
+               JAX_PLATFORMS=os.environ.get("JAX_PLATFORMS", "cpu"))
+    out = subprocess.run(
+        [sys.executable, "-m", "whisper_tpu.stream", "-m", model_path,
+         "-c", "-1", "--step", "2000", "--length", "4000"],
+        env=env, capture_output=True, text=True, timeout=500)
+    assert out.returncode == 0, out.stderr[-500:]
+    assert out.stdout.strip(), "no transcription lines from mic capture"
+
+
+def test_stream_mic_capture_no_backend(model_path, tmp_path):
+    """Without any capture backend the error is actionable."""
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ, PATH=str(tmp_path),   # no arecord/ffmpeg
+               JAX_PLATFORMS=os.environ.get("JAX_PLATFORMS", "cpu"))
+    env["PATH"] = f"{tmp_path}:{os.path.dirname(sys.executable)}"
+    out = subprocess.run(
+        [sys.executable, "-m", "whisper_tpu.stream", "-m", model_path,
+         "-c", "-1"], env=env, capture_output=True, text=True, timeout=500)
+    assert out.returncode != 0
+    assert "no capture backend" in out.stderr

@@ -128,6 +128,44 @@ class BatchTranscriber:
         return self.ctx._jit_cache[key](self.ctx.params,
                                         jnp.asarray(mel_windows))
 
+    def _encode_batch_sliced(self, pcm_all, rows, starts):
+        """Device-resident variant: streams' padded PCM lives on the device
+        (uploaded once); per iteration only (B,) row indices and sample
+        offsets cross the host boundary and windows are cut with
+        dynamic_slice inside the jit — kills the ~2 MB/window/iteration
+        host->device transfer of the upload-per-iteration path."""
+        from ..constants import HOP_LENGTH, N_FFT
+        key = ("enc_batch_sliced", tuple(pcm_all.shape), self.B,
+               self.ctx.cross_mode)
+        if key not in self.ctx._jit_cache:
+            from ..audio.mel import log_mel_spectrogram_jax
+            from ..models import whisper as wm
+            nh_a, nh_t = (self.ctx.config.n_audio_head,
+                          self.ctx.config.n_text_head)
+            cd = self.ctx.compute_dtype
+            quant = self.ctx.cross_mode in ("einsum_q8", "pallas_q8dt",
+                                            "einsum_q8i")
+            n_ctx = self.ctx.hparams.n_audio_ctx
+            S = 2 * n_ctx * HOP_LENGTH + N_FFT
+            filters = jnp.asarray(self.ctx.filters, jnp.float32)
+
+            @jax.jit
+            def run(params, pcm_all, rows, starts):
+                windows = jax.vmap(
+                    lambda r, s: jax.lax.dynamic_slice(
+                        pcm_all, (r, s), (1, S))[0])(rows, starts)
+                mel = log_mel_spectrogram_jax(windows, filters)[:, :2 * n_ctx]
+                enc = wm.encode(params, mel, n_head=nh_a, compute_dtype=cd)
+                if quant:
+                    return wm.cross_kv_q8(params, enc, n_head=nh_t,
+                                          compute_dtype=cd)
+                return wm.cross_kv(params, enc, n_head=nh_t, compute_dtype=cd)
+
+            self.ctx._jit_cache[key] = run
+        return self.ctx._jit_cache[key](
+            self.ctx.params, pcm_all, jnp.asarray(rows, jnp.int32),
+            jnp.asarray(starts, jnp.int32))
+
     # -- main driver -------------------------------------------------------
 
     def transcribe(self, streams: list[np.ndarray]) -> list[list[Segment]]:
@@ -158,6 +196,25 @@ class BatchTranscriber:
             if st.seek_end < st.seek + DELTA_MIN:
                 st.done = True
 
+        # device_mel: keep every stream's padded PCM resident on the device
+        # (one upload) and cut windows on-device, unless the total is large
+        # or a mesh is attached (resident gathers would cross shards)
+        pcm_dev = None
+        if self.device_mel and self.mesh is None:
+            total = sum(st.pcm_padded.nbytes for st in states)
+            if total <= 512 << 20:
+                # bucket shapes (30 s length granularity, batch-multiple
+                # rows) so repeat calls with similar workloads reuse the
+                # compiled slicer
+                s_max = max(len(st.pcm_padded) for st in states)
+                gran = 16000 * CHUNK_SIZE
+                s_max = -(-s_max // gran) * gran
+                n_rows = -(-len(states) // self.B) * self.B
+                stack = np.zeros((n_rows, s_max), np.float32)
+                for i, st in enumerate(states):
+                    stack[i, :len(st.pcm_padded)] = st.pcm_padded
+                pcm_dev = jnp.asarray(stack)
+
         n_ctx = ctx.hparams.n_audio_ctx
         n_mels = ctx.hparams.n_mels
 
@@ -179,7 +236,15 @@ class BatchTranscriber:
             # partial tail batches and fallback rebatches reuse one compiled
             # loop instead of compiling per subset size (dead rows are
             # masked via row_live and start completed)
-            if self.device_mel:
+            if pcm_dev is not None:
+                from ..constants import HOP_LENGTH
+                mel_windows = None
+                rows_idx = np.zeros((self.B,), np.int32)
+                starts = np.zeros((self.B,), np.int32)
+                for row, i in enumerate(batch):
+                    rows_idx[row] = i
+                    starts[row] = states[i].seek * HOP_LENGTH
+            elif self.device_mel:
                 from ..constants import HOP_LENGTH, N_FFT
                 S = 2 * n_ctx * HOP_LENGTH + N_FFT
                 mel_windows = np.zeros((self.B, S), np.float32)
@@ -191,7 +256,9 @@ class BatchTranscriber:
                                 # reference: whisper.cpp:5763 t_cur<0.5 gate)
             for row, i in enumerate(batch):
                 st = states[i]
-                if self.device_mel:
+                if pcm_dev is not None:
+                    pass   # windows cut on-device from the resident PCM
+                elif self.device_mel:
                     start = st.seek * HOP_LENGTH
                     chunk = st.pcm_padded[start:start + S]
                     mel_windows[row, :len(chunk)] = chunk
@@ -207,13 +274,16 @@ class BatchTranscriber:
                 prompts.append(prompt + self.prompt_init)
                 prompts_bare.append(list(self.prompt_init))
 
-            if self.mesh is not None:
-                from jax.sharding import NamedSharding
-                from .mesh import batch_spec
-                mel_windows = jax.device_put(
-                    jnp.asarray(mel_windows),
-                    NamedSharding(self.mesh, batch_spec(self.mesh)))
-            kc, vc = self._encode_batch(mel_windows)
+            if pcm_dev is not None:
+                kc, vc = self._encode_batch_sliced(pcm_dev, rows_idx, starts)
+            else:
+                if self.mesh is not None:
+                    from jax.sharding import NamedSharding
+                    from .mesh import batch_spec
+                    mel_windows = jax.device_put(
+                        jnp.asarray(mel_windows),
+                        NamedSharding(self.mesh, batch_spec(self.mesh)))
+                kc, vc = self._encode_batch(mel_windows)
 
             # temperature-fallback ladder, rebatching only the failed rows
             # (reference per-decoder ladder: src/whisper.cpp:5706-6230)
