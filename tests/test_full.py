@@ -505,3 +505,37 @@ def test_device_mel_matches_host_mel(tmp_path):
            for segs in BatchTranscriber(ctx2, batch_size=2, params=p,
                                         device_mel=True).transcribe(streams)]
     assert dev == host
+
+
+def test_i16_streams_match_f32(tmp_path):
+    """Packed s16le streams through the device_mel path must transcribe
+    identically to the same audio pre-converted to f32 on the host: the
+    in-jit i16 -> f32 * (1/32768) conversion is exact (power-of-two
+    scale), so tokens/segments cannot differ."""
+    import numpy as np
+
+    from whisper_tpu.parallel.batch import BatchTranscriber
+
+    path = make_random_model(tmp_path, seed=33)
+    i16 = [(_bnoise(2, seed=s) * 32768).clip(-32768, 32767).astype(np.int16)
+           for s in range(2)]
+    f32 = [x.astype(np.float32) / 32768.0 for x in i16]
+    p = wt.full_default_params()
+    p.print_progress = False
+    p.language = "en"
+    p.max_tokens = 6
+    p.temperature_inc = 0.0
+
+    outs = []
+    for streams in (f32, i16):
+        ctx = wt.WhisperContext.from_file(path)
+        bt = BatchTranscriber(ctx, batch_size=2, params=p, device_mel=True)
+        outs.append([[(s.t0, s.t1, s.text) for s in segs]
+                     for segs in bt.transcribe(streams)])
+    assert outs[0] == outs[1]
+    # mixed-dtype batches upcast to f32 and still agree
+    ctx = wt.WhisperContext.from_file(path)
+    bt = BatchTranscriber(ctx, batch_size=2, params=p, device_mel=True)
+    mixed = [[(s.t0, s.t1, s.text) for s in segs]
+             for segs in bt.transcribe([f32[0], i16[1]])]
+    assert mixed == outs[0]

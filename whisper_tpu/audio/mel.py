@@ -50,7 +50,11 @@ def pad_audio(samples: np.ndarray) -> tuple[np.ndarray, int, int]:
     stage_1_pad = SAMPLE_RATE * CHUNK_SIZE      # 480000
     stage_2_pad = N_FFT // 2                    # 200
 
-    padded = np.zeros(n_samples + stage_1_pad + 2 * stage_2_pad, dtype=np.float32)
+    # int16 input stays int16 (the batched device-mel path keeps s16le PCM
+    # packed until after the on-device window slice — halves the h2d bytes);
+    # everything else is f32
+    dtype = np.int16 if samples.dtype == np.int16 else np.float32
+    padded = np.zeros(n_samples + stage_1_pad + 2 * stage_2_pad, dtype=dtype)
     padded[stage_2_pad:stage_2_pad + n_samples] = samples
     # reflective pad at the beginning: samples[1..200] reversed
     padded[:stage_2_pad] = samples[1:1 + stage_2_pad][::-1]
@@ -85,7 +89,10 @@ def log_mel_spectrogram(samples: np.ndarray,
     window starting at any seek offset < n_len_org is always available —
     identical to the reference's whisper_mel buffer.
     """
-    samples = np.asarray(samples, dtype=np.float32)
+    samples = np.asarray(samples)
+    if samples.dtype == np.int16:
+        samples = samples.astype(np.float32) / 32768.0
+    samples = samples.astype(np.float32, copy=False)
     if len(samples) < 1 + N_FFT // 2:
         # too short for the reflect pad; zero-extend like a silent signal
         samples = np.pad(samples, (0, 1 + N_FFT // 2 - len(samples)))

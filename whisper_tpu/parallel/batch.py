@@ -98,7 +98,8 @@ class BatchTranscriber:
     # -- jitted batched encode -------------------------------------------
 
     def _encode_batch(self, mel_windows):
-        key = ("enc_batch", tuple(mel_windows.shape), self.ctx.cross_mode)
+        key = ("enc_batch", tuple(mel_windows.shape),
+               str(np.asarray(mel_windows).dtype), self.ctx.cross_mode)
         if key not in self.ctx._jit_cache:
             from ..models import whisper as wm
             nh_a, nh_t = (self.ctx.config.n_audio_head,
@@ -114,6 +115,8 @@ class BatchTranscriber:
             def run(params, mel):
                 if mel.ndim == 2:   # device_mel: raw padded samples in
                     from ..audio.mel import log_mel_spectrogram_jax
+                    if mel.dtype == jnp.int16:
+                        mel = mel.astype(jnp.float32) * (1.0 / 32768.0)
                     mel = log_mel_spectrogram_jax(mel, filters)[:, :2 * n_ctx]
                 enc = wm.encode(params, mel, n_head=nh_a, compute_dtype=cd)
                 if quant:
@@ -135,8 +138,8 @@ class BatchTranscriber:
         dynamic_slice inside the jit — kills the ~2 MB/window/iteration
         host->device transfer of the upload-per-iteration path."""
         from ..constants import HOP_LENGTH, N_FFT
-        key = ("enc_batch_sliced", tuple(pcm_all.shape), self.B,
-               self.ctx.cross_mode)
+        key = ("enc_batch_sliced", tuple(pcm_all.shape), str(pcm_all.dtype),
+               self.B, self.ctx.cross_mode)
         if key not in self.ctx._jit_cache:
             from ..audio.mel import log_mel_spectrogram_jax
             from ..models import whisper as wm
@@ -154,6 +157,8 @@ class BatchTranscriber:
                 windows = jax.vmap(
                     lambda r, s: jax.lax.dynamic_slice(
                         pcm_all, (r, s), (1, S))[0])(rows, starts)
+                if windows.dtype == jnp.int16:
+                    windows = windows.astype(jnp.float32) * (1.0 / 32768.0)
                 mel = log_mel_spectrogram_jax(windows, filters)[:, :2 * n_ctx]
                 enc = wm.encode(params, mel, n_head=nh_a, compute_dtype=cd)
                 if quant:
@@ -176,9 +181,15 @@ class BatchTranscriber:
         for pcm in streams:
             if self.device_mel:
                 # mel runs on the TPU inside _encode_batch; the host only
-                # pads (reflect head + 30 s zero tail, audio/mel.py)
+                # pads (reflect head + 30 s zero tail, audio/mel.py).
+                # int16 streams stay packed s16le until after the on-device
+                # window slice — half the h2d bytes, and bit-identical to
+                # converting on the host (the serial path's s16/32768)
                 from ..audio.mel import pad_audio
-                padded, _, n_len_org = pad_audio(np.asarray(pcm, np.float32))
+                arr = np.asarray(pcm)
+                if arr.dtype != np.int16:
+                    arr = arr.astype(np.float32)
+                padded, _, n_len_org = pad_audio(arr)
                 st = StreamState(
                     mel=None, seek=p.offset_ms // 10,
                     seek_end=(n_len_org if p.duration_ms == 0
@@ -187,7 +198,7 @@ class BatchTranscriber:
                 states.append(st)
                 continue
             mel, n_len_org = log_mel_spectrogram(
-                np.asarray(pcm, np.float32), ctx.filters)
+                np.asarray(pcm), ctx.filters)
             states.append(StreamState(
                 mel=mel, seek=p.offset_ms // 10,
                 seek_end=(n_len_org if p.duration_ms == 0
@@ -199,10 +210,15 @@ class BatchTranscriber:
         # device_mel: keep every stream's padded PCM resident on the device
         # (one upload) and cut windows on-device, unless the total is large
         # or a mesh is attached (resident gathers would cross shards)
+        import time as _time
+        self.phase_times: dict[str, float] = {
+            "upload": 0.0, "prep": 0.0, "encode": 0.0, "decode": 0.0,
+            "finish": 0.0}
+        _t0 = _time.perf_counter()
         pcm_dev = None
         if self.device_mel and self.mesh is None:
             total = sum(st.pcm_padded.nbytes for st in states)
-            if total <= 512 << 20:
+            if total <= 1 << 30:
                 # bucket shapes (30 s length granularity, batch-multiple
                 # rows) so repeat calls with similar workloads reuse the
                 # compiled slicer
@@ -210,10 +226,18 @@ class BatchTranscriber:
                 gran = 16000 * CHUNK_SIZE
                 s_max = -(-s_max // gran) * gran
                 n_rows = -(-len(states) // self.B) * self.B
-                stack = np.zeros((n_rows, s_max), np.float32)
+                all_i16 = all(st.pcm_padded.dtype == np.int16
+                              for st in states)
+                stack = np.zeros((n_rows, s_max),
+                                 np.int16 if all_i16 else np.float32)
                 for i, st in enumerate(states):
-                    stack[i, :len(st.pcm_padded)] = st.pcm_padded
+                    row = st.pcm_padded
+                    if not all_i16 and row.dtype == np.int16:
+                        row = row.astype(np.float32) / 32768.0
+                    stack[i, :len(row)] = row
                 pcm_dev = jnp.asarray(stack)
+                del stack
+        self.phase_times["upload"] = _time.perf_counter() - _t0
 
         n_ctx = ctx.hparams.n_audio_ctx
         n_mels = ctx.hparams.n_mels
@@ -222,7 +246,6 @@ class BatchTranscriber:
         # one batched encode + decode ladder, i.e. the latency a window
         # experiences; bench.py reports p50/p99 from this
         self.window_times: list[tuple[int, float]] = []
-        import time as _time
 
         while True:
             active = [i for i, st in enumerate(states) if not st.done]
@@ -247,7 +270,10 @@ class BatchTranscriber:
             elif self.device_mel:
                 from ..constants import HOP_LENGTH, N_FFT
                 S = 2 * n_ctx * HOP_LENGTH + N_FFT
-                mel_windows = np.zeros((self.B, S), np.float32)
+                all_i16 = all(states[i].pcm_padded.dtype == np.int16
+                              for i in batch)
+                mel_windows = np.zeros(
+                    (self.B, S), np.int16 if all_i16 else np.float32)
             else:
                 mel_windows = np.zeros((self.B, 2 * n_ctx, n_mels),
                                        np.float32)
@@ -261,6 +287,9 @@ class BatchTranscriber:
                 elif self.device_mel:
                     start = st.seek * HOP_LENGTH
                     chunk = st.pcm_padded[start:start + S]
+                    if (chunk.dtype == np.int16
+                            and mel_windows.dtype != np.int16):
+                        chunk = chunk.astype(np.float32) / 32768.0
                     mel_windows[row, :len(chunk)] = chunk
                 else:
                     avail = max(0, min(2 * n_ctx, st.mel.shape[0] - st.seek))
@@ -274,6 +303,13 @@ class BatchTranscriber:
                 prompts.append(prompt + self.prompt_init)
                 prompts_bare.append(list(self.prompt_init))
 
+            self.phase_times["prep"] += _time.perf_counter() - _t_iter
+            _t0 = _time.perf_counter()
+            # drop the previous iteration's cross-KV BEFORE dispatching the
+            # next encode: holding both alive is a ~2x cross-KV transient
+            # (q8 large-v3 B=48 is ~6 GB/iteration) that fragments HBM and
+            # makes iterations progressively slower
+            kc = vc = None  # noqa: F841
             if pcm_dev is not None:
                 kc, vc = self._encode_batch_sliced(pcm_dev, rows_idx, starts)
             else:
@@ -284,6 +320,7 @@ class BatchTranscriber:
                         jnp.asarray(mel_windows),
                         NamedSharding(self.mesh, batch_spec(self.mesh)))
                 kc, vc = self._encode_batch(mel_windows)
+            self.phase_times["encode"] += _time.perf_counter() - _t0
 
             # temperature-fallback ladder, rebatching only the failed rows
             # (reference per-decoder ladder: src/whisper.cpp:5706-6230)
@@ -306,10 +343,13 @@ class BatchTranscriber:
                 for r in pending:
                     seeks[r] = states[batch[r]].seek
                     ends[r] = states[batch[r]].seek_end
+                _t0 = _time.perf_counter()
                 out = self._decode_rows(
                     [cur_prompts[r] if r < B and live[r] else
                      list(self.prompt_init) for r in range(self.B)],
                     kc, vc, live, seeks, ends, t_cur)
+                self.phase_times["decode"] += _time.perf_counter() - _t0
+                _t0 = _time.perf_counter()
                 still_failed = []
                 for r in pending:
                     st = states[batch[r]]
@@ -321,6 +361,7 @@ class BatchTranscriber:
                     else:
                         still_failed.append(r)
                 pending = still_failed
+                self.phase_times["finish"] += _time.perf_counter() - _t0
             self.window_times.append((B, _time.perf_counter() - _t_iter))
 
         return [st.result_all for st in states]
@@ -365,15 +406,17 @@ class BatchTranscriber:
                  jnp.asarray(live))
         return jax.tree_util.tree_map(np.asarray, out)
 
-    def warmup(self) -> None:
+    def warmup(self, pcm_dtype=np.float32) -> None:
         """Pre-compile the encoder and both prompt-bucket decode variants
-        so a serving process never jit-compiles on a live request."""
+        so a serving process never jit-compiles on a live request.
+        pcm_dtype: np.int16 when the streams will arrive as packed s16le
+        (device_mel only) — the encoder jit specializes on input dtype."""
         ctx = self.ctx
         n_ctx = ctx.hparams.n_audio_ctx
         if self.device_mel:
             from ..constants import HOP_LENGTH, N_FFT
             mel = np.zeros((self.B, 2 * n_ctx * HOP_LENGTH + N_FFT),
-                           np.float32)
+                           pcm_dtype)
         else:
             mel = np.zeros((self.B, 2 * n_ctx, ctx.hparams.n_mels),
                            np.float32)
