@@ -86,12 +86,13 @@ def build_pipeline(cfg: WhisperConfig, B: int, n_tokens: int, prompt_len: int = 
         mel = log_mel_spectrogram_jax(audio, filters)[:, :2 * cfg.n_audio_ctx]
         enc = wm.encode(params, mel, n_head=cfg.n_audio_head)
 
-        if kv in ("q8", "q8dt", "q8i"):  # int8 K/V (2x batch budget);
-            # quantization fused into the cross-KV scan so the full bf16
-            # stack never materializes (unlocks batch >= 48)
-            tag = {"q8": "q8e", "q8dt": "q8dt", "q8i": "q8i"}[kv]
-            (kq, ksc), (vq, vsc) = wm.cross_kv_q8(
-                params, enc, n_head=cfg.n_text_head)
+        if kv in ("q8", "q8dt", "q8i", "q4"):  # int8/int4 K/V (2x/4x batch
+            # budget); quantization fused into the cross-KV scan so the
+            # full bf16 stack never materializes (unlocks batch >= 48)
+            tag = {"q8": "q8e", "q8dt": "q8dt", "q8i": "q8i",
+                   "q4": "q4e"}[kv]
+            cross = wm.cross_kv_q4 if kv == "q4" else wm.cross_kv_q8
+            (kq, ksc), (vq, vsc) = cross(params, enc, n_head=cfg.n_text_head)
             kc = (tag, kq, ksc)
             vc = (tag, vq, vsc)
         else:
@@ -150,7 +151,8 @@ def bench_serving(size: str, B: int, kv: str, stream_s: int = 150):
     from whisper_tpu.parallel.batch import BatchTranscriber
 
     ctx = wt.WhisperContext.from_random(
-        size, seed=0, cross_mode="einsum_q8" if kv != "bf16" else "einsum")
+        size, seed=0,
+        cross_mode={"bf16": "einsum", "q4": "einsum_q4"}.get(kv, "einsum_q8"))
     p = wt.full_default_params()
     p.print_progress = False
     p.language = "en"
@@ -207,7 +209,7 @@ def main():
                          "(upper bound); serving = BatchTranscriber end-to-"
                          "end (the API path); both = one JSON line with "
                          "kernel headline + serving_* keys")
-    ap.add_argument("--kv", default="q8", choices=["bf16", "q8", "q8dt", "q8i"],
+    ap.add_argument("--kv", default="q8", choices=["bf16", "q8", "q8dt", "q8i", "q4"],
                     help="cross-attention KV precision in the decode loop "
                          "(q8 = int8 via XLA einsum; q8dt = int8 via the "
                          "lane-tight fused Pallas kernel)")

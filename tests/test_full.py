@@ -217,6 +217,72 @@ def test_cross_mode_q8_matches_einsum(tmp_path):
     assert outs[0] == outs[1]
 
 
+def test_q4_pack_roundtrip():
+    """quantize_kv_bhdt_q4 codes decode exactly for values that are exact
+    multiples of the scale (the pack/unpack bit-twiddling is lossless on
+    the 4-bit code domain)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from whisper_tpu.ops.cross_attention import (quantize_kv_bhdt_q4,
+                                                 unpack_q4_bhdt)
+
+    rng = np.random.RandomState(0)
+    k = jnp.asarray(rng.randn(2, 3, 8, 5).astype(np.float32))   # (B,H,Dh,Ta)
+    packed, s = quantize_kv_bhdt_q4(k)
+    assert packed.dtype == jnp.uint8
+    assert packed.shape == (2, 3, 4, 5)
+    deq = np.asarray(unpack_q4_bhdt(packed, jnp.float32)) * \
+        np.asarray(s)[:, :, None, :]
+    # every entry reconstructs within half a code step of its scale
+    err = np.abs(deq - np.asarray(k))
+    assert (err <= np.asarray(s)[:, :, None, :] * 0.5 + 1e-6).all()
+
+
+def test_cross_mode_q4_matches_einsum(tmp_path):
+    """4-bit cross-KV decode: same segments as bf16 at t=0 on the tiny
+    random model (its greedy logit margins dwarf the 4-bit quantization
+    noise; on real weights q4 is an accuracy trade, documented)."""
+    path = make_random_model(tmp_path, seed=21)
+    outs = []
+    for mode in ("einsum", "einsum_q4"):
+        ctx = wt.WhisperContext.from_file(path, cross_mode=mode)
+        p = wt.full_default_params()
+        p.print_progress = False
+        p.temperature_inc = 0.0
+        p.single_segment = True
+        p.max_tokens = 5
+        ctx.full(p, _noise(2, seed=21))
+        outs.append([(s.t0, s.t1, s.text) for s in ctx.result_all])
+    assert outs[0] == outs[1]
+
+
+def test_prequant_q4_batch_matches_serial(tmp_path):
+    """BatchTranscriber with cross_mode=einsum_q4 (pre-quantized packed
+    cross-KV from the batched encode) matches the serial einsum_q4 path."""
+    from whisper_tpu.parallel.batch import BatchTranscriber
+
+    path = make_random_model(tmp_path, seed=23)
+    streams = [_bnoise(2, seed=s) for s in range(2)]
+    p = wt.full_default_params()
+    p.print_progress = False
+    p.language = "en"
+    p.max_tokens = 5
+    p.temperature_inc = 0.0
+
+    ref = []
+    ctx = wt.WhisperContext.from_file(path, cross_mode="einsum_q4")
+    for pcm in streams:
+        ctx2 = wt.WhisperContext.from_file(path, cross_mode="einsum_q4")
+        ctx2.full(p, pcm)
+        ref.append([(s.t0, s.t1, s.text) for s in ctx2.result_all])
+
+    bt = BatchTranscriber(ctx, batch_size=2, params=p)
+    out = [[(s.t0, s.t1, s.text) for s in segs]
+           for segs in bt.transcribe(streams)]
+    assert out == ref
+
+
 def test_beam1_equals_greedy(tmp_path):
     """Beam search with beam_size=1 degenerates to exact greedy decoding."""
     path = make_random_model(tmp_path, seed=31)

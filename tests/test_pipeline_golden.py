@@ -110,6 +110,40 @@ def test_pipeline_golden_maxlen(golden_ctx, jfk_pcm):
     _assert_matches_golden(golden_ctx, "ref_jfk_maxlen")
 
 
+def test_pipeline_golden_dtw(tmp_path):
+    """-dtw tiny.en: DTW token-level timestamps (t_dtw) end-to-end vs the
+    binary — pins the cross-QK capture, alignment-head selection, median
+    filter, and DTW backtrace on a 4-layer/6-head model whose dims admit
+    the tiny.en aheads preset (reference: whisper.cpp:7269-7447).
+    t_dtw is allowed +/-1 tick (10 ms): the attention weights feeding DTW
+    go through f32 ggml GEMMs vs XLA kernels, and a single tie on the
+    cost-matrix backtrace moves a boundary by one frame."""
+    path = make_random_model(tmp_path, seed=7, ftype=1, d=96, heads=6,
+                             enc_layers=2, dec_layers=4, n_audio_ctx=256)
+    ctx = wt.WhisperContext.from_file(
+        path, dtw_token_timestamps=True, dtw_aheads_preset="tiny.en")
+    rng = np.random.RandomState(5)
+    pcm_f = (rng.randn(16000 * 3) * 0.1).clip(-1, 1)
+    pcm = ((pcm_f * 32767).astype(np.int16)).astype(np.float32) / 32768.0
+    assert ctx.full(_params(), pcm) == 0
+
+    ref = json.load(open(os.path.join(GOLDEN, "ref_noise3_dtw.json")))
+    rt = ref["transcription"]
+    assert ctx.full_n_segments() == len(rt)
+    n_checked = 0
+    for i, rseg in enumerate(rt):
+        seg = ctx.result_all[i]
+        assert seg.text == rseg["text"], f"seg {i} text"
+        for j, (tok, rtok) in enumerate(zip(seg.tokens, rseg["tokens"])):
+            assert tok.id == rtok["id"], f"seg {i} tok {j} id"
+            if rtok["t_dtw"] >= 0:
+                assert abs(tok.t_dtw - rtok["t_dtw"]) <= 1, \
+                    f"seg {i} tok {j} t_dtw: ours {tok.t_dtw} " \
+                    f"vs ref {rtok['t_dtw']}"
+                n_checked += 1
+    assert n_checked > 0, "golden contains no DTW-timestamped tokens"
+
+
 def test_pipeline_golden_translate_de(tmp_path, jfk_pcm):
     """Multilingual model, -l de -tr: pins the language + task token
     prompt assembly (sot, lang_de, translate) against the binary."""

@@ -67,12 +67,27 @@ def main():
     silence = tmp / "silence10.wav"
     write_wav(silence, np.zeros(16000 * 10))
 
+    # DTW golden needs dims compatible with a reference -dtw preset:
+    # tiny.en's alignment heads index layers<=3 / heads<=5, so 4 text
+    # layers x 6 heads (d=96 keeps it small; the preset only cares about
+    # indices).  n_audio_ctx=256 because the reference DTW asserts
+    # n_frames <= 2*n_audio_ctx per segment span — with 3 s audio every
+    # span fits (whisper.cpp:7368).
+    dtw_dir = tmp / "dtw"
+    dtw_dir.mkdir(exist_ok=True)
+    model_dtw = make_random_model(dtw_dir, seed=7, ftype=1, d=96, heads=6,
+                                  enc_layers=2, dec_layers=4,
+                                  n_audio_ctx=256)
+    noise3 = tmp / "noise3.wav"
+    write_wav(noise3, np.random.RandomState(5).randn(16000 * 3) * 0.1)
+
     captures = [
         ("ref_jfk_greedy", model, jfk, ()),
         ("ref_noise40_greedy", model, noise40, ()),
         ("ref_silence_greedy", model, silence, ()),
         ("ref_jfk_maxlen", model, jfk, ("-ml", "16")),
         ("ref_jfk_de_translate", model_ml, jfk, ("-l", "de", "-tr")),
+        ("ref_noise3_dtw", model_dtw, noise3, ("-dtw", "tiny.en")),
     ]
     for name, m, wav, extra in captures:
         data = run(cli, m, wav, tmp / name, extra)

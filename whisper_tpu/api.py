@@ -215,8 +215,9 @@ class WhisperContext:
                  keep_quantized: bool = True,
                  cross_mode: str = "einsum"):
         self.model_file = model_file
-        # cross-attention KV path in the token loop: "einsum" (bf16, exact)
-        # or "einsum_q8" (int8 K/V, ~2x decode HBM headroom; see
+        # cross-attention KV path in the token loop: "einsum" (bf16, exact),
+        # "einsum_q8" (int8 K/V, ~2x decode HBM headroom), or "einsum_q4"
+        # (nibble-packed 4-bit K/V, 4x — opt-in accuracy trade; see
         # decode/loop.py and ops/cross_attention.py)
         self.cross_mode = cross_mode
         self.dtw_token_timestamps = dtw_token_timestamps
@@ -427,7 +428,8 @@ class WhisperContext:
                         fn, in_shardings=decode_window_shardings(
                             self.mesh, self.params,
                             quant_cross=self.cross_mode in (
-                                "einsum_q8", "pallas_q8dt", "einsum_q8i")))
+                                "einsum_q8", "pallas_q8dt", "einsum_q8i",
+                                "einsum_q4")))
                 else:
                     self._jit_cache[key] = jax.jit(fn)
         return self._jit_cache[key]

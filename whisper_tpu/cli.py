@@ -79,6 +79,9 @@ def build_parser() -> argparse.ArgumentParser:
     a("-kvq", "--kv-q8", action="store_true", dest="kv_q8",
       help="int8 cross-attention KV in the decode loop (TPU-native; "
            "halves decode HBM traffic)")
+    a("-kvq4", "--kv-q4", action="store_true", dest="kv_q4",
+      help="4-bit cross-attention KV (quarter traffic; opt-in accuracy "
+           "trade — unlike -kvq this is not token-exact vs bf16)")
     a("--suppress-regex", default=None, dest="suppress_regex")
     a("--grammar", default="")
     a("--grammar-rule", default="")
@@ -178,7 +181,9 @@ def main(argv=None) -> int:
             print(f"error: unknown DTW preset '{args.dtw}'", file=sys.stderr)
             return 3
 
-    if args.kv_q8:
+    if args.kv_q4:
+        dtw_kwargs["cross_mode"] = "einsum_q4"
+    elif args.kv_q8:
         dtw_kwargs["cross_mode"] = "einsum_q8"
     ctx = WhisperContext.from_file(args.model, **dtw_kwargs)
 

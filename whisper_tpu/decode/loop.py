@@ -191,11 +191,13 @@ def make_decode_window(params_treedef_free_fn=None, *,
         prequant = not hasattr(k_cross, "shape")   # (codes, scales) pair
         if prequant:
             assert cfg.cross_mode in ("einsum_q8", "pallas_q8dt",
-                                      "einsum_q8i"), \
-                f"pre-quantized cross-KV needs a q8 cross_mode, " \
+                                      "einsum_q8i", "einsum_q4"), \
+                f"pre-quantized cross-KV needs a q8/q4 cross_mode, " \
                 f"got {cfg.cross_mode}"
             kq_shape = k_cross[0].shape
             L, Dh = kq_shape[0], kq_shape[3]
+            if cfg.cross_mode == "einsum_q4":
+                Dh *= 2   # codes are nibble-packed along Dh
         else:
             L, Dh = k_cross.shape[0], k_cross.shape[3]   # (L, B, H, Dh, Ta)
         B = prompt.shape[0]
@@ -215,8 +217,9 @@ def make_decode_window(params_treedef_free_fn=None, *,
         mask = jnp.where(valid, 0.0, -jnp.inf).astype(jnp.float32)[:, None]
 
         if prequant:
-            kc_p = ("q8",) + tuple(k_cross)   # decode_prompt's tagged form
-            vc_p = ("q8",) + tuple(v_cross)
+            ptag = "q4" if cfg.cross_mode == "einsum_q4" else "q8"
+            kc_p = (ptag,) + tuple(k_cross)   # decode_prompt's tagged form
+            vc_p = (ptag,) + tuple(v_cross)
         else:
             kc_p, vc_p = k_cross, v_cross
         logits_all, k_self, v_self = wm.decode_prompt(
@@ -230,16 +233,20 @@ def make_decode_window(params_treedef_free_fn=None, *,
 
         # cross-KV layout for the token loop (transposed once per window;
         # amortized over every decode step)
-        if cfg.cross_mode in ("einsum_q8", "pallas_q8dt", "einsum_q8i"):
+        if cfg.cross_mode in ("einsum_q8", "pallas_q8dt", "einsum_q8i",
+                              "einsum_q4"):
             tag = {"einsum_q8": "q8e", "pallas_q8dt": "q8dt",
-                   "einsum_q8i": "q8i"}[cfg.cross_mode]
-            if prequant:   # already (codes, scales) from cross_kv_q8
+                   "einsum_q8i": "q8i", "einsum_q4": "q4e"}[cfg.cross_mode]
+            if prequant:   # already (codes, scales) from cross_kv_q8/_q4
                 kc_loop = (tag,) + tuple(k_cross)
                 vc_loop = (tag,) + tuple(v_cross)
             else:
-                from ..ops.cross_attention import quantize_kv_bhdt
-                kq, ks = quantize_kv_bhdt(k_cross)
-                vq, vs = quantize_kv_bhdt(v_cross)
+                from ..ops.cross_attention import (quantize_kv_bhdt,
+                                                   quantize_kv_bhdt_q4)
+                qfn = (quantize_kv_bhdt_q4 if tag == "q4e"
+                       else quantize_kv_bhdt)
+                kq, ks = qfn(k_cross)
+                vq, vs = qfn(v_cross)
                 kc_loop = (tag, kq, ks)
                 vc_loop = (tag, vq, vs)
         elif cfg.cross_mode == "pallas":

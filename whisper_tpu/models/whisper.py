@@ -343,6 +343,34 @@ def cross_kv_q8(params, enc_out, n_head: int, compute_dtype=jnp.bfloat16):
     return (kq, ks), (vq, vs)
 
 
+def cross_kv_q4(params, enc_out, n_head: int, compute_dtype=jnp.bfloat16):
+    """cross_kv with 4-bit quantization fused into the layer scan.
+
+    Returns ((L, B, H, Dh//2, Ta) uint8 nibble-packed codes,
+    (L, B, H, Ta) f32 scales) x2 — half the HBM footprint and decode
+    traffic of cross_kv_q8 (the decode loop is ~85% cross-KV
+    bandwidth-bound at large batch).  Group size for each 4-bit scale is
+    one (head, position) vector of Dh values, like q8.  Accuracy: 4-bit
+    KV is an opt-in speed/memory trade (cross_mode="einsum_q4") — unlike
+    q8 it is NOT token-exact vs bf16 in general.
+    """
+    from ..ops.cross_attention import quantize_kv_bhdt_q4
+    dec = params["decoder"]
+    nh = n_head
+
+    def body(_, blk):
+        k = _linear(enc_out, blk["xk_w"], None, compute_dtype)
+        v = _linear(enc_out, blk["xv_w"], blk["xv_b"], compute_dtype)
+        k = _split_heads(k, nh).transpose(0, 2, 3, 1).astype(compute_dtype)
+        v = _split_heads(v, nh).transpose(0, 2, 3, 1).astype(compute_dtype)
+        kq, ks = quantize_kv_bhdt_q4(k)
+        vq, vs = quantize_kv_bhdt_q4(v)
+        return None, (kq, ks, vq, vs)
+
+    _, (kq, ks, vq, vs) = jax.lax.scan(body, None, dec["blocks"])
+    return (kq, ks), (vq, vs)
+
+
 def _cross_attention(xq, kc, vc, compute_dtype, mask=None):
     """Attention with keys/values in (B, H, Dh, T) layout;
     xq (B, Tq, H, Dh).  Returns merged (B, Tq, D)."""
@@ -374,7 +402,10 @@ def decode_prompt(params, tokens, positions, k_cross, v_cross, n_head: int,
     """
     dec = params["decoder"]
     nh = n_head
-    tagged = isinstance(k_cross, tuple)   # quantized cross-KV from cross_kv_q8
+    # quantized cross-KV: ("q8", codes, scales) from cross_kv_q8 or
+    # ("q4", packed, scales) from cross_kv_q4
+    tagged = isinstance(k_cross, tuple)
+    qtag = k_cross[0] if tagged else None
 
     x = dec["tok_emb"][tokens] + dec["pos"][positions]
     x = x.astype(jnp.float32)
@@ -386,6 +417,10 @@ def decode_prompt(params, tokens, positions, k_cross, v_cross, n_head: int,
             # dequantize this layer's K/V (scales are per (head, position))
             kq, ksc = kc
             vq, vsc = vc
+            if qtag in ("q4", "q4e"):
+                from ..ops.cross_attention import unpack_q4_bhdt
+                kq = unpack_q4_bhdt(kq, compute_dtype)
+                vq = unpack_q4_bhdt(vq, compute_dtype)
             kc = kq.astype(compute_dtype) * ksc[:, :, None, :].astype(compute_dtype)
             vc = vq.astype(compute_dtype) * vsc[:, :, None, :].astype(compute_dtype)
 
@@ -521,6 +556,34 @@ def _cross_attn_step(xq, kc, vc, compute_dtype):
         out = cross_attention_decode_q8dt(
             xq.transpose(0, 2, 1, 3).astype(compute_dtype), kq, ks, vq, vs)
         return _merge_heads(out.transpose(0, 2, 1, 3))
+    if isinstance(kc, tuple) and kc[0] == "q4e":
+        # nibble-packed 4-bit K/V (cross_kv_q4): contract the low- and
+        # high-nibble halves as two separate dots so the elementwise
+        # unpack fuses into each contraction's operand load — HBM reads
+        # stay at 0.5 byte/element, no unpacked copy materializes
+        _, kq, ks = kc
+        _, vq, vs = vc
+        dh = xq.shape[-1]
+        xe = xq[..., 0::2].astype(compute_dtype)
+        xo = xq[..., 1::2].astype(compute_dtype)
+        klo = ((kq & 0xF).astype(jnp.int8) - 8).astype(compute_dtype)
+        khi = ((kq >> 4).astype(jnp.int8) - 8).astype(compute_dtype)
+        qk = (jnp.einsum("bqhd,bhdt->bhqt", xe, klo,
+                         preferred_element_type=jnp.float32)
+              + jnp.einsum("bqhd,bhdt->bhqt", xo, khi,
+                           preferred_element_type=jnp.float32))
+        qk = qk * ks[:, :, None, :] * (dh ** -0.5)
+        w = jax.nn.softmax(qk, axis=-1)
+        wv = (w * vs[:, :, None, :]).astype(compute_dtype)
+        vlo = ((vq & 0xF).astype(jnp.int8) - 8).astype(compute_dtype)
+        vhi = ((vq >> 4).astype(jnp.int8) - 8).astype(compute_dtype)
+        oe = jnp.einsum("bhqt,bhdt->bqhd", wv, vlo,
+                        preferred_element_type=jnp.float32)
+        oo = jnp.einsum("bhqt,bhdt->bqhd", wv, vhi,
+                        preferred_element_type=jnp.float32)
+        out = jnp.stack([oe, oo], axis=-1).reshape(
+            oe.shape[:-1] + (2 * oe.shape[-1],))
+        return _merge_heads(out)
     if isinstance(kc, tuple) and kc[0] == "q8e":
         _, kq, ks = kc
         _, vq, vs = vc
@@ -629,14 +692,14 @@ def decode_step(params, tokens, pos_ids, cache_index, kv_self, k_cross, v_cross,
         blk, kc_l, vc_l, l = scanned
         if isinstance(k_cross, tuple):
             tag = k_cross[0]
-            if tag in ("q8e", "q8dt", "q8i"):
+            if tag in ("q8e", "q8dt", "q8i", "q4e"):
                 kc_l, vc_l = (tag,) + kc_l, (tag,) + vc_l
             else:
                 kc_l, vc_l = (tag, kc_l), (tag, vc_l)
         return body(carry, (blk, kc_l, vc_l, l))
 
     if isinstance(k_cross, tuple):
-        two_part = k_cross[0] in ("q8e", "q8dt", "q8i")
+        two_part = k_cross[0] in ("q8e", "q8dt", "q8i", "q4e")
         xs_k = tuple(k_cross[1:]) if two_part else k_cross[1]
         xs_v = tuple(v_cross[1:]) if two_part else v_cross[1]
     else:

@@ -175,3 +175,38 @@ def quantize_kv_bhdt(k):
     inv = (1.0 / scale).astype(k.dtype)
     q = jnp.clip(jnp.round(k * inv), -127, 127).astype(jnp.int8)
     return q, scale[..., 0, :]                          # (..., H, Ta)
+
+
+@jax.jit
+def quantize_kv_bhdt_q4(k):
+    """cross_kv layout (..., H, Dh, Ta) -> (uint8 nibble-packed
+    (..., H, Dh//2, Ta), (..., H, Ta) f32 per-position scales).
+
+    4-bit codes in [-8, 7] stored offset-binary (+8); even Dh indices in
+    the low nibble, odd in the high.  Packing is manual (uint8 host of two
+    s4 codes) because passing native jnp.int4 arrays across the jit
+    boundary is broken in current JAX — and the consumer never unpacks in
+    HBM anyway: the decode step contracts the low- and high-nibble halves
+    as two separate MXU dots whose elementwise unpack fuses into the
+    contraction's operand load (see models.whisper._cross_attn_step
+    "q4e"), so the 2x HBM traffic saving is real.
+    """
+    amax = jnp.max(jnp.abs(k), axis=-2, keepdims=True).astype(jnp.float32)
+    scale = jnp.maximum(amax, 1e-8) / 7.0              # (..., H, 1, Ta)
+    inv = (1.0 / scale).astype(k.dtype)
+    q = jnp.clip(jnp.round(k * inv), -8, 7).astype(jnp.int8) + 8
+    lo = q[..., 0::2, :].astype(jnp.uint8)
+    hi = q[..., 1::2, :].astype(jnp.uint8)
+    return lo | (hi << 4), scale[..., 0, :]             # (..., H, Ta)
+
+
+def unpack_q4_bhdt(packed, dtype=jnp.bfloat16):
+    """Inverse of quantize_kv_bhdt_q4's packing (codes only, unscaled):
+    (..., H, Dh//2, Ta) uint8 -> (..., H, Dh, Ta) in `dtype`, values in
+    [-8, 7].  Used by the prompt pass, where the per-layer bf16 transient
+    is amortized over the whole prompt block."""
+    lo = ((packed & 0xF).astype(jnp.int8) - 8).astype(dtype)
+    hi = ((packed >> 4).astype(jnp.int8) - 8).astype(dtype)
+    stacked = jnp.stack([lo, hi], axis=-2)              # (..., Dh//2, 2, Ta)
+    shp = packed.shape[:-2] + (2 * packed.shape[-2], packed.shape[-1])
+    return stacked.reshape(shp)

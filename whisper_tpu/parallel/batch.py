@@ -29,6 +29,16 @@ from ..languages import lang_id as _lang_id
 DELTA_MIN = 10
 
 
+def _cross_fn_for(cross_mode: str):
+    """Which cross-KV producer the batched encode uses for a cross_mode."""
+    from ..models import whisper as wm
+    if cross_mode == "einsum_q4":
+        return wm.cross_kv_q4
+    if cross_mode in ("einsum_q8", "pallas_q8dt", "einsum_q8i"):
+        return wm.cross_kv_q8
+    return wm.cross_kv
+
+
 class StreamState(WhisperState):
     """Per-stream sliding-window session: a WhisperState plus window
     scheduling fields."""
@@ -105,8 +115,7 @@ class BatchTranscriber:
             nh_a, nh_t = (self.ctx.config.n_audio_head,
                           self.ctx.config.n_text_head)
             cd = self.ctx.compute_dtype
-            quant = self.ctx.cross_mode in ("einsum_q8", "pallas_q8dt",
-                                            "einsum_q8i")
+            cross_fn = _cross_fn_for(self.ctx.cross_mode)
 
             n_ctx = self.ctx.hparams.n_audio_ctx
             filters = jnp.asarray(self.ctx.filters, jnp.float32)
@@ -119,13 +128,10 @@ class BatchTranscriber:
                         mel = mel.astype(jnp.float32) * (1.0 / 32768.0)
                     mel = log_mel_spectrogram_jax(mel, filters)[:, :2 * n_ctx]
                 enc = wm.encode(params, mel, n_head=nh_a, compute_dtype=cd)
-                if quant:
-                    # int8 quantization fused into the cross-KV scan: the
-                    # full bf16 (L,B,H,Dh,Ta) stack never materializes
-                    # (large-v3 B=64 is ~7.9 GB/tensor — OOM otherwise)
-                    return wm.cross_kv_q8(params, enc, n_head=nh_t,
-                                          compute_dtype=cd)
-                return wm.cross_kv(params, enc, n_head=nh_t, compute_dtype=cd)
+                # quantization fused into the cross-KV scan: the full bf16
+                # (L,B,H,Dh,Ta) stack never materializes (large-v3 B=64 is
+                # ~7.9 GB/tensor — OOM otherwise)
+                return cross_fn(params, enc, n_head=nh_t, compute_dtype=cd)
 
             self.ctx._jit_cache[key] = run
         return self.ctx._jit_cache[key](self.ctx.params,
@@ -146,8 +152,7 @@ class BatchTranscriber:
             nh_a, nh_t = (self.ctx.config.n_audio_head,
                           self.ctx.config.n_text_head)
             cd = self.ctx.compute_dtype
-            quant = self.ctx.cross_mode in ("einsum_q8", "pallas_q8dt",
-                                            "einsum_q8i")
+            cross_fn = _cross_fn_for(self.ctx.cross_mode)
             n_ctx = self.ctx.hparams.n_audio_ctx
             S = 2 * n_ctx * HOP_LENGTH + N_FFT
             filters = jnp.asarray(self.ctx.filters, jnp.float32)
@@ -161,10 +166,7 @@ class BatchTranscriber:
                     windows = windows.astype(jnp.float32) * (1.0 / 32768.0)
                 mel = log_mel_spectrogram_jax(windows, filters)[:, :2 * n_ctx]
                 enc = wm.encode(params, mel, n_head=nh_a, compute_dtype=cd)
-                if quant:
-                    return wm.cross_kv_q8(params, enc, n_head=nh_t,
-                                          compute_dtype=cd)
-                return wm.cross_kv(params, enc, n_head=nh_t, compute_dtype=cd)
+                return cross_fn(params, enc, n_head=nh_t, compute_dtype=cd)
 
             self.ctx._jit_cache[key] = run
         return self.ctx._jit_cache[key](
