@@ -284,3 +284,20 @@ def test_stream_mic_capture_no_backend(model_path, tmp_path):
          "-c", "-1"], env=env, capture_output=True, text=True, timeout=500)
     assert out.returncode != 0
     assert "no capture backend" in out.stderr
+
+
+def test_bench_tool_full(tmp_path):
+    """bench_full exercises decode_step/decode_prompt with the real KV
+    layouts (regression: the (L,B,H,Dh,C) lane-tight cache change broke
+    the tool's hand-built cache)."""
+    import jax.numpy as jnp
+
+    from bench import CONFIGS
+    from whisper_tpu.bench_tool import bench_full
+    from whisper_tpu.weights.convert import random_params
+
+    cfg = CONFIGS["tiny"]
+    params = random_params(cfg, dtype=jnp.bfloat16)
+    r = bench_full(params, cfg, fast=True)
+    assert set(r) == {"enc_ms", "dec_ms", "bch5_ms", "pp_ms_per_tok"}
+    assert all(v > 0 for v in r.values())

@@ -50,9 +50,12 @@ def _timeit(fn, reps: int) -> float:
     return (time.perf_counter() - t0) / reps * 1000.0
 
 
-def bench_full(params, cfg: WhisperConfig) -> dict:
+def bench_full(params, cfg: WhisperConfig, fast: bool = False) -> dict:
+    """fast=True cuts every rep count to 2 — for tests exercising the
+    plumbing (layouts, jit signatures), not for timing."""
     nh_a, nh_t = cfg.n_audio_head, cfg.n_text_head
     H, Dh, L = cfg.n_text_head, cfg.head_dim_text, cfg.n_text_layer
+    r8, r64 = (2, 2) if fast else (8, 64)
 
     # fresh random data every run: the runtime caches computation results
     # keyed by input values, across processes
@@ -72,14 +75,16 @@ def bench_full(params, cfg: WhisperConfig) -> dict:
         enc_state["m"] = mels[(i + 1) % 8] + delta.reshape(1, 1, 1)
         return kc
 
-    t_enc = _timeit(enc_step, 8)
+    t_enc = _timeit(enc_step, r8)
 
     kc, vc = enc_fn(params, mels[0])
 
     def make_dec(B, T_step, n_past):
         C = n_past + T_step + 8
-        kv = {"k": jnp.zeros((L, B, C, H, Dh), jnp.bfloat16),
-              "v": jnp.zeros((L, B, C, H, Dh), jnp.bfloat16)}
+        # lane-tight (L, B, H, Dh, C) cache layout (models/whisper.py
+        # decode_step)
+        kv = {"k": jnp.zeros((L, B, H, Dh, C), jnp.bfloat16),
+              "v": jnp.zeros((L, B, H, Dh, C), jnp.bfloat16)}
         kcb = jnp.broadcast_to(kc, (L, B) + kc.shape[2:])
         vcb = jnp.broadcast_to(vc, (L, B) + vc.shape[2:])
         salt = np.random.randint(0, cfg.n_vocab - 300)
@@ -111,11 +116,11 @@ def bench_full(params, cfg: WhisperConfig) -> dict:
         return step
 
     # Dec: 1 token at full context (reference: 256 runs at n_past=n_ctx/2)
-    t_dec = _timeit(make_dec(1, 1, cfg.n_text_ctx // 2), 64)
+    t_dec = _timeit(make_dec(1, 1, cfg.n_text_ctx // 2), r64)
     # Bch5: 5 sequences, 1 token each
-    t_bch5 = _timeit(make_dec(5, 1, cfg.n_text_ctx // 2), 64)
+    t_bch5 = _timeit(make_dec(5, 1, cfg.n_text_ctx // 2), r64)
     # PP: 256-token prompt
-    t_pp = _timeit(make_dec(1, 256, 0), 8) / 256.0
+    t_pp = _timeit(make_dec(1, 256, 0), r8) / 256.0
     del kc, vc
 
     return {"enc_ms": t_enc, "dec_ms": t_dec, "bch5_ms": t_bch5,
