@@ -50,18 +50,23 @@ CONFIGS = {name: WhisperConfig(*dims, model_type=name)
 
 
 def _consts_for(cfg: WhisperConfig) -> FilterConsts:
-    # synthesize filter constants without a model file (multilingual layout)
+    # synthesize filter constants without a model file — same derivation
+    # as api.WhisperContext.from_random / weights/ggml_reader.py (the
+    # later specials shift by dt = num_languages - 98 ONLY; reference:
+    # src/whisper.cpp:1637-1652)
     shift = 1 if cfg.n_vocab >= 51865 else 0
-    nl = cfg.n_vocab - 51765 - shift
-    dt = nl - 98
+    dt = (cfg.n_vocab - 51864) if shift else 0
+    n_lang = 98 + dt
     return FilterConsts(
         n_vocab=cfg.n_vocab,
         token_eot=50256 + shift, token_sot=50257 + shift,
-        token_beg=50363 + shift + dt, token_not=50362 + shift + dt,
-        token_nosp=50361 + shift + dt, token_solm=50359 + shift + dt,
-        token_prev=50360 + shift + dt,
-        token_translate=50357 + shift + dt, token_transcribe=50358 + shift + dt,
-        token_space=220, lang_ids=tuple(50258 + i for i in range(100)),
+        token_beg=50363 + dt, token_not=50362 + dt,
+        token_nosp=50361 + dt, token_solm=50359 + dt,
+        token_prev=50360 + dt,
+        token_translate=50357 + dt, token_transcribe=50358 + dt,
+        token_space=220,
+        lang_ids=tuple(50257 + shift + 1 + i
+                       for i in range(n_lang if shift else 0)),
         nst_ids=(), precision=30.0 / cfg.n_audio_ctx,
     )
 
@@ -184,8 +189,8 @@ def bench_serving(size: str, B: int, kv: str, stream_s: int = 150):
     # PCM upload (30 min of audio in one h2d put; on this environment's
     # tunneled TPU that transfer runs at ~20 MB/s and dominates, on a real
     # TPU VM host DMA makes it negligible)
-    steady = sorted(bt.window_times, key=lambda x: x[1])[:-1] \
-        if len(bt.window_times) > 1 else bt.window_times
+    steady = (bt.window_times[1:] if len(bt.window_times) > 1
+              else bt.window_times)
     steady_rtf = (sum(b for b, _ in steady) * 30.0
                   / max(sum(dt for _, dt in steady), 1e-9))
     return audio_s / wall, p50, p99, audio_s, wall, steady_rtf

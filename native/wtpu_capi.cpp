@@ -29,6 +29,7 @@
 #include <deque>
 #include <mutex>
 #include <string>
+#include <unordered_map>
 
 #include "whisper_tpu.h"
 
@@ -93,23 +94,34 @@ struct Gil {
 // opaque handles: boxes around Python objects
 struct whisper_context {
     PyObject * obj;
-    std::deque<std::string> strings;   // storage for returned const char*
+    // storage for returned const char*: whisper.h pointers stay valid for
+    // the context lifetime (clients cache whisper_token_to_str results),
+    // so strings are interned per distinct value, never evicted
+    std::deque<std::string> strings;
+    std::unordered_map<std::string, const std::string *> interned;
     const char * keep(PyObject * s) {
         if (!s) return "";
         const char * u = PyUnicode_AsUTF8(s);
-        strings.push_back(u ? u : "");
-        if (strings.size() > 256) strings.pop_front();
+        std::string v = u ? u : "";
+        auto it = interned.find(v);
+        if (it != interned.end()) return it->second->c_str();
+        strings.push_back(std::move(v));
+        interned.emplace(strings.back(), &strings.back());
         return strings.back().c_str();
     }
 };
 struct whisper_state {
     PyObject * obj;
     std::deque<std::string> strings;
+    std::unordered_map<std::string, const std::string *> interned;
     const char * keep(PyObject * s) {
         if (!s) return "";
         const char * u = PyUnicode_AsUTF8(s);
-        strings.push_back(u ? u : "");
-        if (strings.size() > 256) strings.pop_front();
+        std::string v = u ? u : "";
+        auto it = interned.find(v);
+        if (it != interned.end()) return it->second->c_str();
+        strings.push_back(std::move(v));
+        interned.emplace(strings.back(), &strings.back());
         return strings.back().c_str();
     }
 };
@@ -625,7 +637,8 @@ const char * whisper_lang_str(int id) {
     Gil gil;
     PyObject * r = call("whisper_lang_str", Py_BuildValue("(i)", id));
     if (!r || r == Py_None) { Py_XDECREF(r); return nullptr; }
-    g_lang_strings.push_back(PyUnicode_AsUTF8(r));
+    const char * u = PyUnicode_AsUTF8(r);
+    g_lang_strings.push_back(u ? u : "");
     Py_DECREF(r);
     return g_lang_strings.back().c_str();
 }
@@ -633,7 +646,8 @@ const char * whisper_lang_str_full(int id) {
     Gil gil;
     PyObject * r = call("whisper_lang_str_full", Py_BuildValue("(i)", id));
     if (!r || r == Py_None) { Py_XDECREF(r); return nullptr; }
-    g_lang_strings.push_back(PyUnicode_AsUTF8(r));
+    const char * u = PyUnicode_AsUTF8(r);
+    g_lang_strings.push_back(u ? u : "");
     Py_DECREF(r);
     return g_lang_strings.back().c_str();
 }

@@ -217,6 +217,42 @@ def test_cross_mode_q8_matches_einsum(tmp_path):
     assert outs[0] == outs[1]
 
 
+def test_device_mel_short_stream(tmp_path):
+    """Streams shorter than the reflect pad (201 samples) must zero-extend
+    instead of crashing in pad_audio (regression: the device_mel path
+    bypassed log_mel_spectrogram's guard)."""
+    import numpy as np
+
+    from whisper_tpu.parallel.batch import BatchTranscriber
+
+    path = make_random_model(tmp_path, seed=31)
+    p = wt.full_default_params()
+    p.print_progress = False
+    p.language = "en"
+    p.max_tokens = 4
+    p.temperature_inc = 0.0
+    ctx = wt.WhisperContext.from_file(path)
+    bt = BatchTranscriber(ctx, batch_size=2, params=p, device_mel=True)
+    out = bt.transcribe([np.zeros(100, np.float32),
+                         np.zeros(100, np.float32)])
+    assert len(out) == 2   # too short to transcribe -> empty, but no crash
+
+
+def test_from_random_special_tokens_match_loader():
+    """from_random's synthesized vocab must use the loader's (and the
+    reference's, whisper.cpp:1637-1652) special-token derivation: the
+    later specials shift by dt = num_languages - 98 only (regression:
+    they were off by one extra +1)."""
+    ctx = wt.WhisperContext.from_random("tiny", seed=0)   # n_vocab=51865
+    v = ctx.vocab
+    assert (v.token_eot, v.token_sot) == (50257, 50258)
+    assert v.token_translate == 50358      # 50357 + dt, dt = 1
+    assert v.token_beg == 50364
+    ctx3 = wt.WhisperContext.from_random("large-v3", seed=0)  # 51866
+    assert ctx3.vocab.token_translate == 50359             # dt = 2
+    assert ctx3.vocab.token_beg == 50365
+
+
 def test_q4_pack_roundtrip():
     """quantize_kv_bhdt_q4 codes decode exactly for values that are exact
     multiples of the scale (the pack/unpack bit-twiddling is lossless on

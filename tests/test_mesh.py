@@ -44,6 +44,14 @@ def test_mesh_batch_matches_single(tmp_path):
            for segs in bt.transcribe(streams)]
     assert out == ref
 
+    # a later SERIAL full() on the mesh-attached context must not inherit
+    # the batch in_shardings (its B doesn't divide the data axis);
+    # regression: pytree/sharding mismatch crash
+    p = _mkparams()
+    assert ctx2.full(p, streams[0]) == 0
+    serial = [(s.t0, s.t1, s.text) for s in ctx2.result_all]
+    assert serial == ref[0]
+
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
 def test_sharded_forward_matches_replicated(tmp_path):

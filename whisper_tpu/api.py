@@ -277,22 +277,22 @@ class WhisperContext:
         dims = MODEL_DIMS[size]
         cfg = WhisperConfig(*dims, model_type=size)
         n_vocab = cfg.n_vocab
-        # special-token layout (reference: src/whisper.cpp:473-502): the
-        # multilingual table holds `nl` languages after sot; v3's two extra
-        # languages shift every later special token by dt
+        # special-token layout (reference: src/whisper.cpp:473-502,
+        # 1637-1652): multilingual shifts eot/sot by ONE (the extra <|sot|>
+        # slot) and the later specials by dt = num_languages - 98 only
+        # (NOT one more) — identical to weights/ggml_reader.py:142-152
         shift = 1 if n_vocab >= 51865 else 0
-        nl = n_vocab - 51765 - shift
-        dt = nl - 98
+        dt = (n_vocab - 51864) if shift else 0   # num_languages - 98
         id_to_token = [b" t%d" % i for i in range(n_vocab)]
         vocab = Vocab(
             n_vocab=n_vocab, id_to_token=id_to_token,
             token_to_id={t: i for i, t in enumerate(id_to_token)},
             token_eot=50256 + shift, token_sot=50257 + shift,
-            token_translate=50357 + shift + dt,
-            token_transcribe=50358 + shift + dt,
-            token_solm=50359 + shift + dt, token_prev=50360 + shift + dt,
-            token_nosp=50361 + shift + dt, token_not=50362 + shift + dt,
-            token_beg=50363 + shift + dt)
+            token_translate=50357 + dt,
+            token_transcribe=50358 + dt,
+            token_solm=50359 + dt, token_prev=50360 + dt,
+            token_nosp=50361 + dt, token_not=50362 + dt,
+            token_beg=50363 + dt)
 
         from .audio.filters import mel_filterbank
 
@@ -417,10 +417,21 @@ class WhisperContext:
                                              extra_suppress=extra_suppress)
                 self._jit_cache[key] = jax.jit(fn)
             else:
-                fn = make_decode_window(consts=consts, options=opts, cfg=cfg,
-                                        extra_suppress=extra_suppress,
-                                        mesh=self.mesh)
-                if self.mesh is not None:
+                # the mesh layout only applies when this call's batch can
+                # shard over the data axes — a serial ctx.full() on a
+                # context that a mesh BatchTranscriber also uses (B=1, or
+                # B=n_decoders) must compile a plain single-device fn, not
+                # inherit batch in_shardings it can't satisfy
+                use_mesh = self.mesh is not None
+                if use_mesh:
+                    n_data = (self.mesh.shape.get("data", 1)
+                              * self.mesh.shape.get("slice", 1))
+                    use_mesh = n_data > 0 and B % n_data == 0
+                fn = make_decode_window(
+                    consts=consts, options=opts, cfg=cfg,
+                    extra_suppress=extra_suppress,
+                    mesh=self.mesh if use_mesh else None)
+                if use_mesh:
                     # explicit multichip layout: windows over "data", heads
                     # over "model" (see parallel/mesh.py)
                     from .parallel.mesh import decode_window_shardings
@@ -657,18 +668,21 @@ class WhisperContext:
                                    or params.logits_filter_callback is not None)
                 if needs_host_loop:
                     host_beam = (params.strategy == SamplingStrategy.BEAM_SEARCH
-                                 and t_cur <= 0.0
                                  and params.beam_search.beam_size > 1)
                     if host_beam:
                         # grammar under beam search (reference applies
                         # grammar per decoder inside its beam loop,
-                        # whisper.cpp:5925-5977)
+                        # whisper.cpp:5925-5977).  At t > 0 the slot count
+                        # drops to best_of and candidates are drawn
+                        # multinomially, like the reference (:5718-5724)
                         from .decode.host_beam import decode_window_host_beam
-                        n_cur = params.beam_search.beam_size
+                        n_cur = (params.beam_search.beam_size if t_cur <= 0.0
+                                 else max(1, params.greedy.best_of))
                         result = decode_window_host_beam(
                             self, prompt, kc, vc, t_cur, seek, seek_end,
                             params, opts, no_timestamps,
-                            grammar=params.grammar_rules, beam_size=n_cur)
+                            grammar=params.grammar_rules, beam_size=n_cur,
+                            seed=it)
                     else:
                         result = self._decode_window_compat(
                             prompt, kc, vc, t_cur, seek, seek_end,
@@ -724,9 +738,15 @@ class WhisperContext:
                     # the reference resizes the winning sequence to
                     # result_len before emission (whisper.cpp:6180); only a
                     # loop-failed decoder (possible at the final temperature
-                    # when everything failed) keeps its full sampled tail
-                    n_emit = (int(result["n_tokens"])
-                              if bool(result["failed"][j]) else seqs[j][1])
+                    # when everything failed) keeps its full sampled tail —
+                    # ITS OWN tail, not the batch-global step count: the
+                    # token buffer is EOT-initialized, so trailing EOT
+                    # padding (from rows that decoded longer) must not be
+                    # emitted
+                    n_emit = (_own_sampled_len(
+                        np.asarray(result["tokens"][j]),
+                        int(result["n_tokens"]), self.vocab.token_eot)
+                        if bool(result["failed"][j]) else seqs[j][1])
                     best = {
                         "tokens": np.asarray(result["tokens"][j]),
                         "p": np.asarray(result["p"][j]),
@@ -1107,6 +1127,10 @@ class WhisperContext:
                      and params.strategy == SamplingStrategy.GREEDY
                      and not params.detect_language
                      and params.language not in (None, "", "auto")
+                     # token-level timestamps need the signal-energy /
+                     # DTW passes that only the serial full() runs
+                     and not params.token_timestamps
+                     and not self.dtw_token_timestamps
                      and self.n_loaded > 0)
         if can_batch:
             return self._full_parallel_batched(params, samples, n_processors)
@@ -1234,6 +1258,17 @@ for _f in ("mel", "mel_n_len_org", "lang_id_state", "no_speech_prob",
            "tid_last", "exp_n_audio_ctx", "timings"):
     setattr(WhisperContext, _f, _session_property(_f))
 del _f
+
+def _own_sampled_len(tokens, n_tokens: int, token_eot: int) -> int:
+    """Length of one row's own sampled sequence inside the batch-global
+    step budget `n_tokens`: the loop's token buffer is EOT-initialized, so
+    trailing token_eot entries belong to OTHER rows' longer decodes, not
+    this row (a row that actually sampled EOT was marked completed, never
+    failed)."""
+    toks = np.asarray(tokens[:n_tokens])
+    nz = np.nonzero(toks != token_eot)[0]
+    return int(nz[-1]) + 1 if nz.size else 0
+
 
 def _sequence_score(plogs: np.ndarray, token_ids: np.ndarray,
                     length_penalty: float) -> tuple[float, float, float]:

@@ -30,13 +30,18 @@ from .loop import DELTA_MIN
 
 def decode_window_host_beam(ctx, prompt, kc, vc, t_cur, seek, seek_end,
                             params, opts, no_timestamps, grammar,
-                            beam_size: int):
+                            beam_size: int, seed: int = 0):
     """Beam-search one window with host-applied grammar/logit filters.
 
     Returns the same result dict as the jitted decode_window, with
     beam_size rows (full() ranks them like any multi-decoder result).
+    At t_cur > 0 candidate tokens are drawn multinomially per expanding
+    beam instead of deterministic top-k, like the reference's
+    whisper_sample_token_topk (src/whisper.cpp:5357-5430); `seed` makes
+    the draws reproducible per ladder rung.
     """
     B = beam_size
+    rng = np.random.RandomState(seed * 7919 + 13)
     vocab = ctx.vocab
     consts = FilterConsts.from_vocab(vocab, ctx.hparams.n_audio_ctx)
     prompt_fn, step_fn = ctx._prompt_step_fns()
@@ -110,8 +115,33 @@ def decode_window_host_beam(ctx, prompt, kc, vc, t_cur, seek, seek_end,
             if live[b] and (i > 0 or b == 0):   # only slot 0 expands at i==0
                 scores[b] = cum[b] + lps[b]
         flat = scores.reshape(-1)
-        top = np.argsort(flat)[::-1][:B]        # deterministic top-k
         live_slots = [b for b in range(B) if live[b]]
+        if t_cur > 0.0:
+            # multinomial candidate draws per expanding beam (the
+            # reference keeps BEAM_SEARCH sampling at t > 0 with
+            # stochastic top-k; whisper.cpp:5882-5890)
+            draws = max(2, int(params.beam_search.beam_size))
+            cand_ids: set[int] = set()
+            for b in range(B):
+                if live[b] and (i > 0 or b == 0):
+                    pr = np.asarray(prs[b], np.float64).clip(0)
+                    s = pr.sum()
+                    if s > 0:
+                        toks = rng.choice(len(pr), size=draws, p=pr / s)
+                        cand_ids.update(b * V + int(t) for t in toks)
+            top = (np.fromiter(cand_ids, np.int64)
+                   if cand_ids else np.empty((0,), np.int64))
+            top = top[np.argsort(flat[top])[::-1]][:B]
+            if len(top) < len(live_slots):
+                # dedup can leave fewer candidates than slots to fill;
+                # complete from the deterministic order
+                extra = [c for c in np.argsort(flat)[::-1]
+                         if c not in set(top.tolist())]
+                top = np.concatenate(
+                    [top, np.asarray(extra[:len(live_slots) - len(top)],
+                                     np.int64)])
+        else:
+            top = np.argsort(flat)[::-1][:B]    # deterministic top-k
 
         parent_full = list(range(B))
         tok_full = [tokens[b][-1] if tokens[b] else consts.token_eot

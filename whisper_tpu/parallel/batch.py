@@ -109,7 +109,7 @@ class BatchTranscriber:
 
     def _encode_batch(self, mel_windows):
         key = ("enc_batch", tuple(mel_windows.shape),
-               str(np.asarray(mel_windows).dtype), self.ctx.cross_mode)
+               str(mel_windows.dtype), self.ctx.cross_mode)
         if key not in self.ctx._jit_cache:
             from ..models import whisper as wm
             nh_a, nh_t = (self.ctx.config.n_audio_head,
@@ -188,9 +188,14 @@ class BatchTranscriber:
                 # window slice — half the h2d bytes, and bit-identical to
                 # converting on the host (the serial path's s16/32768)
                 from ..audio.mel import pad_audio
+                from ..constants import N_FFT
                 arr = np.asarray(pcm)
                 if arr.dtype != np.int16:
                     arr = arr.astype(np.float32)
+                if len(arr) < 1 + N_FFT // 2:
+                    # too short for the reflect pad; zero-extend like a
+                    # silent signal (same guard as log_mel_spectrogram)
+                    arr = np.pad(arr, (0, 1 + N_FFT // 2 - len(arr)))
                 padded, _, n_len_org = pad_audio(arr)
                 st = StreamState(
                     mel=None, seek=p.offset_ms // 10,
@@ -474,14 +479,19 @@ class BatchTranscriber:
             st.seek += TICKS_PER_SECOND * CHUNK_SIZE
         else:
             # emission truncates to result_len (whisper.cpp:6180); a
-            # loop-failed row reaching the final temperature keeps its full
-            # sampled sequence, exactly like the serial path
+            # loop-failed row reaching the final temperature keeps its OWN
+            # full sampled sequence (not the batch-global step count — the
+            # EOT-initialized tail would pollute segment tokens), exactly
+            # like the serial path
+            from ..api import _own_sampled_len
             best = {
                 "tokens": out["tokens"][row], "p": out["p"][row],
                 "plog": out["plog"][row], "tid": out["tid"][row],
                 "pt": out["pt"][row], "ptsum": out["ptsum"][row],
                 "result_len": result_len,
-                "n_emit": n_sampled if failed else result_len,
+                "n_emit": (_own_sampled_len(out["tokens"][row], n_sampled,
+                                            ctx.vocab.token_eot)
+                           if failed else result_len),
                 "seek_delta": seek_delta,
                 "avg_logprobs": (float(out["plog"][row][:result_len].sum())
                                  / max(result_len, 1)),

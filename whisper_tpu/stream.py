@@ -154,6 +154,7 @@ def _mic_chunks(device: int, chunk_ms: int) -> Iterator[np.ndarray]:
     (sounddevice) or ALSA card number (arecord); -1 = system default.
     """
     n = (SAMPLE_RATE * chunk_ms) // 1000
+    sd_stream = None
     try:
         import queue
 
@@ -164,15 +165,24 @@ def _mic_chunks(device: int, chunk_ms: int) -> Iterator[np.ndarray]:
         def cb(indata, frames, t, status):
             q.put(indata[:, 0].copy())
 
-        with sd.InputStream(samplerate=SAMPLE_RATE, channels=1,
-                            dtype="float32", blocksize=n,
-                            device=None if device < 0 else device,
-                            callback=cb):
+        # open BEFORE yielding: importable sounddevice with no usable
+        # capture device (headless PortAudio) must fall through to the
+        # arecord/ffmpeg backends, not crash
+        sd_stream = sd.InputStream(samplerate=SAMPLE_RATE, channels=1,
+                                   dtype="float32", blocksize=n,
+                                   device=None if device < 0 else device,
+                                   callback=cb)
+        sd_stream.start()
+    except Exception:
+        sd_stream = None
+    if sd_stream is not None:
+        try:
             while True:
                 yield q.get()
+        finally:
+            sd_stream.stop()
+            sd_stream.close()
         return
-    except ImportError:
-        pass
 
     import shutil
     import subprocess
