@@ -112,6 +112,39 @@ def test_wrap_segment(ctx):
         assert len(seg.text.encode()) <= 4 + 24  # one token may overflow
 
 
+def test_wrap_segment_preserves_tokens(ctx):
+    """A forced multi-way wrap keeps EVERY token and the full text
+    (regression: the new segment aliased the truncated source segment and
+    came out with zero tokens / empty text / collapsed t1)."""
+    from whisper_tpu.api import Segment, TokenData
+    from whisper_tpu.timestamps import wrap_segment
+
+    # six real word tokens with strictly increasing times
+    words = [" the", " quick", " brown", " fox", " jumps", " over"]
+    toks = []
+    for k, w in enumerate(words):
+        tid = ctx.tokenize(w)[0]
+        toks.append(TokenData(id=tid, tid=0, p=1.0, plog=0.0, pt=0.0,
+                              ptsum=0.0, t0=100 * k, t1=100 * k + 90))
+    full_text = "".join(ctx.vocab.token_str(t.id) for t in toks)
+    seg = Segment(t0=0, t1=600, text=full_text, tokens=list(toks),
+                  speaker_turn_next=True, no_speech_prob=0.25)
+    from whisper_tpu.api import WhisperState
+    st = WhisperState()
+    with ctx.use_state(st):
+        ctx.result_all.append(seg)
+        n = wrap_segment(ctx, max_len=10, split_on_word=True)
+        segs = list(ctx.result_all)
+    assert n == len(segs) and n >= 3          # actually split multi-way
+    assert sum(len(s.tokens) for s in segs) == len(toks)
+    assert "".join(s.text for s in segs) == full_text
+    for s in segs:
+        assert s.t1 >= s.t0
+    # the trailing-segment metadata survives on the LAST piece
+    assert segs[-1].speaker_turn_next is True
+    assert all(not s.speaker_turn_next for s in segs[:-1])
+
+
 def test_stream_fixed_step(ctx):
     from whisper_tpu.stream import StreamTranscriber
     st = StreamTranscriber(ctx, step_ms=1000, length_ms=3000, keep_ms=200,

@@ -74,8 +74,24 @@ def test_encode_decode_get_logits(ctx):
     sot = whisper.whisper_token_sot(ctx)
     assert whisper.whisper_decode(ctx, [sot], 1, 0) == 0
     logits = whisper.whisper_get_logits(ctx)
-    assert logits.shape == (ctx.n_vocab(),)
+    # whisper.h contract: n_tokens rows x n_vocab cols (whisper.h:308-315)
+    assert logits.shape == (1, ctx.n_vocab())
     assert np.isfinite(logits).all()
+    # multi-token incremental decode returns one row per token
+    t0 = whisper.whisper_token_eot(ctx) - 5
+    assert whisper.whisper_decode(ctx, [t0, t0 + 1, t0 + 2], 3, 1) == 0
+    assert whisper.whisper_get_logits(ctx).shape == (3, ctx.n_vocab())
+    # the state-scoped variants stash logits on THEIR state, not the ctx
+    st = whisper.whisper_init_state(ctx)
+    assert whisper.whisper_pcm_to_mel_with_state(
+        ctx, st, np.zeros(16000, np.float32), 16000) == 0
+    assert whisper.whisper_encode_with_state(ctx, st, 0) == 0
+    sot = whisper.whisper_token_sot(ctx)
+    assert whisper.whisper_decode_with_state(ctx, st, [sot], 1, 0) == 0
+    assert whisper.whisper_get_logits_from_state(st).shape == \
+        (1, ctx.n_vocab())
+    # 1 s -> 99 frames (1 + (16000 + 200 - 400)//160, pad_audio math)
+    assert whisper.whisper_n_len_from_state(st) == 99
 
 
 def test_set_mel_validation(ctx):

@@ -174,6 +174,12 @@ class WhisperState:
         self.tid_last = 0
         self.exp_n_audio_ctx = 0
         self.timings = Timings()
+        # capi raw encode/decode session state (whisper_encode/
+        # decode_with_state must keep cross-KV/logits/self-KV on ITS
+        # state, not the context default)
+        self._capi_logits = None
+        self._capi_kv = None
+        self._encoded = None
 
     # segment accessors on the state itself (the reference's *_from_state
     # functions read the state directly)
@@ -256,8 +262,9 @@ class WhisperContext:
         return ctx
 
     @classmethod
-    def from_buffer(cls, buf: bytes, compute_dtype=jnp.bfloat16) -> "WhisperContext":
-        return cls(read_ggml_file(buf), compute_dtype=compute_dtype)
+    def from_buffer(cls, buf: bytes, compute_dtype=jnp.bfloat16,
+                    **kwargs) -> "WhisperContext":
+        return cls(read_ggml_file(buf), compute_dtype=compute_dtype, **kwargs)
 
     @classmethod
     def from_random(cls, size: str = "large-v3", seed: int = 0,
@@ -532,6 +539,10 @@ class WhisperContext:
             lid, probs = self.lang_auto_detect()
             self.lang_id_state = lid
             language = lang_str(lid)
+            # write the detection back so everything downstream that reads
+            # params.language (DTW teacher-forced prompt, callbacks) sees
+            # the resolved language (reference: src/whisper.cpp:5510)
+            params.language = language
             log_info(f"auto-detected language: {language} (p = {probs[lid]:.6f})")
             if params.detect_language:
                 return 0
@@ -859,7 +870,9 @@ class WhisperContext:
                 logits, ks, vs = wm.decode_prompt(
                     params, tokens, jnp.arange(T), kc, vc, n_head=nh,
                     self_mask=mask, compute_dtype=cd)
-                return logits[:, -1], ks, vs
+                # full (B, T, V): the capi whisper_decode contract needs a
+                # logits row per prompt token; loop callers slice [:, -1]
+                return logits, ks, vs
 
             @jax.jit
             def step_fn(params, tok, pos, cache_idx, kv, kc, vc, kv_len):
@@ -891,6 +904,7 @@ class WhisperContext:
 
         logits0, ks, vs = prompt_fn(
             self.params, jnp.asarray([prompt], jnp.int32), kc, vc)
+        logits0 = logits0[:, -1]
         raw0 = np.asarray(logits0[0])
         lp0 = np.exp(raw0 - raw0.max())
         no_speech_prob = float((lp0 / lp0.sum())[self.vocab.token_nosp])
@@ -1255,7 +1269,8 @@ class WhisperContext:
 # reference's ctx-with-default-state ergonomics
 for _f in ("mel", "mel_n_len_org", "lang_id_state", "no_speech_prob",
            "result_all", "prompt_past", "energy", "t_beg", "t_last",
-           "tid_last", "exp_n_audio_ctx", "timings"):
+           "tid_last", "exp_n_audio_ctx", "timings",
+           "_capi_logits", "_capi_kv", "_encoded"):
     setattr(WhisperContext, _f, _session_property(_f))
 del _f
 

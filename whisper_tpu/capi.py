@@ -102,7 +102,12 @@ def whisper_init_from_file_with_params(path: str,
 
 def whisper_init_from_buffer_with_params(buf: bytes,
                                          params: whisper_context_params):
-    return WhisperContext.from_buffer(buf)
+    return WhisperContext.from_buffer(
+        buf,
+        dtw_token_timestamps=params.dtw_token_timestamps,
+        dtw_aheads_preset=params.dtw_aheads_preset,
+        dtw_n_top=max(params.dtw_n_top, 0),
+        dtw_aheads=params.dtw_aheads)
 
 
 def _read_loader(loader) -> bytes:
@@ -264,19 +269,21 @@ def whisper_decode(ctx, tokens, n_tokens: int, n_past: int,
         kv["v"] = kv["v"].at[..., :len(toks)].set(
             vs.transpose(0, 1, 3, 4, 2).astype(ctx.compute_dtype))
         ctx._capi_kv = kv
+        # whisper.h: logits hold n_tokens rows x n_vocab cols
         ctx._capi_logits = np.asarray(logits[0])
     else:
         kv = getattr(ctx, "_capi_kv", None)
         if kv is None:
             return -2
-        lg = None
+        rows = []
         for i, t in enumerate(toks):
             lg, kv = step_fn(ctx.params, jnp.asarray([int(t)], np.int32),
                              jnp.asarray([n_past + i], np.int32),
                              np.int32(n_past + i), kv, kc, vc,
                              np.int32(n_past + i + 1))
+            rows.append(np.asarray(lg[0]))
         ctx._capi_kv = kv
-        ctx._capi_logits = np.asarray(lg[0])
+        ctx._capi_logits = np.stack(rows)
     return 0
 
 
@@ -287,11 +294,19 @@ def whisper_decode_with_state(ctx, state, tokens, n_tokens, n_past,
 
 
 def whisper_get_logits(ctx) -> np.ndarray:
-    return getattr(ctx, "_capi_logits", np.zeros(ctx.n_vocab(), np.float32))
+    """(n_tokens, n_vocab) rows from the last whisper_decode
+    (reference: whisper.h:308-315)."""
+    lg = getattr(ctx, "_capi_logits", None)
+    if lg is None:
+        return np.zeros((0, ctx.n_vocab()), np.float32)
+    return lg
 
 
 def whisper_get_logits_from_state(state) -> np.ndarray:
-    return whisper_get_logits(state)
+    # _capi_logits is a per-session field: decode_with_state stashed it on
+    # the state itself
+    lg = getattr(state, "_capi_logits", None)
+    return lg if lg is not None else np.zeros((0, 0), np.float32)
 
 
 def whisper_tokenize(ctx, text: str, tokens, n_max_tokens: int) -> int:
@@ -341,7 +356,7 @@ def whisper_lang_auto_detect_with_state(ctx, state, offset_ms, n_threads=4,
 # ---- introspection (reference: whisper.h:380-439) -------------------------
 
 def whisper_n_len(ctx) -> int: return ctx.n_len_from_state()
-def whisper_n_len_from_state(state) -> int: return state.n_len_from_state()
+def whisper_n_len_from_state(state) -> int: return state.mel_n_len_org
 def whisper_n_vocab(ctx) -> int: return ctx.n_vocab()
 def whisper_n_text_ctx(ctx) -> int: return ctx.n_text_ctx()
 def whisper_n_audio_ctx(ctx) -> int: return ctx.n_audio_ctx()

@@ -59,7 +59,7 @@ def decode_window_host_beam(ctx, prompt, kc, vc, t_cur, seek, seek_end,
 
     logits0, ks, vs = prompt_fn(
         ctx.params, jnp.asarray([prompt] * B, jnp.int32), kc, vc)
-    raw = np.asarray(logits0, np.float32)                 # (B, V)
+    raw = np.asarray(logits0[:, -1], np.float32)          # (B, V)
     lp0 = np.exp(raw[0] - raw[0].max())
     no_speech_prob = float((lp0 / lp0.sum())[vocab.token_nosp])
 

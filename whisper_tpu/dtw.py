@@ -104,10 +104,9 @@ def dtw_backtrace(cost_matrix: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     cost[0, 0] = 0.0
 
     for j in range(1, M + 1):
-        col_prev = cost[:, j - 1]
         for i in range(1, N + 1):
             c0 = cost[i - 1, j - 1]
-            c1 = col_prev[i] if False else cost[i - 1, j]
+            c1 = cost[i - 1, j]
             c2 = cost[i, j - 1]
             if c0 < c1 and c0 < c2:
                 c, t = c0, 0
@@ -151,7 +150,12 @@ def compute_token_level_timestamps_dtw(ctx, params, i_segment: int,
     # token sequence: sot + [lang] + <not> + text + eot
     tokens = [vocab.token_sot]
     if vocab.is_multilingual:
-        tokens.append(vocab.token_lang(_lang_id(params.language or "en")))
+        # params.language is the resolved language here (full() writes the
+        # auto-detection back); guard the unresolved forms anyway
+        lang = params.language
+        if not lang or lang == "auto":
+            lang = "en"
+        tokens.append(vocab.token_lang(_lang_id(lang)))
     sot_len = len(tokens)
     tokens.append(vocab.token_not)
     for i in range(i_segment, i_segment + n_segments):

@@ -80,10 +80,21 @@ class _BatchWorker:
 
     @staticmethod
     def _signature(p) -> tuple:
+        """Requests may share one device batch ONLY if every decode-
+        affecting parameter matches — _process_group applies items[0]'s
+        params to the whole group, so anything missing here silently
+        leaks settings between requests."""
         return (p.language, p.translate, p.no_timestamps, p.single_segment,
                 p.max_tokens, p.temperature, p.temperature_inc,
-                p.beam_search.beam_size if p.strategy else -1,
-                p.offset_ms, p.duration_ms)
+                p.strategy,
+                p.beam_search.beam_size, p.greedy.best_of,
+                p.offset_ms, p.duration_ms,
+                p.initial_prompt, p.suppress_regex, p.suppress_blank,
+                p.suppress_nst, p.max_len, p.split_on_word,
+                p.token_timestamps, p.thold_pt, p.thold_ptsum,
+                p.entropy_thold, p.logprob_thold, p.no_speech_thold,
+                p.n_max_text_ctx, p.audio_ctx, p.tdrz_enable,
+                p.detect_language, p.max_initial_ts, p.length_penalty)
 
     def submit(self, pcm, params):
         """Blocks until this request's segments are ready; returns them."""
@@ -111,12 +122,20 @@ class _BatchWorker:
                 except _q.Empty:
                     break
 
-            groups: dict = {}
-            for item in batch:
-                groups.setdefault(self._signature(item[1]), []).append(item)
-
-            for items in groups.values():
-                self._process_group(items)
+            # the worker is a singleton daemon: ANY escaped exception here
+            # would kill it and leave every future submit() blocked on
+            # done.wait() forever — fail the batch, never the thread
+            try:
+                groups: dict = {}
+                for item in batch:
+                    groups.setdefault(self._signature(item[1]), []).append(item)
+                for items in groups.values():
+                    self._process_group(items)
+            except Exception as e:  # noqa: BLE001
+                for _, _, done, slot in batch:
+                    if not done.is_set():
+                        slot["error"] = f"batch worker error: {e}"
+                        done.set()
 
     def _process_group(self, items):
         from .parallel.batch import BatchTranscriber
@@ -244,7 +263,8 @@ def _apply_request_params(params, form: dict):
     return get("response_format") or "json"
 
 
-def _format_response(ctx, fmt: str) -> tuple[str, str]:
+def _format_response(ctx, fmt: str, params=None,
+                     duration_s: float | None = None) -> tuple[str, str]:
     """-> (content_type, body)."""
     n = ctx.full_n_segments()
     if fmt == "text":
@@ -266,10 +286,16 @@ def _format_response(ctx, fmt: str) -> tuple[str, str]:
                       f"{ctx.full_get_segment_text(i)}\n\n")
         return "text/vtt", out.getvalue()
     if fmt == "verbose_json":
+        # field semantics follow the reference server (server.cpp:929-935):
+        # full language name, translate-aware task, pcm-length duration
+        from .languages import lang_str_full
         doc = {
-            "task": "transcribe",
-            "language": str(ctx.full_lang_id()),
-            "duration": ctx.full_get_segment_t1(n - 1) / 100.0 if n else 0.0,
+            "task": ("translate" if params is not None and params.translate
+                     else "transcribe"),
+            "language": lang_str_full(ctx.full_lang_id()) or "english",
+            "duration": (duration_s if duration_s is not None
+                         else (ctx.full_get_segment_t1(n - 1) / 100.0
+                               if n else 0.0)),
             "text": "".join(ctx.full_get_segment_text(i) for i in range(n)),
             "segments": [{
                 "id": i,
@@ -344,15 +370,20 @@ class Handler(BaseHTTPRequestHandler):
 
             if STATE.ctx is None:
                 raise RuntimeError("no model loaded")
+            duration_s = len(pcm) / 16000.0
             if STATE.batcher is not None:
                 segs = STATE.batcher.submit(pcm, params)
-                view = _SegmentsView(segs, STATE.ctx.full_lang_id())
-                ctype, out = _format_response(view, fmt)
+                from .languages import lang_id as _lang_id
+                lid = (_lang_id(params.language)
+                       if params.language not in (None, "", "auto") else 0)
+                view = _SegmentsView(segs, max(lid, 0))
+                ctype, out = _format_response(view, fmt, params, duration_s)
             else:
                 with STATE.lock:
                     if STATE.ctx.full(params, pcm) != 0:
                         raise RuntimeError("failed to process audio")
-                    ctype, out = _format_response(STATE.ctx, fmt)
+                    ctype, out = _format_response(STATE.ctx, fmt, params,
+                                                  duration_s)
             self._send(200, ctype, out)
         except Exception as e:
             self._send(500, "application/json", json.dumps({"error": str(e)}))

@@ -207,6 +207,13 @@ def wrap_segment(ctx, max_len: int, split_on_word: bool) -> int:
         cur = len(txt.encode("utf-8"))
 
         if acc + cur > max_len and i > 0 and _should_split_on_word(txt, split_on_word):
+            # `segment` IS result_all[-1] — snapshot the fields the new
+            # segment needs BEFORE truncating (the reference copies the
+            # whole segment by value, examples/cli token-timestamp wrap)
+            rest_tokens = segment.tokens[i:]
+            seg_t1 = segment.t1
+            seg_turn = segment.speaker_turn_next
+
             last = ctx.result_all[-1]
             last.text = text
             last.t1 = token.t0
@@ -214,10 +221,10 @@ def wrap_segment(ctx, max_len: int, split_on_word: bool) -> int:
             last.speaker_turn_next = False
 
             new_seg = Segment(
-                t0=token.t0, t1=segment.t1, text="",
+                t0=token.t0, t1=seg_t1, text="",
                 no_speech_prob=segment.no_speech_prob,
-                tokens=segment.tokens[i:],
-                speaker_turn_next=segment.speaker_turn_next)
+                tokens=rest_tokens,
+                speaker_turn_next=seg_turn)
             ctx.result_all.append(new_seg)
 
             acc = 0
