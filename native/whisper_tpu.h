@@ -188,6 +188,23 @@ struct whisper_full_params {
     float                            grammar_penalty;
 };
 
+typedef struct whisper_model_loader {
+    void * context;
+    size_t (*read)(void * ctx, void * output, size_t read_size);
+    bool (*eof)(void * ctx);
+    void (*close)(void * ctx);
+} whisper_model_loader;
+
+struct whisper_timings {
+    float sample_ms;
+    float encode_ms;
+    float decode_ms;
+    float batchd_ms;
+    float prompt_ms;
+};
+
+typedef void (*whisper_tpu_log_callback)(int level, const char * text, void * user_data);
+
 /* ---- init / free ---- */
 struct whisper_context_params whisper_context_default_params(void);
 struct whisper_context * whisper_init_from_file_with_params(const char * path_model, struct whisper_context_params params);
@@ -250,6 +267,74 @@ void whisper_print_timings(struct whisper_context * ctx);
 void whisper_reset_timings(struct whisper_context * ctx);
 const char * whisper_print_system_info(void);
 const char * whisper_version(void);
+
+
+/* ---- init variants (buffer / loader / no_state; whisper.h:195-228) ---- */
+struct whisper_context * whisper_init_from_buffer_with_params(void * buffer, size_t buffer_size, struct whisper_context_params params);
+struct whisper_context * whisper_init_with_params(struct whisper_model_loader * loader, struct whisper_context_params params);
+struct whisper_context * whisper_init_from_file_with_params_no_state(const char * path_model, struct whisper_context_params params);
+struct whisper_context * whisper_init_from_buffer_with_params_no_state(void * buffer, size_t buffer_size, struct whisper_context_params params);
+struct whisper_context * whisper_init_with_params_no_state(struct whisper_model_loader * loader, struct whisper_context_params params);
+struct whisper_context * whisper_init_from_file_no_state(const char * path_model);
+struct whisper_context * whisper_init_from_buffer(void * buffer, size_t buffer_size);
+struct whisper_context * whisper_init_from_buffer_no_state(void * buffer, size_t buffer_size);
+struct whisper_context * whisper_init(struct whisper_model_loader * loader);
+struct whisper_context * whisper_init_no_state(struct whisper_model_loader * loader);
+struct whisper_context_params * whisper_context_default_params_by_ref(void);
+struct whisper_full_params * whisper_full_default_params_by_ref(enum whisper_sampling_strategy strategy);
+void whisper_free_params(struct whisper_full_params * params);
+void whisper_free_context_params(struct whisper_context_params * params);
+int whisper_ctx_init_openvino_encoder(struct whisper_context * ctx, const char * model_path, const char * device, const char * cache_dir);
+int whisper_ctx_init_openvino_encoder_with_state(struct whisper_context * ctx, struct whisper_state * state, const char * model_path, const char * device, const char * cache_dir);
+
+/* ---- raw mel / encode / decode (whisper.h:264-344) ---- */
+int whisper_pcm_to_mel_with_state(struct whisper_context * ctx, struct whisper_state * state, const float * samples, int n_samples, int n_threads);
+int whisper_set_mel(struct whisper_context * ctx, const float * data, int n_len, int n_mel);
+int whisper_set_mel_with_state(struct whisper_context * ctx, struct whisper_state * state, const float * data, int n_len, int n_mel);
+int whisper_encode(struct whisper_context * ctx, int offset, int n_threads);
+int whisper_encode_with_state(struct whisper_context * ctx, struct whisper_state * state, int offset, int n_threads);
+int whisper_decode(struct whisper_context * ctx, const whisper_token * tokens, int n_tokens, int n_past, int n_threads);
+int whisper_decode_with_state(struct whisper_context * ctx, struct whisper_state * state, const whisper_token * tokens, int n_tokens, int n_past, int n_threads);
+float * whisper_get_logits(struct whisper_context * ctx);
+float * whisper_get_logits_from_state(struct whisper_state * state);
+int whisper_n_len(struct whisper_context * ctx);
+int whisper_n_len_from_state(struct whisper_state * state);
+int whisper_lang_auto_detect(struct whisper_context * ctx, int offset_ms, int n_threads, float * lang_probs);
+int whisper_lang_auto_detect_with_state(struct whisper_context * ctx, struct whisper_state * state, int offset_ms, int n_threads, float * lang_probs);
+
+/* ---- from_state result accessors (whisper.h:611-657) ---- */
+int whisper_full_lang_id_from_state(struct whisper_state * state);
+bool whisper_full_get_segment_speaker_turn_next_from_state(struct whisper_state * state, int i_segment);
+float whisper_full_get_segment_no_speech_prob(struct whisper_context * ctx, int i_segment);
+float whisper_full_get_segment_no_speech_prob_from_state(struct whisper_state * state, int i_segment);
+int whisper_full_n_tokens_from_state(struct whisper_state * state, int i_segment);
+const char * whisper_full_get_token_text_from_state(struct whisper_context * ctx, struct whisper_state * state, int i_segment, int i_token);
+whisper_token whisper_full_get_token_id_from_state(struct whisper_state * state, int i_segment, int i_token);
+whisper_token_data whisper_full_get_token_data_from_state(struct whisper_state * state, int i_segment, int i_token);
+float whisper_full_get_token_p_from_state(struct whisper_state * state, int i_segment, int i_token);
+
+/* ---- model introspection (whisper.h:380-439) ---- */
+int whisper_model_n_vocab(struct whisper_context * ctx);
+int whisper_model_n_audio_ctx(struct whisper_context * ctx);
+int whisper_model_n_audio_state(struct whisper_context * ctx);
+int whisper_model_n_audio_head(struct whisper_context * ctx);
+int whisper_model_n_audio_layer(struct whisper_context * ctx);
+int whisper_model_n_text_ctx(struct whisper_context * ctx);
+int whisper_model_n_text_state(struct whisper_context * ctx);
+int whisper_model_n_text_head(struct whisper_context * ctx);
+int whisper_model_n_text_layer(struct whisper_context * ctx);
+int whisper_model_n_mels(struct whisper_context * ctx);
+int whisper_model_ftype(struct whisper_context * ctx);
+int whisper_model_type(struct whisper_context * ctx);
+const char * whisper_model_type_readable(struct whisper_context * ctx);
+struct whisper_timings * whisper_get_timings(struct whisper_context * ctx);
+
+/* ---- bench + logging (whisper.h:659-666) ---- */
+int whisper_bench_memcpy(int n_threads);
+const char * whisper_bench_memcpy_str(int n_threads);
+int whisper_bench_ggml_mul_mat(int n_threads);
+const char * whisper_bench_ggml_mul_mat_str(int n_threads);
+void whisper_log_set(whisper_tpu_log_callback log_callback, void * user_data);
 
 #ifdef __cplusplus
 }

@@ -29,6 +29,7 @@
 #include <deque>
 #include <mutex>
 #include <string>
+#include <vector>
 #include <unordered_map>
 
 #include "whisper_tpu.h"
@@ -92,8 +93,14 @@ struct Gil {
 };
 
 // opaque handles: boxes around Python objects
+struct whisper_timings_box {
+    float sample_ms, encode_ms, decode_ms, batchd_ms, prompt_ms;
+};
+
 struct whisper_context {
     PyObject * obj;
+    std::vector<float> logits_buf;
+    whisper_timings_box timings_box;
     // storage for returned const char*: whisper.h pointers stay valid for
     // the context lifetime (clients cache whisper_token_to_str results),
     // so strings are interned per distinct value, never evicted
@@ -112,6 +119,7 @@ struct whisper_context {
 };
 struct whisper_state {
     PyObject * obj;
+    std::vector<float> logits_buf;
     std::deque<std::string> strings;
     std::unordered_map<std::string, const std::string *> interned;
     const char * keep(PyObject * s) {
@@ -686,6 +694,523 @@ const char * whisper_print_system_info(void) {
 }
 const char * whisper_version(void) {
     return "whisper_tpu-1.7.5-compat";
+}
+
+
+// ---------------------------------------------------------------------------
+// whisper.h completion: init variants, raw encode/decode, from_state
+// accessors, logits, timings, model introspection, log callback
+// ---------------------------------------------------------------------------
+
+static PyObject * ctx_params_to_py(struct whisper_context_params params) {
+    PyObject * cp = call("whisper_context_default_params", nullptr);
+    if (!cp) return nullptr;
+    set_attr(cp, "dtw_token_timestamps",
+             PyBool_FromLong(params.dtw_token_timestamps));
+    set_attr(cp, "dtw_aheads_preset",
+             PyUnicode_FromString(AHEADS_NAMES[params.dtw_aheads_preset]));
+    set_attr(cp, "dtw_n_top", PyLong_FromLong(params.dtw_n_top));
+    return cp;
+}
+
+static struct whisper_context * box_ctx(PyObject * obj) {
+    if (!obj) return nullptr;
+    whisper_context * ctx = new whisper_context();
+    ctx->obj = obj;
+    return ctx;
+}
+
+static PyObject * drain_loader(struct whisper_model_loader * loader) {
+    // pull the whole model through the C loader callbacks into one bytes
+    std::string data;
+    char buf[1 << 16];
+    while (!loader->eof(loader->context)) {
+        size_t n = loader->read(loader->context, buf, sizeof(buf));
+        if (n == 0) break;
+        data.append(buf, n);
+    }
+    if (loader->close) loader->close(loader->context);
+    return PyBytes_FromStringAndSize(data.data(),
+                                     (Py_ssize_t) data.size());
+}
+
+static struct whisper_context * init_buffer_impl(
+        const char * fn, void * buffer, size_t buffer_size,
+        struct whisper_context_params params) {
+    Gil gil;
+    PyObject * cp = ctx_params_to_py(params);
+    if (!cp) return nullptr;
+    PyObject * args = Py_BuildValue("(y#N)", (const char *) buffer,
+                                    (Py_ssize_t) buffer_size, cp);
+    return box_ctx(call(fn, args));
+}
+
+struct whisper_context * whisper_init_from_buffer_with_params(
+        void * buffer, size_t buffer_size,
+        struct whisper_context_params params) {
+    return init_buffer_impl("whisper_init_from_buffer_with_params",
+                            buffer, buffer_size, params);
+}
+struct whisper_context * whisper_init_from_buffer_with_params_no_state(
+        void * buffer, size_t buffer_size,
+        struct whisper_context_params params) {
+    return init_buffer_impl("whisper_init_from_buffer_with_params_no_state",
+                            buffer, buffer_size, params);
+}
+struct whisper_context * whisper_init_from_buffer(void * buffer,
+                                                  size_t buffer_size) {
+    return whisper_init_from_buffer_with_params(
+        buffer, buffer_size, whisper_context_default_params());
+}
+struct whisper_context * whisper_init_from_buffer_no_state(
+        void * buffer, size_t buffer_size) {
+    return whisper_init_from_buffer_with_params_no_state(
+        buffer, buffer_size, whisper_context_default_params());
+}
+
+struct whisper_context * whisper_init_with_params(
+        struct whisper_model_loader * loader,
+        struct whisper_context_params params) {
+    Gil gil;
+    PyObject * data = drain_loader(loader);
+    PyObject * cp = ctx_params_to_py(params);
+    if (!data || !cp) { Py_XDECREF(data); Py_XDECREF(cp); return nullptr; }
+    return box_ctx(call("whisper_init_from_buffer_with_params",
+                        Py_BuildValue("(NN)", data, cp)));
+}
+struct whisper_context * whisper_init_with_params_no_state(
+        struct whisper_model_loader * loader,
+        struct whisper_context_params params) {
+    Gil gil;
+    PyObject * data = drain_loader(loader);
+    PyObject * cp = ctx_params_to_py(params);
+    if (!data || !cp) { Py_XDECREF(data); Py_XDECREF(cp); return nullptr; }
+    return box_ctx(call("whisper_init_from_buffer_with_params_no_state",
+                        Py_BuildValue("(NN)", data, cp)));
+}
+struct whisper_context * whisper_init(struct whisper_model_loader * loader) {
+    return whisper_init_with_params(loader,
+                                    whisper_context_default_params());
+}
+struct whisper_context * whisper_init_no_state(
+        struct whisper_model_loader * loader) {
+    return whisper_init_with_params_no_state(
+        loader, whisper_context_default_params());
+}
+struct whisper_context * whisper_init_from_file_no_state(
+        const char * path_model) {
+    Gil gil;
+    PyObject * cp = ctx_params_to_py(whisper_context_default_params());
+    if (!cp) return nullptr;
+    return box_ctx(call("whisper_init_from_file_with_params_no_state",
+                        Py_BuildValue("(sN)", path_model, cp)));
+}
+struct whisper_context * whisper_init_from_file_with_params_no_state(
+        const char * path_model, struct whisper_context_params params) {
+    Gil gil;
+    PyObject * cp = ctx_params_to_py(params);
+    if (!cp) return nullptr;
+    return box_ctx(call("whisper_init_from_file_with_params_no_state",
+                        Py_BuildValue("(sN)", path_model, cp)));
+}
+
+int whisper_ctx_init_openvino_encoder_with_state(
+        struct whisper_context * ctx, struct whisper_state * state,
+        const char * model_path, const char * device,
+        const char * cache_dir) {
+    Gil gil;
+    return (int) call_long(
+        "whisper_ctx_init_openvino_encoder_with_state",
+        Py_BuildValue("(OOsss)", ctx->obj, state ? state->obj : Py_None,
+                      model_path ? model_path : "",
+                      device ? device : "", cache_dir ? cache_dir : ""));
+}
+int whisper_ctx_init_openvino_encoder(
+        struct whisper_context * ctx, const char * model_path,
+        const char * device, const char * cache_dir) {
+    return whisper_ctx_init_openvino_encoder_with_state(
+        ctx, nullptr, model_path, device, cache_dir);
+}
+
+struct whisper_context_params * whisper_context_default_params_by_ref(void) {
+    auto * p = (struct whisper_context_params *)
+        malloc(sizeof(struct whisper_context_params));
+    *p = whisper_context_default_params();
+    return p;
+}
+struct whisper_full_params * whisper_full_default_params_by_ref(
+        enum whisper_sampling_strategy strategy) {
+    auto * p = (struct whisper_full_params *)
+        malloc(sizeof(struct whisper_full_params));
+    *p = whisper_full_default_params(strategy);
+    return p;
+}
+void whisper_free_params(struct whisper_full_params * params) { free(params); }
+void whisper_free_context_params(struct whisper_context_params * params) {
+    free(params);
+}
+
+// ---- raw mel / encode / decode --------------------------------------------
+
+int whisper_pcm_to_mel_with_state(struct whisper_context * ctx,
+                                  struct whisper_state * state,
+                                  const float * samples, int n_samples,
+                                  int n_threads) {
+    Gil gil;
+    PyObject * arr = np_from_f32(samples, n_samples);
+    if (!arr) return -1;
+    return (int) call_long("whisper_pcm_to_mel_with_state",
+                           Py_BuildValue("(OONii)", ctx->obj, state->obj,
+                                         arr, n_samples, n_threads));
+}
+int whisper_set_mel(struct whisper_context * ctx, const float * data,
+                    int n_len, int n_mel) {
+    Gil gil;
+    PyObject * arr = np_from_f32(data, n_len * n_mel);
+    if (!arr) return -1;
+    return (int) call_long("whisper_set_mel",
+                           Py_BuildValue("(ONii)", ctx->obj, arr,
+                                         n_len, n_mel));
+}
+int whisper_set_mel_with_state(struct whisper_context * ctx,
+                               struct whisper_state * state,
+                               const float * data, int n_len, int n_mel) {
+    Gil gil;
+    PyObject * arr = np_from_f32(data, n_len * n_mel);
+    if (!arr) return -1;
+    return (int) call_long("whisper_set_mel_with_state",
+                           Py_BuildValue("(OONii)", ctx->obj, state->obj,
+                                         arr, n_len, n_mel));
+}
+int whisper_encode(struct whisper_context * ctx, int offset, int n_threads) {
+    Gil gil;
+    return (int) call_long("whisper_encode",
+                           Py_BuildValue("(Oii)", ctx->obj, offset,
+                                         n_threads));
+}
+int whisper_encode_with_state(struct whisper_context * ctx,
+                              struct whisper_state * state, int offset,
+                              int n_threads) {
+    Gil gil;
+    return (int) call_long("whisper_encode_with_state",
+                           Py_BuildValue("(OOii)", ctx->obj, state->obj,
+                                         offset, n_threads));
+}
+
+static PyObject * token_list(const whisper_token * tokens, int n) {
+    PyObject * lst = PyList_New(n);
+    for (int i = 0; i < n; i++)
+        PyList_SET_ITEM(lst, i, PyLong_FromLong(tokens[i]));
+    return lst;
+}
+
+int whisper_decode(struct whisper_context * ctx,
+                   const whisper_token * tokens, int n_tokens, int n_past,
+                   int n_threads) {
+    Gil gil;
+    return (int) call_long("whisper_decode",
+                           Py_BuildValue("(ONiii)", ctx->obj,
+                                         token_list(tokens, n_tokens),
+                                         n_tokens, n_past, n_threads));
+}
+int whisper_decode_with_state(struct whisper_context * ctx,
+                              struct whisper_state * state,
+                              const whisper_token * tokens, int n_tokens,
+                              int n_past, int n_threads) {
+    Gil gil;
+    return (int) call_long("whisper_decode_with_state",
+                           Py_BuildValue("(OONiii)", ctx->obj, state->obj,
+                                         token_list(tokens, n_tokens),
+                                         n_tokens, n_past, n_threads));
+}
+
+static float * logits_into(PyObject * r, std::vector<float> & buf) {
+    // r: float32 numpy array (n_tokens, n_vocab) -> flat copy
+    if (!r) return nullptr;
+    PyObject * b = PyObject_CallMethod(r, "tobytes", nullptr);
+    Py_DECREF(r);
+    if (!b) { PyErr_Print(); return nullptr; }
+    char * raw; Py_ssize_t len;
+    if (PyBytes_AsStringAndSize(b, &raw, &len) != 0) {
+        Py_DECREF(b); return nullptr;
+    }
+    buf.resize((size_t) len / sizeof(float));
+    memcpy(buf.data(), raw, (size_t) len);
+    Py_DECREF(b);
+    return buf.data();
+}
+
+float * whisper_get_logits(struct whisper_context * ctx) {
+    Gil gil;
+    return logits_into(call("whisper_get_logits",
+                            Py_BuildValue("(O)", ctx->obj)),
+                       ctx->logits_buf);
+}
+float * whisper_get_logits_from_state(struct whisper_state * state) {
+    Gil gil;
+    return logits_into(call("whisper_get_logits_from_state",
+                            Py_BuildValue("(O)", state->obj)),
+                       state->logits_buf);
+}
+
+int whisper_n_len_from_state(struct whisper_state * state) {
+    Gil gil;
+    return (int) call_long("whisper_n_len_from_state",
+                           Py_BuildValue("(O)", state->obj));
+}
+
+int whisper_lang_auto_detect_with_state(struct whisper_context * ctx,
+                                        struct whisper_state * state,
+                                        int offset_ms, int n_threads,
+                                        float * lang_probs) {
+    Gil gil;
+    int n = whisper_lang_max_id() + 1;
+    PyObject * probs;
+    if (lang_probs) {
+        probs = PyList_New(n);
+        for (int i = 0; i < n; i++)
+            PyList_SET_ITEM(probs, i, PyFloat_FromDouble(0.0));
+    } else {
+        probs = Py_None;
+        Py_INCREF(probs);
+    }
+    PyObject * args = state
+        ? Py_BuildValue("(OOiiO)", ctx->obj, state->obj, offset_ms,
+                        n_threads, probs)
+        : Py_BuildValue("(OiiO)", ctx->obj, offset_ms, n_threads, probs);
+    long lid = call_long(state ? "whisper_lang_auto_detect_with_state"
+                               : "whisper_lang_auto_detect", args);
+    if (lang_probs && PyList_Check(probs)) {
+        for (int i = 0; i < n && i < (int) PyList_GET_SIZE(probs); i++)
+            lang_probs[i] =
+                (float) PyFloat_AsDouble(PyList_GET_ITEM(probs, i));
+        if (PyErr_Occurred()) PyErr_Clear();
+    }
+    Py_DECREF(probs);
+    return (int) lid;
+}
+int whisper_lang_auto_detect(struct whisper_context * ctx, int offset_ms,
+                             int n_threads, float * lang_probs) {
+    return whisper_lang_auto_detect_with_state(ctx, nullptr, offset_ms,
+                                               n_threads, lang_probs);
+}
+
+// ---- from_state result accessors ------------------------------------------
+
+int whisper_full_lang_id_from_state(struct whisper_state * state) {
+    Gil gil;
+    return (int) call_long("whisper_full_lang_id_from_state",
+                           Py_BuildValue("(O)", state->obj));
+}
+bool whisper_full_get_segment_speaker_turn_next_from_state(
+        struct whisper_state * state, int i_segment) {
+    Gil gil;
+    return call_long("whisper_full_get_segment_speaker_turn_next_from_state",
+                     Py_BuildValue("(Oi)", state->obj, i_segment), 0) != 0;
+}
+float whisper_full_get_segment_no_speech_prob(
+        struct whisper_context * ctx, int i_segment) {
+    Gil gil;
+    return (float) call_double(
+        "whisper_full_get_segment_no_speech_prob",
+        Py_BuildValue("(Oi)", ctx->obj, i_segment));
+}
+float whisper_full_get_segment_no_speech_prob_from_state(
+        struct whisper_state * state, int i_segment) {
+    Gil gil;
+    return (float) call_double(
+        "whisper_full_get_segment_no_speech_prob_from_state",
+        Py_BuildValue("(Oi)", state->obj, i_segment));
+}
+int whisper_full_n_tokens_from_state(struct whisper_state * state,
+                                     int i_segment) {
+    Gil gil;
+    return (int) call_long("whisper_full_n_tokens_from_state",
+                           Py_BuildValue("(Oi)", state->obj, i_segment));
+}
+const char * whisper_full_get_token_text_from_state(
+        struct whisper_context * ctx, struct whisper_state * state,
+        int i_segment, int i_token) {
+    Gil gil;
+    PyObject * r = call("whisper_full_get_token_text_from_state",
+                        Py_BuildValue("(OOii)", ctx->obj, state->obj,
+                                      i_segment, i_token));
+    const char * out = state->keep(r);
+    Py_XDECREF(r);
+    return out;
+}
+whisper_token whisper_full_get_token_id_from_state(
+        struct whisper_state * state, int i_segment, int i_token) {
+    Gil gil;
+    return (whisper_token) call_long(
+        "whisper_full_get_token_id_from_state",
+        Py_BuildValue("(Oii)", state->obj, i_segment, i_token));
+}
+float whisper_full_get_token_p_from_state(struct whisper_state * state,
+                                          int i_segment, int i_token) {
+    Gil gil;
+    return (float) call_double(
+        "whisper_full_get_token_p_from_state",
+        Py_BuildValue("(Oii)", state->obj, i_segment, i_token));
+}
+
+static whisper_token_data token_data_from_py(PyObject * r) {
+    whisper_token_data d;
+    memset(&d, 0, sizeof(d));
+    d.t_dtw = -1;
+    if (!r) return d;
+    auto geti = [&](const char * k, long dflt) {
+        PyObject * v = PyObject_GetAttrString(r, k);
+        long out = v ? PyLong_AsLong(v) : dflt;
+        if (PyErr_Occurred()) { PyErr_Clear(); out = dflt; }
+        Py_XDECREF(v);
+        return out;
+    };
+    auto getf = [&](const char * k) {
+        PyObject * v = PyObject_GetAttrString(r, k);
+        double out = v ? PyFloat_AsDouble(v) : 0.0;
+        if (PyErr_Occurred()) { PyErr_Clear(); out = 0.0; }
+        Py_XDECREF(v);
+        return (float) out;
+    };
+    d.id = (whisper_token) geti("id", 0);
+    d.tid = (whisper_token) geti("tid", 0);
+    d.p = getf("p");
+    d.plog = getf("plog");
+    d.pt = getf("pt");
+    d.ptsum = getf("ptsum");
+    d.t0 = geti("t0", -1);
+    d.t1 = geti("t1", -1);
+    d.t_dtw = geti("t_dtw", -1);
+    d.vlen = getf("vlen");
+    Py_DECREF(r);
+    return d;
+}
+
+whisper_token_data whisper_full_get_token_data_from_state(
+        struct whisper_state * state, int i_segment, int i_token) {
+    Gil gil;
+    return token_data_from_py(
+        call("whisper_full_get_token_data_from_state",
+             Py_BuildValue("(Oii)", state->obj, i_segment, i_token)));
+}
+
+// ---- model introspection ---------------------------------------------------
+
+#define MODEL_INT(name) \
+    int name(struct whisper_context * ctx) { \
+        Gil gil; \
+        return (int) call_long(#name, Py_BuildValue("(O)", ctx->obj)); \
+    }
+MODEL_INT(whisper_model_n_vocab)
+MODEL_INT(whisper_model_n_audio_ctx)
+MODEL_INT(whisper_model_n_audio_state)
+MODEL_INT(whisper_model_n_audio_head)
+MODEL_INT(whisper_model_n_audio_layer)
+MODEL_INT(whisper_model_n_text_ctx)
+MODEL_INT(whisper_model_n_text_state)
+MODEL_INT(whisper_model_n_text_head)
+MODEL_INT(whisper_model_n_text_layer)
+MODEL_INT(whisper_model_n_mels)
+MODEL_INT(whisper_model_ftype)
+MODEL_INT(whisper_n_len)
+
+const char * whisper_model_type_readable(struct whisper_context * ctx) {
+    Gil gil;
+    PyObject * r = call("whisper_model_type_readable",
+                        Py_BuildValue("(O)", ctx->obj));
+    const char * out = ctx->keep(r);
+    Py_XDECREF(r);
+    return out;
+}
+int whisper_model_type(struct whisper_context * ctx) {
+    // e_model mapping (reference: src/whisper.cpp:233-241)
+    const char * t = whisper_model_type_readable(ctx);
+    if (strncmp(t, "tiny", 4) == 0)   return 1;
+    if (strncmp(t, "base", 4) == 0)   return 2;
+    if (strncmp(t, "small", 5) == 0)  return 3;
+    if (strncmp(t, "medium", 6) == 0) return 4;
+    if (strncmp(t, "large", 5) == 0)  return 5;
+    return 0;
+}
+
+struct whisper_timings * whisper_get_timings(struct whisper_context * ctx) {
+    Gil gil;
+    PyObject * r = call("whisper_get_timings",
+                        Py_BuildValue("(O)", ctx->obj));
+    auto & box = ctx->timings_box;
+    memset(&box, 0, sizeof(box));
+    if (r && PyDict_Check(r)) {
+        auto get = [&](const char * k) {
+            PyObject * v = PyDict_GetItemString(r, k);   // borrowed
+            return v ? (float) PyFloat_AsDouble(v) : 0.0f;
+        };
+        box.sample_ms = get("sample_ms");
+        box.encode_ms = get("encode_ms");
+        box.decode_ms = get("decode_ms");
+        box.batchd_ms = get("batchd_ms");
+        box.prompt_ms = get("prompt_ms");
+    }
+    Py_XDECREF(r);
+    return (struct whisper_timings *) &box;
+}
+
+// ---- bench strings ---------------------------------------------------------
+
+static std::deque<std::string> g_bench_strings;
+static const char * bench_str(const char * fn, int n_threads) {
+    Gil gil;
+    PyObject * r = call(fn, Py_BuildValue("(i)", n_threads));
+    const char * u = r ? PyUnicode_AsUTF8(r) : nullptr;
+    g_bench_strings.push_back(u ? u : "");
+    Py_XDECREF(r);
+    return g_bench_strings.back().c_str();
+}
+const char * whisper_bench_memcpy_str(int n_threads) {
+    return bench_str("whisper_bench_memcpy_str", n_threads);
+}
+const char * whisper_bench_ggml_mul_mat_str(int n_threads) {
+    return bench_str("whisper_bench_ggml_mul_mat_str", n_threads);
+}
+int whisper_bench_memcpy(int n_threads) {
+    Gil gil;
+    return (int) call_long("whisper_bench_memcpy",
+                           Py_BuildValue("(i)", n_threads), 0);
+}
+int whisper_bench_ggml_mul_mat(int n_threads) {
+    Gil gil;
+    return (int) call_long("whisper_bench_ggml_mul_mat",
+                           Py_BuildValue("(i)", n_threads), 0);
+}
+
+// ---- log callback ----------------------------------------------------------
+
+static whisper_tpu_log_callback g_log_cb = nullptr;
+static void * g_log_ud = nullptr;
+
+static PyObject * log_trampoline(PyObject * self, PyObject * args) {
+    int level; const char * text;
+    if (PyArg_ParseTuple(args, "is", &level, &text) && g_log_cb)
+        g_log_cb(level, text, g_log_ud);
+    Py_RETURN_NONE;
+}
+static PyMethodDef log_trampoline_def = {
+    "wtpu_log_trampoline", log_trampoline, METH_VARARGS, nullptr};
+
+void whisper_log_set(whisper_tpu_log_callback log_callback,
+                     void * user_data) {
+    Gil gil;
+    g_log_cb = log_callback;
+    g_log_ud = user_data;
+    PyObject * cb;
+    if (log_callback) {
+        cb = PyCFunction_New(&log_trampoline_def, nullptr);
+    } else {
+        cb = Py_None;
+        Py_INCREF(cb);
+    }
+    PyObject * r = call("whisper_log_set", Py_BuildValue("(N)", cb));
+    Py_XDECREF(r);
 }
 
 }  // extern "C"

@@ -56,3 +56,46 @@ def test_c_demo_matches_python(tmp_path, jfk_pcm):
     py_segs = [[str(s.t0), str(s.t1), s.text]
                for s in ctx.result_all]
     assert c_segs == py_segs
+
+
+@pytest.mark.skipif(not os.path.exists(LIB), reason="libwhisper_tpu not built")
+def test_c_abi_exports_full_whisper_h():
+    """Every function name in whisper.h must be an exported symbol of
+    libwhisper_tpu.so (the golden list was grep'd from the reference
+    header; capi.py parity is tested separately in test_capi)."""
+    want = set(open(os.path.join(
+        ROOT, "tests", "golden", "whisper_h_functions.txt")).read().split())
+    out = subprocess.run(["nm", "-D", "--defined-only", LIB],
+                         capture_output=True, text=True, check=True).stdout
+    have = {line.split()[-1] for line in out.splitlines() if line.strip()}
+    missing = sorted(want - have)
+    assert not missing, f"missing C ABI symbols: {missing}"
+
+
+@pytest.mark.skipif(not os.path.exists(LIB), reason="libwhisper_tpu not built")
+@pytest.mark.skipif(shutil.which("gcc") is None, reason="no C compiler")
+def test_c_abi_extended_surface(tmp_path):
+    """Raw mel/encode/decode + logits, introspection, states, timings and
+    the log callback through the C ABI (tests/c_abi_ext.c)."""
+    model = make_random_model(tmp_path)
+    exe = str(tmp_path / "c_abi_ext")
+    subprocess.run(
+        ["gcc", os.path.join(ROOT, "tests", "c_abi_ext.c"),
+         "-I" + os.path.join(ROOT, "native"),
+         "-L" + os.path.join(ROOT, "native"), "-lwhisper_tpu", "-o", exe],
+        check=True)
+    env = dict(os.environ,
+               LD_LIBRARY_PATH=os.path.join(ROOT, "native"),
+               WHISPER_TPU_ROOT=ROOT,
+               JAX_PLATFORMS=os.environ.get("JAX_PLATFORMS", "cpu"))
+    out = subprocess.run([exe, model], env=env, capture_output=True,
+                         text=True, timeout=900, check=True).stdout
+    assert "DONE" in out, out
+    lines = dict(l.split("|", 1) for l in out.splitlines() if "|" in l)
+    assert lines["MODEL"].startswith("51864|2|3|80|")
+    assert lines["LANG"] == "99|en|english"
+    assert lines["NLEN"] == "99" and lines["NLEN_ST"] == "99"
+    assert lines["LOGITS"].endswith("|ok")
+    assert lines["LOGITS_ST"] == "ok"
+    assert lines["TIMINGS"] == "ok"
+    assert lines["LOGS"] == "captured"
