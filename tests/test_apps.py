@@ -298,7 +298,7 @@ def test_stream_mic_capture_fallback(model_path, tmp_path, monkeypatch):
     out = subprocess.run(
         [sys.executable, "-m", "whisper_tpu.stream", "-m", model_path,
          "-c", "-1", "--step", "2000", "--length", "4000"],
-        env=env, capture_output=True, text=True, timeout=500)
+        env=env, capture_output=True, text=True, timeout=900)
     assert out.returncode == 0, out.stderr[-500:]
     assert out.stdout.strip(), "no transcription lines from mic capture"
 
