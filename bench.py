@@ -50,25 +50,12 @@ CONFIGS = {name: WhisperConfig(*dims, model_type=name)
 
 
 def _consts_for(cfg: WhisperConfig) -> FilterConsts:
-    # synthesize filter constants without a model file — same derivation
-    # as api.WhisperContext.from_random / weights/ggml_reader.py (the
-    # later specials shift by dt = num_languages - 98 ONLY; reference:
-    # src/whisper.cpp:1637-1652)
-    shift = 1 if cfg.n_vocab >= 51865 else 0
-    dt = (cfg.n_vocab - 51864) if shift else 0
-    n_lang = 98 + dt
-    return FilterConsts(
-        n_vocab=cfg.n_vocab,
-        token_eot=50256 + shift, token_sot=50257 + shift,
-        token_beg=50363 + dt, token_not=50362 + dt,
-        token_nosp=50361 + dt, token_solm=50359 + dt,
-        token_prev=50360 + dt,
-        token_translate=50357 + dt, token_transcribe=50358 + dt,
-        token_space=220,
-        lang_ids=tuple(50257 + shift + 1 + i
-                       for i in range(n_lang if shift else 0)),
-        nst_ids=(), precision=30.0 / cfg.n_audio_ctx,
-    )
+    # filter constants without a model file: the one shared special-token
+    # derivation (weights/ggml_reader.special_token_ids) via a synthetic
+    # vocab, through the same FilterConsts.from_vocab path production uses
+    from whisper_tpu.weights.ggml_reader import synthetic_vocab
+    return FilterConsts.from_vocab(synthetic_vocab(cfg.n_vocab),
+                                   cfg.n_audio_ctx)
 
 
 def build_pipeline(cfg: WhisperConfig, B: int, n_tokens: int, prompt_len: int = 4,

@@ -253,6 +253,41 @@ def test_from_random_special_tokens_match_loader():
     assert ctx3.vocab.token_beg == 50365
 
 
+def test_special_token_derivation_single_source():
+    """Loader (_build_vocab), synthetic_vocab and bench's _consts_for all
+    consume weights/ggml_reader.special_token_ids — assert they agree for
+    every MODEL_DIMS entry (VERDICT r2 Next #9)."""
+    import importlib.util
+    import os
+
+    from whisper_tpu.decode.filters import FilterConsts
+    from whisper_tpu.models.whisper import MODEL_DIMS
+    from whisper_tpu.weights.ggml_reader import (Hparams, _build_vocab,
+                                                 special_token_ids,
+                                                 synthetic_vocab)
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(os.path.dirname(__file__), "..", "bench.py"))
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    fields = ("token_eot", "token_sot", "token_translate",
+              "token_transcribe", "token_solm", "token_prev", "token_nosp",
+              "token_not", "token_beg")
+    for name, dims in MODEL_DIMS.items():
+        ids = special_token_ids(dims[0])
+        hp = Hparams(*dims, ftype=1)
+        loaded = _build_vocab(hp, [])           # loader path, empty file vocab
+        synth = synthetic_vocab(dims[0])
+        consts = bench._consts_for(bench.CONFIGS[name])
+        ref_consts = FilterConsts.from_vocab(synth, dims[1])
+        for f in fields:
+            assert getattr(loaded, f) == ids[f], (name, f)
+            assert getattr(synth, f) == ids[f], (name, f)
+            assert getattr(consts, f) == ids[f], (name, f)
+        assert consts == ref_consts, name
+
+
 def test_q4_pack_roundtrip():
     """quantize_kv_bhdt_q4 codes decode exactly for values that are exact
     multiples of the scale (the pack/unpack bit-twiddling is lossless on

@@ -82,6 +82,18 @@ def test_pipeline_golden_jfk(golden_ctx, jfk_pcm):
     _assert_matches_golden(golden_ctx, "ref_jfk_greedy")
 
 
+def test_pipeline_golden_initial_prompt(golden_ctx, jfk_pcm):
+    """--prompt: initial_prompt is tokenized (real tiny.en vocab, unicode +
+    contraction + digits) and conditions the first window through
+    prompt_past (reference: src/whisper.cpp:5592-5617).  Token-exact vs
+    whisper-cli — pins the tokenizer inside the pipeline."""
+    p = _params()
+    p.initial_prompt = \
+        "The naïve café doesn't exist on 42nd street in Zürich."
+    assert golden_ctx.full(p, jfk_pcm) == 0
+    _assert_matches_golden(golden_ctx, "ref_jfk_prompt")
+
+
 def test_pipeline_golden_multiwindow(golden_ctx):
     """40 s multi-window e2e: seek advancement + prompt-past carry across
     windows, token-exact vs whisper-cli on the same synthetic audio."""

@@ -81,8 +81,13 @@ def main():
     noise3 = tmp / "noise3.wav"
     write_wav(noise3, np.random.RandomState(5).randn(16000 * 3) * 0.1)
 
+    # exercises initial_prompt tokenization (unicode + contraction +
+    # digits) through the real-vocab tokenizer on both sides
+    prompt = "The naïve café doesn't exist on 42nd street in Zürich."
+
     captures = [
         ("ref_jfk_greedy", model, jfk, ()),
+        ("ref_jfk_prompt", model, jfk, ("--prompt", prompt)),
         ("ref_noise40_greedy", model, noise40, ()),
         ("ref_silence_greedy", model, silence, ()),
         ("ref_jfk_maxlen", model, jfk, ("-ml", "16")),

@@ -279,27 +279,13 @@ class WhisperContext:
         """
         from .models.whisper import MODEL_DIMS, WhisperConfig
         from .weights.convert import random_params
-        from .weights.ggml_reader import Hparams, Vocab
+        from .weights.ggml_reader import Hparams, synthetic_vocab
 
         dims = MODEL_DIMS[size]
         cfg = WhisperConfig(*dims, model_type=size)
-        n_vocab = cfg.n_vocab
-        # special-token layout (reference: src/whisper.cpp:473-502,
-        # 1637-1652): multilingual shifts eot/sot by ONE (the extra <|sot|>
-        # slot) and the later specials by dt = num_languages - 98 only
-        # (NOT one more) — identical to weights/ggml_reader.py:142-152
-        shift = 1 if n_vocab >= 51865 else 0
-        dt = (n_vocab - 51864) if shift else 0   # num_languages - 98
-        id_to_token = [b" t%d" % i for i in range(n_vocab)]
-        vocab = Vocab(
-            n_vocab=n_vocab, id_to_token=id_to_token,
-            token_to_id={t: i for i, t in enumerate(id_to_token)},
-            token_eot=50256 + shift, token_sot=50257 + shift,
-            token_translate=50357 + dt,
-            token_transcribe=50358 + dt,
-            token_solm=50359 + dt, token_prev=50360 + dt,
-            token_nosp=50361 + dt, token_not=50362 + dt,
-            token_beg=50363 + dt)
+        # special ids come from the one shared derivation
+        # (weights/ggml_reader.special_token_ids)
+        vocab = synthetic_vocab(cfg.n_vocab)
 
         from .audio.filters import mel_filterbank
 

@@ -13,22 +13,24 @@ import re
 
 from .weights.ggml_reader import Vocab
 
-# GPT-2 word-split pattern (reference uses POSIX [[:alpha:]]/[[:digit:]];
-# Python re gives the unicode-aware equivalent)
+# GPT-2 word-split pattern.  The reference runs std::regex with default
+# (C-locale) traits over the raw BYTES of the string, so [[:alpha:]] and
+# [[:digit:]] are ASCII-only and every non-ASCII utf-8 byte falls into the
+# "punct" class [^\s[:alpha:][:digit:]]+ — replicated here as a BYTES
+# regex with explicit ASCII classes (byte-exact vs the binary:
+# tests/golden/ref_tokenizer.json).
 _SPLIT_RE = re.compile(
-    r"'s|'t|'re|'ve|'m|'ll|'d"
-    r"| ?[^\W\d_]+| ?\d+| ?[^\s\w]+|\s+(?!\S)|\s+",
-    re.UNICODE,
+    rb"'s|'t|'re|'ve|'m|'ll|'d"
+    rb"| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+(?!\S)|\s+",
 )
 
 
 def tokenize(vocab: Vocab, text: str) -> list[int]:
     """Text -> token ids by greedy longest-substring match per word."""
     tokens: list[int] = []
-    for word in _SPLIT_RE.findall(text):
-        if not word:
+    for data in _SPLIT_RE.findall(text.encode("utf-8")):
+        if not data:
             continue
-        data = word.encode("utf-8")
         i, n = 0, len(data)
         while i < n:
             j = n

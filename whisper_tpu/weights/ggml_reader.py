@@ -130,6 +130,41 @@ def _read_u32(f: BinaryIO) -> int:
     return struct.unpack("<I", f.read(4))[0]
 
 
+def special_token_ids(n_vocab: int) -> dict[str, int]:
+    """THE single derivation of the special-token layout for a vocab size.
+
+    Reference: src/whisper.cpp:473-502 (GPT-2 defaults) and :1637-1652
+    (multilingual adjustment): multilingual shifts eot/sot by ONE (the
+    extra <|sot|> slot) and the later specials by dt = num_languages - 98
+    only (NOT one more).  Every other construction site (file loader,
+    from_random, bench) must call this — do not re-derive the arithmetic.
+    """
+    multilingual = n_vocab >= 51865
+    shift = 1 if multilingual else 0
+    # num_languages = n_vocab - 51765 - (1 if multilingual); dt = nl - 98
+    dt = (n_vocab - 51864) if multilingual else 0
+    return dict(
+        token_eot=50256 + shift, token_sot=50257 + shift,
+        token_translate=50357 + dt, token_transcribe=50358 + dt,
+        token_solm=50359 + dt, token_prev=50360 + dt,
+        token_nosp=50361 + dt, token_not=50362 + dt,
+        token_beg=50363 + dt)
+
+
+def synthetic_vocab(n_vocab: int) -> Vocab:
+    """Vocab with correct special ids but synthetic token strings.
+
+    Timing-faithful stand-in when no model file is available (bench,
+    from_random): ids/specials match a real model of this vocab size,
+    only the strings differ.
+    """
+    id_to_token = [b" t%d" % i for i in range(n_vocab)]
+    return Vocab(
+        n_vocab=n_vocab, id_to_token=id_to_token,
+        token_to_id={t: i for i, t in enumerate(id_to_token)},
+        **special_token_ids(n_vocab))
+
+
 def _build_vocab(hparams: Hparams, tokens_in_file: list[bytes]) -> Vocab:
     """Replicates reference vocab construction (src/whisper.cpp:1601-1688)."""
     id_to_token = list(tokens_in_file)
@@ -137,19 +172,8 @@ def _build_vocab(hparams: Hparams, tokens_in_file: list[bytes]) -> Vocab:
         n_vocab=hparams.n_vocab,
         id_to_token=id_to_token,
         token_to_id={},
+        **special_token_ids(hparams.n_vocab),
     )
-
-    if vocab.is_multilingual:
-        vocab.token_eot += 1
-        vocab.token_sot += 1
-        dt = vocab.num_languages - 98
-        vocab.token_translate += dt
-        vocab.token_transcribe += dt
-        vocab.token_solm += dt
-        vocab.token_prev += dt
-        vocab.token_nosp += dt
-        vocab.token_not += dt
-        vocab.token_beg += dt
 
     # synthesize names for special tokens not present in the file
     if len(id_to_token) < hparams.n_vocab:
