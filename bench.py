@@ -180,7 +180,46 @@ def bench_serving(size: str, B: int, kv: str, stream_s: int = 150):
               else bt.window_times)
     steady_rtf = (sum(b for b, _ in steady) * 30.0
                   / max(sum(dt for _, dt in steady), 1e-9))
-    return audio_s / wall, p50, p99, audio_s, wall, steady_rtf
+    sw = sorted(dt for _, dt in steady)
+    p99_steady = sw[min(len(sw) - 1, int(len(sw) * 0.99))] * 1000
+    return (audio_s / wall, p50, p99, audio_s, wall, steady_rtf,
+            p99_steady)
+
+
+def bench_latency(size: str, Bs=(1, 2, 4), audio_ctx: int = 512,
+                  n_tokens: int = 24, iters: int = 5) -> dict:
+    """Single-stream LOW-LATENCY mode (reference: examples/stream/stream.cpp
+    targets sub-second steps with audio_ctx shrink, stream.cpp:118-260).
+
+    Measures the full step a streaming client pays per iteration: mel +
+    encoder at a shrunk audio_ctx (512 frames ~ 10.2 s context) + cross-KV
+    + n_tokens greedy decode with the filter chain, at tiny batch sizes.
+    Returns {"b{B}_step_ms": ...} per batch size.
+    """
+    import dataclasses
+
+    cfg = CONFIGS[size]
+    cfg_small = dataclasses.replace(cfg, n_audio_ctx=audio_ctx)
+    params = random_params(cfg, seed=0, dtype=jnp.bfloat16)
+    n_samples = 2 * audio_ctx * HOP_LENGTH + N_FFT
+    rng = np.random.RandomState()
+    out = {}
+    for B in Bs:
+        run = build_pipeline(cfg_small, B, n_tokens, kv="bf16")
+        audios = [jnp.asarray(
+            (rng.rand(B, n_samples) - 0.5).astype(np.float32) * 0.1)
+            for _ in range(iters + 1)]
+        sot = 50258 if cfg.n_vocab >= 51865 else 50257
+        prompt = jnp.tile(jnp.asarray(
+            [[sot, sot + 1, sot + 100, sot + 105]], jnp.int32), (B, 1))
+        np.asarray(run(params, audios[0], prompt))       # compile
+        times = []
+        for i in range(iters):
+            t0 = time.perf_counter()
+            np.asarray(run(params, audios[i + 1], prompt))
+            times.append(time.perf_counter() - t0)
+        out[f"b{B}_step_ms"] = round(min(times) * 1000, 2)
+    return out
 
 
 def main():
@@ -196,11 +235,16 @@ def main():
                          "less batch than the kernel pipeline: 48 vs 64 at "
                          "large-v3 on one 16 GB v5e)")
     ap.add_argument("--mode", default="both",
-                    choices=["kernel", "serving", "both"],
+                    choices=["kernel", "serving", "both", "latency"],
                     help="kernel = jitted mel+encode+fixed-token decode "
                          "(upper bound); serving = BatchTranscriber end-to-"
                          "end (the API path); both = one JSON line with "
-                         "kernel headline + serving_* keys")
+                         "serving headline + kernel_* keys; latency = "
+                         "single-stream step latency (stream-mode, "
+                         "audio_ctx=512)")
+    ap.add_argument("--latency", action="store_true",
+                    help="also include latency-mode step times in the "
+                         "both-mode record")
     ap.add_argument("--kv", default="q8", choices=["bf16", "q8", "q8dt", "q8i", "q4"],
                     help="cross-attention KV precision in the decode loop "
                          "(q8 = int8 via XLA einsum; q8dt = int8 via the "
@@ -222,20 +266,36 @@ def main():
         "device": str(jax.devices()[0]),
     }
 
+    if args.mode == "latency":
+        lat = bench_latency(args.size)
+        record.update(lat)
+        record["value"] = lat["b1_step_ms"]
+        record["unit"] = "ms_step_latency"
+        record["vs_baseline"] = round(1100.0 / lat["b1_step_ms"], 3)
+        print(json.dumps(record))
+        return
+
     if args.mode in ("serving", "both"):
-        s_rtf, s_p50, s_p99, s_audio, s_wall, s_steady = bench_serving(
-            args.size, args.serving_batch, args.kv)
+        (s_rtf, s_p50, s_p99, s_audio, s_wall, s_steady,
+         s_p99_steady) = bench_serving(args.size, args.serving_batch,
+                                       args.kv)
         record.update({
             "serving_rtf": round(s_rtf, 2),
             "serving_rtf_steady": round(s_steady, 2),
             "serving_window_p50_ms": round(s_p50, 2),
             "serving_window_p99_ms": round(s_p99, 2),
+            "serving_window_p99_steady_ms": round(s_p99_steady, 2),
             "serving_audio_s": s_audio,
             "serving_wall_s": round(s_wall, 2),
         })
+        # the SERVING number is the headline (VERDICT r2 Next #1): `value`
+        # is what BatchTranscriber.transcribe actually delivers end-to-end
+        record["value"] = round(s_rtf, 2)
+        record["vs_baseline"] = round(s_rtf / BASELINE_RTF, 3)
+        if args.latency:
+            record.update({f"latency_{k}": v
+                           for k, v in bench_latency(args.size).items()})
         if args.mode == "serving":
-            record["value"] = round(s_rtf, 2)
-            record["vs_baseline"] = round(s_rtf / BASELINE_RTF, 3)
             print(json.dumps(record))
             return
 
@@ -274,12 +334,14 @@ def main():
     ms_per_window = dt / B * 1000
 
     record.update({
-        "value": round(rtf, 2),
-        "vs_baseline": round(rtf / BASELINE_RTF, 3),
+        "kernel_rtf": round(rtf, 2),
         "tokens_per_window": T,
-        "window_ms": round(ms_per_window, 2),
+        "kernel_window_ms": round(ms_per_window, 2),
         "compile_s": round(compile_s, 1),
     })
+    if "value" not in record:     # kernel-only mode keeps the old headline
+        record["value"] = round(rtf, 2)
+        record["vs_baseline"] = round(rtf / BASELINE_RTF, 3)
     print(json.dumps(record))
 
 

@@ -103,9 +103,20 @@ typedef bool (*whisper_encoder_begin_callback)(struct whisper_context * ctx, str
 typedef bool (*whisper_abort_callback)(void * user_data);
 typedef void (*whisper_logits_filter_callback)(struct whisper_context * ctx, struct whisper_state * state, const whisper_token_data * tokens, int n_tokens, float * logits, void * user_data);
 
+/* GBNF element types (reference: include/whisper.h:162-186) */
+enum whisper_gretype {
+    WHISPER_GRETYPE_END            = 0,  /* end of rule definition */
+    WHISPER_GRETYPE_ALT            = 1,  /* start of alternate definition */
+    WHISPER_GRETYPE_RULE_REF       = 2,  /* reference to another rule */
+    WHISPER_GRETYPE_CHAR           = 3,  /* terminal code point */
+    WHISPER_GRETYPE_CHAR_NOT       = 4,  /* inverse char class [^...] */
+    WHISPER_GRETYPE_CHAR_RNG_UPPER = 5,  /* upper bound of range [a-z] */
+    WHISPER_GRETYPE_CHAR_ALT       = 6,  /* alternate char [ab] */
+};
+
 typedef struct whisper_grammar_element {
-    int      type;
-    uint32_t value;
+    enum whisper_gretype type;
+    uint32_t             value; /* Unicode code point or rule ID */
 } whisper_grammar_element;
 
 struct whisper_full_params {

@@ -9,11 +9,11 @@
  *
  * Coverage: the core transcription workflow (init/free, full/
  * full_with_state/full_parallel, every segment/token accessor, vocab and
- * language introspection, tokenize, pcm_to_mel, timings) plus the
- * new_segment and progress callbacks via a C->Python trampoline.
- * Not marshalled in v1 (pass NULL/0): encoder_begin/abort/logits_filter
- * callbacks and in-struct grammar_rules (use the Python surface for
- * GBNF decoding).
+ * language introspection, tokenize, pcm_to_mel, timings) plus ALL five
+ * whisper_full_params callbacks (new_segment, progress, encoder_begin,
+ * abort, logits_filter) via C->Python trampolines and the in-struct
+ * grammar_rules/i_start_rule/grammar_penalty (marshalled into the
+ * native GBNF engine; reference: include/whisper.h:449-473, 546-551).
  *
  * Build:  make libwhisper_tpu.so   (see Makefile; links libpython)
  * The interpreter locates the repo root from this library's own path
@@ -208,6 +208,68 @@ static PyObject * progress_tramp(PyObject * self, PyObject * args) {
     Py_RETURN_NONE;
 }
 
+static PyObject * encoder_begin_tramp(PyObject * self, PyObject * args) {
+    // python side calls params.encoder_begin_callback(ctx); returning
+    // false aborts before the window is encoded (api.py window loop)
+    CbBox * box = (CbBox *) PyCapsule_GetPointer(self, "wtpu.cb");
+    (void) args;
+    bool cont = ((whisper_encoder_begin_callback) box->fn)(
+        box->ctx, nullptr, box->user_data);
+    return PyBool_FromLong(cont);
+}
+
+static PyObject * abort_tramp(PyObject * self, PyObject * args) {
+    // C abort_callback(user_data) -> true means stop (whisper.h semantics)
+    CbBox * box = (CbBox *) PyCapsule_GetPointer(self, "wtpu.cb");
+    (void) args;
+    bool stop = ((whisper_abort_callback) box->fn)(box->user_data);
+    return PyBool_FromLong(stop);
+}
+
+static PyObject * logits_filter_tramp(PyObject * self, PyObject * args) {
+    // python calls logits_filter_callback(tokens_cur, logits) with the
+    // current-sequence token ids and a writable float64 (V,) array
+    // (decode/host_filters.py).  Marshal to the C signature: token_data
+    // array + mutable float* logits, then write mutations back.
+    CbBox * box = (CbBox *) PyCapsule_GetPointer(self, "wtpu.cb");
+    PyObject * tokens_list;
+    PyObject * logits_arr;
+    if (!PyArg_ParseTuple(args, "OO", &tokens_list, &logits_arr))
+        return nullptr;
+
+    Py_ssize_t n = PySequence_Size(tokens_list);
+    if (n < 0) { PyErr_Clear(); n = 0; }
+    std::vector<whisper_token_data> td((size_t) n);
+    for (Py_ssize_t i = 0; i < n; i++) {
+        memset(&td[i], 0, sizeof(td[i]));
+        PyObject * it = PySequence_GetItem(tokens_list, i);
+        td[i].id = it ? (whisper_token) PyLong_AsLong(it) : 0;
+        if (PyErr_Occurred()) PyErr_Clear();
+        td[i].t0 = td[i].t1 = -1;
+        td[i].t_dtw = -1;
+        Py_XDECREF(it);
+    }
+
+    PyObject * f32 = PyObject_CallMethod(logits_arr, "astype", "s",
+                                         "float32");
+    if (!f32) { PyErr_Print(); Py_RETURN_NONE; }
+    Py_buffer view;
+    if (PyObject_GetBuffer(f32, &view,
+                           PyBUF_C_CONTIGUOUS | PyBUF_WRITABLE) == 0) {
+        ((whisper_logits_filter_callback) box->fn)(
+            box->ctx, nullptr, td.data(), (int) n,
+            (float *) view.buf, box->user_data);
+        PyBuffer_Release(&view);
+        PyObject * slice = PySlice_New(nullptr, nullptr, nullptr);
+        if (PyObject_SetItem(logits_arr, slice, f32) != 0) PyErr_Print();
+        Py_DECREF(slice);
+    } else {
+        PyErr_Print();
+    }
+    Py_DECREF(f32);
+    Py_RETURN_NONE;
+}
+
 static void cb_capsule_free(PyObject * cap) {
     delete (CbBox *) PyCapsule_GetPointer(cap, "wtpu.cb");
 }
@@ -216,6 +278,12 @@ static PyMethodDef g_seg_def = {"new_segment", new_segment_tramp,
                                 METH_VARARGS, nullptr};
 static PyMethodDef g_prog_def = {"progress", progress_tramp,
                                  METH_VARARGS, nullptr};
+static PyMethodDef g_encb_def = {"encoder_begin", encoder_begin_tramp,
+                                 METH_VARARGS, nullptr};
+static PyMethodDef g_abort_def = {"abort", abort_tramp,
+                                  METH_VARARGS, nullptr};
+static PyMethodDef g_lfilt_def = {"logits_filter", logits_filter_tramp,
+                                  METH_VARARGS, nullptr};
 
 static PyObject * make_trampoline(PyMethodDef * def, whisper_context * ctx,
                                   void * fn, void * user_data) {
@@ -304,6 +372,43 @@ static PyObject * params_to_py(whisper_context * cctx,
         set_attr(fp, "progress_callback", make_trampoline(
             &g_prog_def, cctx, (void *) p.progress_callback,
             p.progress_callback_user_data));
+    if (p.encoder_begin_callback)
+        set_attr(fp, "encoder_begin_callback", make_trampoline(
+            &g_encb_def, cctx, (void *) p.encoder_begin_callback,
+            p.encoder_begin_callback_user_data));
+    if (p.abort_callback)
+        set_attr(fp, "abort_callback", make_trampoline(
+            &g_abort_def, cctx, (void *) p.abort_callback,
+            p.abort_callback_user_data));
+    if (p.logits_filter_callback)
+        set_attr(fp, "logits_filter_callback", make_trampoline(
+            &g_lfilt_def, cctx, (void *) p.logits_filter_callback,
+            p.logits_filter_callback_user_data));
+
+    // in-struct grammar (reference: whisper.h:546-551): END-terminated
+    // element arrays -> whisper_tpu.capi.whisper_grammar_from_c_rules
+    if (p.grammar_rules && p.n_grammar_rules > 0) {
+        PyObject * rules = PyList_New((Py_ssize_t) p.n_grammar_rules);
+        for (size_t i = 0; i < p.n_grammar_rules; i++) {
+            const whisper_grammar_element * r = p.grammar_rules[i];
+            int len = 0;
+            while (r[len].type != 0) len++;
+            len++;  // include the END terminator (grammar.py keeps it)
+            PyObject * rl = PyList_New(len);
+            for (int j = 0; j < len; j++)
+                PyList_SET_ITEM(rl, j, Py_BuildValue(
+                    "(iI)", r[j].type, (unsigned int) r[j].value));
+            PyList_SET_ITEM(rules, i, rl);
+        }
+        PyObject * g = call("whisper_grammar_from_c_rules",
+                            Py_BuildValue("(Nn)", rules,
+                                          (Py_ssize_t) p.i_start_rule));
+        if (g) {
+            set_attr(fp, "grammar_rules", g);
+        }
+        set_attr(fp, "grammar_penalty",
+                 PyFloat_FromDouble(p.grammar_penalty));
+    }
     return fp;
 }
 

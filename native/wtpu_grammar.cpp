@@ -59,6 +59,11 @@ struct TokenInfo {
 struct Vocab {
     std::vector<TokenInfo> tokens;       // ids [0, token_eot)
     int token_eot = 0;
+    // first-code-point buckets (clean-partial fast path): tokens whose
+    // first cp can't start any stack's next char are rejected wholesale
+    // without running the pushdown matcher.  Key 0 collects odd tokens
+    // (empty decode) that must always take the slow path.
+    std::vector<std::pair<uint32_t, std::vector<int32_t>>> buckets;
 };
 
 struct Grammar {
@@ -311,6 +316,14 @@ void wtpu_grammar_set_vocab(void * handle, const uint8_t * bytes,
         // precomputed code points for the clean-partial fast path
         ti.code_points = decode_utf8(ti.bytes, PartialUtf8{}).first;
     }
+    // first-code-point buckets
+    std::map<uint32_t, std::vector<int32_t>> by_cp;
+    for (int i = 0; i < token_eot && i < n_tokens; ++i) {
+        const auto & ti = vocab->tokens[i];
+        if (ti.bytes.empty()) continue;
+        by_cp[ti.code_points.empty() ? 0 : ti.code_points[0]].push_back(i);
+    }
+    vocab->buckets.assign(by_cp.begin(), by_cp.end());
     g->vocab = std::move(vocab);
 }
 
@@ -327,12 +340,41 @@ void wtpu_grammar_suppress(void * handle, float * logits, int n_logits,
     if (!clean) cps.resize(eot);
     std::vector<Candidate> cands;
     cands.reserve(eot);
-    for (int id = 0; id < eot && id < n_logits; ++id) {
-        const auto & ti = g->vocab->tokens[id];
-        if (ti.bytes.empty()) continue;
-        if (clean) {
-            cands.push_back({id, ti.code_points.data(), g->partial});
-        } else {
+    if (clean) {
+        // bucket prune: a token whose FIRST code point can't start any
+        // stack's next char is rejected by every stack at level 0 — the
+        // whole bucket takes the penalty without entering the matcher
+        for (const auto & bucket : g->vocab->buckets) {
+            const uint32_t cp0 = bucket.first;
+            bool may = (cp0 == 0);   // odd tokens -> slow path
+            if (!may) {
+                for (const auto & st : g->stacks) {
+                    if (st.empty()) continue;
+                    const Ref top = st.back();
+                    if (match_char((*g->rules)[top.rule], top.pos,
+                                   cp0).first) {
+                        may = true;
+                        break;
+                    }
+                }
+            }
+            if (may) {
+                for (int32_t id : bucket.second) {
+                    if (id < n_logits)
+                        cands.push_back(
+                            {id, g->vocab->tokens[id].code_points.data(),
+                             g->partial});
+                }
+            } else {
+                for (int32_t id : bucket.second) {
+                    if (id < n_logits) logits[id] -= penalty;
+                }
+            }
+        }
+    } else {
+        for (int id = 0; id < eot && id < n_logits; ++id) {
+            const auto & ti = g->vocab->tokens[id];
+            if (ti.bytes.empty()) continue;
             cps[id] = decode_utf8(ti.bytes, g->partial).first;
             cands.push_back({id, cps[id].data(), g->partial});
         }

@@ -91,7 +91,8 @@ def test_c_abi_extended_surface(tmp_path):
     out = subprocess.run([exe, model], env=env, capture_output=True,
                          text=True, timeout=900, check=True).stdout
     assert "DONE" in out, out
-    lines = dict(l.split("|", 1) for l in out.splitlines() if "|" in l)
+    lines = dict(l.split("|", 1) for l in out.splitlines()
+                 if "|" in l and not l.startswith("GSEG|"))
     assert lines["MODEL"].startswith("51864|2|3|80|")
     assert lines["LANG"] == "99|en|english"
     assert lines["NLEN"] == "99" and lines["NLEN_ST"] == "99"
@@ -99,3 +100,42 @@ def test_c_abi_extended_surface(tmp_path):
     assert lines["LOGITS_ST"] == "ok"
     assert lines["TIMINGS"] == "ok"
     assert lines["LOGS"] == "captured"
+
+    # behavioral callbacks through the ABI (VERDICT r2 Next #4)
+    n_base = int(lines["BASE_SEGS"])
+    assert n_base > 0
+    n_abort_calls, n_abort_segs = map(int, lines["ABORT"].split("|"))
+    assert n_abort_calls == 1 and n_abort_segs == 0   # aborted before work
+    n_encb_calls, n_encb_segs = map(int, lines["ENCB"].split("|"))
+    assert n_encb_calls == 1 and n_encb_segs == 0     # veto gates encode
+    n_lfilt, lfilt_ok = lines["LFILT"].split("|")
+    assert int(n_lfilt) > 0 and lfilt_ok == "ok"      # forced-token filter
+    gram_ok, n_gram_chars = lines["GRAMMAR"].split("|")
+    assert gram_ok == "ok" and int(n_gram_chars) > 0
+
+    # in-struct C grammar must match the Python GBNF path byte-for-byte
+    c_gsegs = [l[len("GSEG|"):] for l in out.splitlines()
+               if l.startswith("GSEG|")]
+    pcm = _c_lcg_noise(16000 * 8)
+    ctx = wt.WhisperContext.from_file(model)
+    from whisper_tpu.grammar import grammar_from_gbnf
+    p = wt.full_default_params()
+    p.print_progress = False
+    p.temperature_inc = 0.0
+    p.greedy.best_of = 1
+    p.grammar_rules = grammar_from_gbnf("root ::= [a-z ]*")
+    p.grammar_penalty = 100.0
+    assert ctx.full(p, pcm) == 0
+    py_gsegs = [s.text for s in ctx.result_all]
+    assert c_gsegs == py_gsegs
+
+
+def _c_lcg_noise(n):
+    """Replicates fill_noise() in c_abi_ext.c (LCG, seed 12345)."""
+    s = np.uint64(12345)
+    a, c, m = np.uint64(1664525), np.uint64(1013904223), np.uint64(1 << 32)
+    out = np.empty(n, np.float32)
+    for i in range(n):
+        s = (s * a + c) % m
+        out[i] = (float(s >> np.uint64(8)) / float(1 << 24) - 0.5) * 0.2
+    return out

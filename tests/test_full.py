@@ -108,6 +108,63 @@ def test_grammar_constrained(random_ctx, params):
         assert " red, green, blue".startswith(text) or text.startswith(" red")
 
 
+def test_grammar_speculative_matches_reference_loop(random_ctx, params):
+    """The device-chunked speculative grammar decode must produce EXACTLY
+    the segments/tokens of the one-token-per-sync host loop (the
+    reference's scheme, whisper.cpp:2960-2966).  A no-op
+    logits_filter_callback forces the non-speculative path; same model,
+    same audio, token-identical output required."""
+    from whisper_tpu.grammar import grammar_from_gbnf
+    src = open("/root/reference/grammars/colors.gbnf").read()
+    pcm = _noise(3)
+
+    params.temperature_inc = 0.0
+    params.grammar_rules = grammar_from_gbnf(src)
+    assert random_ctx.full(params, pcm) == 0
+    spec = [(s.t0, s.t1, s.text, [t.id for t in s.tokens])
+            for s in random_ctx.result_all]
+    n_spec_steps = random_ctx.timings.n_decode
+
+    params.grammar_rules = grammar_from_gbnf(src)
+    params.logits_filter_callback = lambda toks, lg: None  # K=1 oracle path
+    assert random_ctx.full(params, pcm) == 0
+    oracle = [(s.t0, s.t1, s.text, [t.id for t in s.tokens])
+              for s in random_ctx.result_all]
+    assert spec == oracle
+    assert n_spec_steps > 0
+
+
+def test_grammar_best_of_multi_decoder(random_ctx, params):
+    """t > 0 greedy+grammar decodes best_of decoders in one device batch
+    (reference: whisper.cpp:5718-5724) — each with its own grammar state;
+    the winning sequence must be grammar-admissible."""
+    import numpy as np
+
+    from whisper_tpu.grammar import grammar_from_gbnf
+
+    src = open("/root/reference/grammars/colors.gbnf").read()
+    params.grammar_rules = grammar_from_gbnf(src)
+    params.temperature = 0.5        # forces the multi-decoder path
+    params.temperature_inc = 0.0
+    params.greedy.best_of = 3
+    params.no_timestamps = True
+    params.single_segment = True
+    assert random_ctx.full(params, _noise(2)) == 0
+    assert random_ctx.full_n_segments() >= 1
+
+    vocab = random_ctx.vocab
+    g = grammar_from_gbnf(src)
+    for i in range(random_ctx.full_n_tokens(0)):
+        tid = random_ctx.full_get_token_id(0, i)
+        if tid >= vocab.token_eot:
+            continue
+        mask = np.zeros(vocab.n_vocab, np.float32)
+        g.suppress_invalid(vocab, mask, 100.0)
+        assert mask[tid] == 0.0, \
+            f"step {i}: token {tid} violates the grammar"
+        g.accept_token(vocab, tid)
+
+
 def test_quantized_model_loads(tmp_path):
     from whisper_tpu.quantize import quantize_model
     path = make_random_model(tmp_path, ftype=1)

@@ -62,6 +62,17 @@ def test_chess_gbnf_parses():
     assert g.stacks
 
 
+def test_parse_no_trailing_newline():
+    """Input ending mid-rule without a newline must parse, not hang:
+    _peek() returns "" at EOF and '"" in " \\t"' is True (empty substring),
+    which spun _ws_inline forever (regression, round 3)."""
+    from whisper_tpu.grammar import parse_gbnf
+    rules, syms = parse_gbnf("root ::= [a-z ]*")
+    assert "root" in syms
+    rules2, _ = parse_gbnf('root ::= "abc"')
+    assert len(rules2) >= 1
+
+
 def test_repetition_operators():
     g = grammar_from_gbnf('root ::= "a"+ "b"?\n')
     import numpy as np

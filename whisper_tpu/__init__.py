@@ -7,6 +7,24 @@ windows on the MXU, a fully on-device autoregressive loop, sharding over
 device meshes instead of a backend scheduler.
 """
 
+import os as _os
+
+# Persistent XLA compilation cache: fresh processes (CLI invocations, the
+# C ABI's embedded interpreter, servers restarting) reuse compiled window
+# loops instead of paying 30-120 s of jit each. Opt out with
+# WTPU_NO_COMPILE_CACHE=1 or point elsewhere with JAX_COMPILATION_CACHE_DIR.
+if _os.environ.get("WTPU_NO_COMPILE_CACHE") != "1":
+    _os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                           "/tmp/wtpu_jax_cache")
+    try:
+        import jax as _jax
+        _jax.config.update("jax_compilation_cache_dir",
+                           _os.environ["JAX_COMPILATION_CACHE_DIR"])
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                           1.0)
+    except Exception:  # pragma: no cover - ancient jax
+        pass
+
 from .api import (
     BeamSearchParams,
     FullParams,

@@ -405,10 +405,28 @@ class WhisperContext:
             )
             if strategy == "beam":
                 from .decode.beam import make_beam_decode_window
-                fn = make_beam_decode_window(consts=consts, options=opts,
-                                             cfg=cfg, beam_size=B,
-                                             extra_suppress=extra_suppress)
-                self._jit_cache[key] = jax.jit(fn)
+                # beams shard over the data axes when the mesh divides the
+                # beam count (same gate as the greedy path below)
+                use_mesh = self.mesh is not None
+                if use_mesh:
+                    n_data = (self.mesh.shape.get("data", 1)
+                              * self.mesh.shape.get("slice", 1))
+                    use_mesh = n_data > 0 and B % n_data == 0
+                fn = make_beam_decode_window(
+                    consts=consts, options=opts, cfg=cfg, beam_size=B,
+                    extra_suppress=extra_suppress,
+                    mesh=self.mesh if use_mesh else None)
+                if use_mesh:
+                    from .parallel.mesh import decode_window_shardings
+                    # beam signature = greedy minus the row_live tail arg
+                    self._jit_cache[key] = jax.jit(
+                        fn, in_shardings=decode_window_shardings(
+                            self.mesh, self.params,
+                            quant_cross=self.cross_mode in (
+                                "einsum_q8", "pallas_q8dt", "einsum_q8i",
+                                "einsum_q4"))[:-1])
+                else:
+                    self._jit_cache[key] = jax.jit(fn)
             else:
                 # the mesh layout only applies when this call's batch can
                 # shard over the data axes — a serial ctx.full() on a
@@ -681,11 +699,19 @@ class WhisperContext:
                             grammar=params.grammar_rules, beam_size=n_cur,
                             seed=it)
                     else:
-                        result = self._decode_window_compat(
-                            prompt, kc, vc, t_cur, seek, seek_end,
+                        # greedy + grammar/logits-filter: batched host
+                        # loop with best_of decoders at t > 0 (reference:
+                        # whisper.cpp:5718-5724) and speculative device
+                        # chunking at t == 0 (decode/grammar_loop.py)
+                        from .decode.grammar_loop import \
+                            decode_window_grammar
+                        n_cur = (1 if t_cur < 1e-6
+                                 else max(1, params.greedy.best_of))
+                        result = decode_window_grammar(
+                            self, prompt, kc, vc, t_cur, seek, seek_end,
                             params, opts, no_timestamps,
-                            grammar=params.grammar_rules)
-                        n_cur = 1
+                            grammar=params.grammar_rules,
+                            n_decoders=n_cur, seed=it)
                 else:
                     # beam search runs at every ladder temperature like the
                     # reference (whisper.cpp:5881-5890 keeps beam-candidate
@@ -868,138 +894,6 @@ class WhisperContext:
 
             self._jit_cache["compat"] = (prompt_fn, step_fn)
         return self._jit_cache["compat"]
-
-    def _decode_window_compat(self, prompt, kc, vc, t_cur, seek, seek_end,
-                              params, opts, no_timestamps, grammar=None):
-        """Host-loop window decode (grammar / logits-callback path).
-
-        Decodes one token per device round trip like the reference does
-        universally; needed because GBNF state lives on the host.  Greedy /
-        multinomial only (B=1).
-        """
-        from .decode.host_filters import process_logits_host
-        from .decode.loop import DELTA_MIN as _DM
-
-        consts = FilterConsts.from_vocab(self.vocab, self.hparams.n_audio_ctx)
-        prompt_fn, step_fn = self._prompt_step_fns()
-        N = self.hparams.n_text_ctx // 2 - 4
-        P = len(prompt)
-        C = P + N + 1
-        L, H, Dh = (self.config.n_text_layer, self.config.n_text_head,
-                    self.config.head_dim_text)
-
-        logits0, ks, vs = prompt_fn(
-            self.params, jnp.asarray([prompt], jnp.int32), kc, vc)
-        logits0 = logits0[:, -1]
-        raw0 = np.asarray(logits0[0])
-        lp0 = np.exp(raw0 - raw0.max())
-        no_speech_prob = float((lp0 / lp0.sum())[self.vocab.token_nosp])
-
-        kv = {"k": jnp.zeros((L, 1, H, Dh, C), self.compute_dtype),
-              "v": jnp.zeros((L, 1, H, Dh, C), self.compute_dtype)}
-        kv["k"] = kv["k"].at[..., :P].set(
-            ks.transpose(0, 1, 3, 4, 2).astype(self.compute_dtype))
-        kv["v"] = kv["v"].at[..., :P].set(
-            vs.transpose(0, 1, 3, 4, 2).astype(self.compute_dtype))
-
-        rng = np.random.RandomState(0)
-        tokens, p_a, plog_a, tid_a, pt_a, ptsum_a = [], [], [], [], [], []
-        has_ts, seek_delta, result_len = False, TICKS_PER_SECOND * CHUNK_SIZE, 0
-        completed = failed = False
-        sum_lp = 0.0
-        raw = raw0
-
-        gram = grammar.copy() if grammar is not None else None
-
-        for i in range(N):
-            lg, lp, pr = process_logits_host(
-                raw, consts, opts, temperature=t_cur, tokens_cur=tokens,
-                has_ts=has_ts, seek_delta=seek_delta if has_ts else 0,
-                grammar=gram, vocab=self.vocab,
-                grammar_penalty=params.grammar_penalty,
-                suppress_regex=params.suppress_regex,
-                logits_filter_callback=params.logits_filter_callback)
-
-            if t_cur < 1e-6:
-                tok = int(np.argmax(pr))
-            else:
-                tok = int(rng.choice(len(pr), p=pr / pr.sum()))
-            ts_probs = pr[self.vocab.token_beg:]
-            ptsum = float(ts_probs.sum())
-            tid = int(np.argmax(ts_probs)) + self.vocab.token_beg
-            pt = float(ts_probs.max() / (ptsum + 1e-10))
-            if tok >= self.vocab.token_beg:
-                tid, pt = tok, float(pr[tok])
-
-            tokens.append(tok)
-            p_a.append(float(pr[tok]))
-            plog_a.append(float(lp[tok]))
-            tid_a.append(tid)
-            pt_a.append(pt)
-            ptsum_a.append(ptsum)
-            sum_lp += float(lp[tok])
-
-            if gram is not None:
-                gram.accept_token(self.vocab, tok)
-
-            # state update (same rules as the device loop)
-            if tok > self.vocab.token_beg:
-                sdn = 2 * (tok - self.vocab.token_beg)
-                if has_ts and seek_delta > sdn and result_len < i:
-                    failed = True
-                    break
-                seek_delta = sdn
-                result_len = i + 1
-                has_ts = True
-            eos = tok == self.vocab.token_eot
-            if params.max_tokens > 0 and i >= params.max_tokens:
-                eos = True
-            if has_ts and seek + seek_delta + _DM >= seek_end:
-                eos = True
-            if eos:
-                if result_len == 0 and not no_timestamps:
-                    if seek + seek_delta + _DM >= seek_end:
-                        result_len = i + 1
-                    else:
-                        failed = True
-                        break
-                if params.single_segment or no_timestamps:
-                    result_len = i + 1
-                    seek_delta = TICKS_PER_SECOND * CHUNK_SIZE
-                completed = True
-                break
-            if i == N - 1 and (result_len == 0
-                               or seek_delta < TICKS_PER_SECOND * CHUNK_SIZE // 2):
-                failed = True
-                break
-
-            lg_next, kv = step_fn(
-                self.params, jnp.asarray([tok], jnp.int32),
-                jnp.asarray([P + i], jnp.int32), jnp.int32(P + i), kv, kc, vc,
-                jnp.int32(P + i + 1))
-            raw = np.asarray(lg_next[0])
-            self.timings.n_decode += 1
-
-        n = len(tokens)
-        pad = N - n
-        if grammar is not None:
-            self._grammar_state = gram
-        return {
-            "tokens": np.asarray([tokens + [0] * pad], np.int32),
-            "p": np.asarray([p_a + [0.0] * pad], np.float32),
-            "plog": np.asarray([plog_a + [0.0] * pad], np.float32),
-            "tid": np.asarray([tid_a + [0] * pad], np.int32),
-            "pt": np.asarray([pt_a + [0.0] * pad], np.float32),
-            "ptsum": np.asarray([ptsum_a + [0.0] * pad], np.float32),
-            "n_tokens": np.int32(n),
-            "has_ts": np.asarray([has_ts]),
-            "seek_delta": np.asarray([seek_delta], np.int32),
-            "result_len": np.asarray([result_len], np.int32),
-            "sum_logprobs_all": np.asarray([sum_lp], np.float32),
-            "completed": np.asarray([completed]),
-            "failed": np.asarray([failed]),
-            "no_speech_prob": np.asarray([no_speech_prob], np.float32),
-        }
 
     def _emit_segments(self, best, seek, seek_end, params, prompt_init,
                        no_timestamps) -> int:

@@ -134,7 +134,8 @@ def main(argv=None) -> int:
     ap.add_argument("-m", "--model", default=None)
     ap.add_argument("-t", "--threads", type=int, default=4)
     ap.add_argument("-w", "--what", type=int, default=0,
-                    help="0=full, 1=memcpy, 2=mul_mat")
+                    help="0=full, 1=memcpy, 2=mul_mat, 3=latency "
+                         "(single-stream stream-mode step times)")
     ap.add_argument("--size", default="tiny")
     args = ap.parse_args(argv)
 
@@ -143,6 +144,17 @@ def main(argv=None) -> int:
         return 0
     if args.what == 2:
         print(whisper_bench_ggml_mul_mat_str(args.threads))
+        return 0
+    if args.what == 3:
+        from bench import bench_latency  # repo-root bench.py
+        lat = bench_latency(args.size)
+        dev = jax.devices()[0]
+        print("| model | device | " +
+              " | ".join(k for k in lat) + " |")
+        print("| ----- | ------ | " +
+              " | ".join("-" * len(k) for k in lat) + " |")
+        print(f"| {args.size} | {dev.device_kind} | " +
+              " | ".join(f"{v:.1f}" for v in lat.values()) + " |")
         return 0
 
     if args.model:

@@ -520,3 +520,26 @@ def whisper_bench_ggml_mul_mat_str(n_threads: int = 1) -> str:
             gflops = 2.0 * n * n * n * reps / dt / 1e9
             out.append(f"  {n:4d} x {n:4d}: {name}  {gflops:10.1f} GFLOPS")
     return "\n".join(out)
+
+
+def whisper_grammar_from_c_rules(rules, i_start_rule: int):
+    """C ABI grammar entry point (wtpu_capi.cpp params_to_py).
+
+    `rules` is the whisper_full_params.grammar_rules array marshalled as
+    nested [(type, value)] lists, each rule END-terminated exactly as in
+    the C struct (reference: include/whisper.h:117-146, 546-551).
+    Returns a grammar engine (native C++ when built, else Python) ready
+    for FullParams.grammar_rules.
+    """
+    import os
+
+    from .grammar import Element, Grammar, NativeGrammar
+
+    el_rules = [[Element(int(t), int(v)) for t, v in rule]
+                for rule in rules]
+    if os.environ.get("WTPU_NO_NATIVE") != "1":
+        try:
+            return NativeGrammar(el_rules, int(i_start_rule))
+        except RuntimeError:
+            pass
+    return Grammar(el_rules, int(i_start_rule))

@@ -38,9 +38,25 @@ NEG_INF = float("-inf")
 
 def make_beam_decode_window(*, consts: FilterConsts, options: FilterOptions,
                             cfg: LoopConfig, beam_size: int,
-                            extra_suppress: tuple = ()):
-    """Build the jitted beam-search window decoder (B = beam_size)."""
+                            extra_suppress: tuple = (), mesh=None):
+    """Build the jitted beam-search window decoder (B = beam_size).
+
+    mesh: optional jax.sharding.Mesh — pins the self-attention KV cache to
+    the shared (None, data, "model", None, None) layout so the while carry
+    stays beam-sharded/head-sharded under pjit (same role as the greedy
+    loop's constraint; beam-reorder gathers over the data axis become XLA
+    collectives)."""
     process_logits = make_process_logits(consts, options, extra_suppress)
+    if mesh is not None:
+        from jax.sharding import NamedSharding
+        from ..parallel.mesh import kv_spec
+        _kv_sh = NamedSharding(mesh, kv_spec(mesh))
+
+        def constrain_kv(x):
+            return jax.lax.with_sharding_constraint(x, _kv_sh)
+    else:
+        def constrain_kv(x):
+            return x
     P = cfg.prompt_size
     N = cfg.max_tokens_loop
     B = beam_size
@@ -74,10 +90,10 @@ def make_beam_decode_window(*, consts: FilterConsts, options: FilterOptions,
         # cache layout (L, B, H, Dh, C): lane-tight like cross_kv
         kv_k = jnp.zeros((L, B, H, Dh, C), cfg.compute_dtype)
         kv_v = jnp.zeros((L, B, H, Dh, C), cfg.compute_dtype)
-        kv_k = kv_k.at[..., :P].set(
-            k_self.transpose(0, 1, 3, 4, 2).astype(cfg.compute_dtype))
-        kv_v = kv_v.at[..., :P].set(
-            v_self.transpose(0, 1, 3, 4, 2).astype(cfg.compute_dtype))
+        kv_k = constrain_kv(kv_k.at[..., :P].set(
+            k_self.transpose(0, 1, 3, 4, 2).astype(cfg.compute_dtype)))
+        kv_v = constrain_kv(kv_v.at[..., :P].set(
+            v_self.transpose(0, 1, 3, 4, 2).astype(cfg.compute_dtype)))
 
         false_b = jnp.zeros((B,), bool)
         _, lp, pr = process_logits(
@@ -161,11 +177,12 @@ def make_beam_decode_window(*, consts: FilterConsts, options: FilterOptions,
             probs_g = s["probs"][parent_b]
             logprobs_g = s["logprobs"][parent_b]
 
-            # KV reorder: one gather on the beam axis
-            kv_k = jnp.where(live.reshape(1, B, 1, 1, 1),
-                             s["kv_k"][:, parent_b], s["kv_k"])
-            kv_v = jnp.where(live.reshape(1, B, 1, 1, 1),
-                             s["kv_v"][:, parent_b], s["kv_v"])
+            # KV reorder: one gather on the beam axis (a collective over
+            # the data axis when the mesh shards beams)
+            kv_k = constrain_kv(jnp.where(live.reshape(1, B, 1, 1, 1),
+                                          s["kv_k"][:, parent_b], s["kv_k"]))
+            kv_v = constrain_kv(jnp.where(live.reshape(1, B, 1, 1, 1),
+                                          s["kv_v"][:, parent_b], s["kv_v"]))
 
             # ---- record token + metadata --------------------------------
             b = jnp.arange(B)

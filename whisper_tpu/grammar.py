@@ -324,7 +324,9 @@ class _Parser:
 
     def _parse_name(self) -> str:
         start = self.pos
-        while self._peek().isalnum() or self._peek() in "-_":
+        # NB: membership must be tuple-based: _peek() returns "" at EOF
+        # and '"" in "-_"' is True (empty-substring), which loops forever
+        while self._peek().isalnum() or self._peek() in ("-", "_"):
             self.pos += 1
         if self.pos == start:
             raise GrammarParseError(f"expecting name at {start}")
@@ -426,7 +428,7 @@ class _Parser:
                         self.pos += 1
                         out.append(Element(CHAR_RNG_UPPER, self._parse_char()))
                 self.pos += 1
-            elif c.isalnum() or c in "-_":
+            elif c.isalnum() or c in ("-", "_"):
                 name_start = self.pos
                 ref = self._parse_name()
                 del name_start
@@ -442,7 +444,7 @@ class _Parser:
                 self.pos += 1
                 last_sym_start = len(out)
                 out.append(Element(RULE_REF, sub_id))
-            elif c in "*+?":
+            elif c in ("*", "+", "?"):
                 if last_sym_start == len(out):
                     raise GrammarParseError(
                         f"expecting preceding item to */+/? at {self.pos}")
@@ -464,7 +466,7 @@ class _Parser:
         return
 
     def _ws_inline(self):
-        while self._peek() in " \t":
+        while self._peek() in (" ", "\t"):   # tuple: "" at EOF must not match
             self.pos += 1
         if self._peek() == "#":
             while self.pos < len(self.src) and self.src[self.pos] != "\n":
@@ -492,6 +494,9 @@ def parse_gbnf(src: str) -> tuple[list[list[Element]], dict[str, int]]:
 # ---------------------------------------------------------------------------
 # native (C++) engine — same semantics, ~100x faster per-token suppression
 # ---------------------------------------------------------------------------
+
+_VOCAB_BLOB_CACHE: dict = {}   # id(vocab) -> (bytes buf, offsets, n)
+
 
 class NativeGrammar:
     """ctypes wrapper over native/libwtpu_grammar.so.
@@ -536,15 +541,22 @@ class NativeGrammar:
             return
         import ctypes
 
-        blob = b""
-        offsets = [0]
-        for i in range(vocab.token_eot):
-            blob += vocab.id_to_token[i]
-            offsets.append(len(blob))
-        buf = (ctypes.c_uint8 * len(blob)).from_buffer_copy(blob)
-        off = (ctypes.c_int32 * len(offsets))(*offsets)
-        self._lib.wtpu_grammar_set_vocab(
-            self._h, buf, off, vocab.token_eot, vocab.token_eot)
+        # blob build cached per vocab object: suppressing per window would
+        # otherwise rebuild ~0.5 MB of token bytes every copy
+        key = id(vocab)
+        cached = _VOCAB_BLOB_CACHE.get(key)
+        if cached is None:
+            parts = vocab.id_to_token[:vocab.token_eot]
+            blob = b"".join(parts)
+            offsets = [0]
+            for p in parts:
+                offsets.append(offsets[-1] + len(p))
+            buf = (ctypes.c_uint8 * len(blob)).from_buffer_copy(blob)
+            off = (ctypes.c_int32 * len(offsets))(*offsets)
+            cached = (buf, off, vocab.token_eot)
+            _VOCAB_BLOB_CACHE[key] = cached
+        buf, off, n = cached
+        self._lib.wtpu_grammar_set_vocab(self._h, buf, off, n, n)
         self._vocab_loaded = True
 
     def suppress_invalid(self, vocab, logits: np.ndarray,

@@ -327,6 +327,11 @@ class BatchTranscriber:
                         jnp.asarray(mel_windows),
                         NamedSharding(self.mesh, batch_spec(self.mesh)))
                 kc, vc = self._encode_batch(mel_windows)
+            import os as _os
+            if _os.environ.get("WTPU_PHASE_FENCE") == "1":
+                # measurement only: encode dispatch is async, so without a
+                # fence its cost lands in the decode phase
+                jax.block_until_ready(kc)
             self.phase_times["encode"] += _time.perf_counter() - _t0
 
             # temperature-fallback ladder, rebatching only the failed rows
