@@ -192,3 +192,47 @@ def test_quantized_matmul_mins_interpret():
                 jnp.asarray(np.ascontiguousarray(mins.T))))
         ref = x @ wd.T
         assert np.abs(y - ref).max() / np.abs(ref).max() < 0.03, ttype
+
+
+def test_encode_dt_matches_channels_last():
+    """Channels-first encoder stack (attn_impl="pallas_dt") == the einsum
+    channels-last path, in both output layouts, and the transpose-free
+    cross_kv(enc_layout="bdt") == the standard cross_kv."""
+    import jax.numpy as jnp
+    from whisper_tpu.models import whisper as wm
+    from whisper_tpu.models.whisper import WhisperConfig
+    from whisper_tpu.weights.convert import random_params
+
+    cfg = WhisperConfig(128, 32, 64, 4, 2, 32, 64, 4, 2, 80, "test")
+    params = random_params(cfg, seed=0, dtype=jnp.float32)
+    rng = np.random.RandomState(11)
+    mel = jnp.asarray(rng.randn(2, 64, 80).astype(np.float32) * 0.3)
+
+    ref = np.asarray(wm.encode(params, mel, n_head=4,
+                               compute_dtype=jnp.float32, attn_impl="einsum"))
+    out = np.asarray(wm.encode(params, mel, n_head=4,
+                               compute_dtype=jnp.float32,
+                               attn_impl="pallas_dt_interpret"))
+    scale = np.abs(ref).max()
+    assert np.abs(out - ref).max() / scale < 0.02
+
+    out_dt = wm.encode(params, mel, n_head=4, compute_dtype=jnp.float32,
+                       attn_impl="pallas_dt_interpret", out_layout="bdt")
+    assert out_dt.shape == (2, 64, 32)
+    assert np.abs(np.asarray(out_dt).transpose(0, 2, 1) - ref).max() / scale < 0.02
+
+    kc, vc = wm.cross_kv(params, jnp.asarray(ref), n_head=4,
+                         compute_dtype=jnp.float32)
+    kc2, vc2 = wm.cross_kv(params, out_dt, n_head=4,
+                           compute_dtype=jnp.float32, enc_layout="bdt")
+    kscale = np.abs(np.asarray(kc)).max()
+    assert np.abs(np.asarray(kc2) - np.asarray(kc)).max() / kscale < 0.02
+    assert (np.abs(np.asarray(vc2) - np.asarray(vc)).max()
+            / np.abs(np.asarray(vc)).max() < 0.02)
+
+    # the quantized producers share _make_cross_proj: q8 codes from the
+    # bdt input must dequantize to the same K within quant error
+    (kq, ks), _ = wm.cross_kv_q8(params, out_dt, n_head=4,
+                                 compute_dtype=jnp.float32, enc_layout="bdt")
+    k_deq = np.asarray(kq).astype(np.float32) * np.asarray(ks)[:, :, :, None, :]
+    assert np.abs(k_deq - np.asarray(kc)).max() <= kscale / 127 + kscale * 0.02

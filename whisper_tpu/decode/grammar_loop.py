@@ -380,7 +380,10 @@ def decode_window_grammar(ctx, prompt, kc, vc, t_cur, seek, seek_end,
         return np.asarray([r + [fill] * (N - len(r)) for r in rows], dtype)
 
     return {
-        "tokens": pad_rows(toks, 0, np.int32),
+        # EOT padding matches the device loop's EOT-initialized buffer —
+        # api._own_sampled_len strips trailing EOTs to recover a failed
+        # row's own length inside the batch-global step budget
+        "tokens": pad_rows(toks, eot, np.int32),
         "p": pad_rows(p_a, 0.0, np.float32),
         "plog": pad_rows(plog_a, 0.0, np.float32),
         "tid": pad_rows(tid_a, 0, np.int32),

@@ -248,6 +248,62 @@ def _encoder_block(x, blk, n_head, compute_dtype, attn_impl="einsum"):
     return x
 
 
+def _layernorm_dt(x, w, b, eps: float = 1e-5):
+    """Layernorm for channels-first (B, D, T) activations: normalize over
+    D (axis 1).  Same math as _layernorm on (B, T, D)."""
+    x = x.astype(jnp.float32)
+    mean = jnp.mean(x, axis=1, keepdims=True)
+    var = jnp.var(x, axis=1, keepdims=True)
+    return ((x - mean) * jax.lax.rsqrt(var + eps) * w[:, None]
+            + b[:, None])
+
+
+def _linear_dt(x, w, b=None, compute_dtype=jnp.bfloat16):
+    """Channels-first linear: x (B, I, T), w torch-(O, I) -> (B, O, T).
+    The (out, in) weight layout is used DIRECTLY (no .T), and the output
+    keeps T in the lane dim."""
+    y = jnp.einsum("oi,bit->bot", w.astype(compute_dtype),
+                   x.astype(compute_dtype),
+                   preferred_element_type=jnp.float32)
+    if b is not None:
+        y = y + b[:, None]
+    return y
+
+
+def _encoder_block_dt(x, blk, n_head, compute_dtype, t_valid: int,
+                      interpret: bool = False):
+    """Encoder layer on (B, D, Tp) channels-first activations.
+
+    The whole layer runs lane-tight: QKV projections emit (B, D, T)
+    directly, the head split (B, D, T) -> (B, H, Dh, T) is a pure
+    reshape, and the Pallas attention kernel consumes exactly that
+    layout — the per-layer (B,T,H,Dh)<->(B,H,Dh,T) transposes of the
+    channels-last path vanish.  Pad columns beyond t_valid carry garbage
+    but are masked as attention keys and sliced off at the end of
+    encode()."""
+    from ..ops.encoder_attention import encoder_attention
+
+    B, D, Tp = x.shape
+    Dh = D // n_head
+    ln = _layernorm_dt(x, blk["attn_ln_w"], blk["attn_ln_b"])
+    q = _linear_dt(ln, blk["q_w"], blk["q_b"], compute_dtype)
+    k = _linear_dt(ln, blk["k_w"], None, compute_dtype)      # K has no bias
+    v = _linear_dt(ln, blk["v_w"], blk["v_b"], compute_dtype)
+
+    def heads(a):
+        return a.reshape(B, n_head, Dh, Tp).astype(compute_dtype)
+
+    attn = encoder_attention(heads(q), heads(k), heads(v), t_valid=t_valid,
+                             interpret=interpret)
+    attn = attn.reshape(B, D, Tp)
+    x = x + _linear_dt(attn, blk["o_w"], blk["o_b"], compute_dtype)
+
+    ln = _layernorm_dt(x, blk["mlp_ln_w"], blk["mlp_ln_b"])
+    h = _gelu(_linear_dt(ln, blk["mlp0_w"], blk["mlp0_b"], compute_dtype))
+    x = x + _linear_dt(h, blk["mlp2_w"], blk["mlp2_b"], compute_dtype)
+    return x
+
+
 def default_encoder_attn_impl() -> str:
     """pallas on TPU, einsum elsewhere.
 
@@ -265,12 +321,17 @@ def default_encoder_attn_impl() -> str:
 
 
 def encode(params, mel, n_head: int, compute_dtype=jnp.bfloat16,
-           attn_impl: str | None = None):
+           attn_impl: str | None = None, out_layout: str = "btd"):
     """Full encoder: mel (B, 2*n_ctx, n_mels) -> (B, n_ctx, n_state).
 
     The shrunken-context speed hack (reference: whisper.h:504 audio_ctx)
     falls out of shape polymorphism: slice mel to 2*n_audio_ctx frames and
     the positional embedding slice below follows.
+
+    out_layout="bdt" (channels-first output, pallas_dt only): skips the
+    final lane transpose so cross_kv*(enc_layout="bdt") can consume the
+    activations reshape-only — the whole encode+cross pipeline then runs
+    without a single T-lane transpose.
     """
     if attn_impl is None:
         attn_impl = default_encoder_attn_impl()
@@ -278,6 +339,31 @@ def encode(params, mel, n_head: int, compute_dtype=jnp.bfloat16,
     x = conv_stem(enc, mel, compute_dtype)
     n_ctx = x.shape[1]
     x = x + enc["pos"][:n_ctx]
+
+    if attn_impl in ("pallas_dt", "pallas_dt_interpret"):
+        # channels-first layer stack: ONE transpose in, one out; the
+        # per-layer lane transposes of the channels-last path disappear
+        # (see _encoder_block_dt)
+        from ..ops.encoder_attention import BLOCK_Q
+        interp = attn_impl == "pallas_dt_interpret"
+        Tp = ((n_ctx + BLOCK_Q - 1) // BLOCK_Q) * BLOCK_Q
+        x = x.transpose(0, 2, 1)                       # (B, D, T)
+        if Tp != n_ctx:
+            x = jnp.pad(x, ((0, 0), (0, 0), (0, Tp - n_ctx)))
+
+        def body_dt(carry, blk):
+            return _encoder_block_dt(carry, blk, n_head, compute_dtype,
+                                     t_valid=n_ctx, interpret=interp), None
+
+        x, _ = jax.lax.scan(body_dt, x, enc["blocks"])
+        if out_layout == "bdt":
+            return _layernorm_dt(x[..., :n_ctx], enc["ln_post_w"],
+                                 enc["ln_post_b"])
+        x = x[..., :n_ctx].transpose(0, 2, 1)          # (B, T, D)
+        return _layernorm(x, enc["ln_post_w"], enc["ln_post_b"])
+
+    assert out_layout == "btd", \
+        "out_layout='bdt' requires attn_impl='pallas_dt'"
 
     def body(carry, blk):
         return _encoder_block(carry, blk, n_head, compute_dtype,
@@ -292,7 +378,8 @@ def encode(params, mel, n_head: int, compute_dtype=jnp.bfloat16,
 # cross-attention KV precompute (reference: src/whisper.cpp:2285-2359)
 # ---------------------------------------------------------------------------
 
-def cross_kv(params, enc_out, n_head: int, compute_dtype=jnp.bfloat16):
+def cross_kv(params, enc_out, n_head: int, compute_dtype=jnp.bfloat16,
+             enc_layout: str = "btd"):
     """enc_out (B, Ta, D) -> (k_cross, v_cross): (L, B, H, Dh, Ta) each.
 
     Layout note: this stacked buffer is the biggest live tensor of a
@@ -305,20 +392,49 @@ def cross_kv(params, enc_out, n_head: int, compute_dtype=jnp.bfloat16):
     """
     dec = params["decoder"]
     nh = n_head
+    proj = _make_cross_proj(enc_out, nh, compute_dtype, enc_layout)
 
     def body(_, blk):
-        k = _linear(enc_out, blk["xk_w"], None, compute_dtype)
-        v = _linear(enc_out, blk["xv_w"], blk["xv_b"], compute_dtype)
-        # (B, Ta, H, Dh) -> (B, H, Dh, Ta), stored in compute dtype
-        k = _split_heads(k, nh).transpose(0, 2, 3, 1).astype(compute_dtype)
-        v = _split_heads(v, nh).transpose(0, 2, 3, 1).astype(compute_dtype)
-        return None, (k, v)
+        return None, proj(blk)
 
     _, (ks, vs) = jax.lax.scan(body, None, dec["blocks"])
     return ks, vs
 
 
-def cross_kv_q8(params, enc_out, n_head: int, compute_dtype=jnp.bfloat16):
+def _make_cross_proj(enc_out, nh, compute_dtype, enc_layout):
+    """Per-layer cross K/V projection in the requested input layout.
+
+    enc_layout="btd": (B, Ta, D) input — projection then the
+    (B,Ta,H,Dh)->(B,H,Dh,Ta) lane transpose (2 per layer).
+    enc_layout="bdt": channels-first (B, D, Ta) input from
+    encode(out_layout="bdt") — projection emits (B, D, Ta) and the head
+    split is a PURE RESHAPE; no transpose exists in the whole scan.
+    Returns blk -> (k, v) with k/v (B, H, Dh, Ta) in compute dtype.
+    """
+    if enc_layout == "bdt":
+        B, D, Ta = enc_out.shape
+        Dh = D // nh
+
+        def proj(blk):
+            k = _linear_dt(enc_out, blk["xk_w"], None, compute_dtype)
+            v = _linear_dt(enc_out, blk["xv_w"], blk["xv_b"], compute_dtype)
+            return (k.reshape(B, nh, Dh, Ta).astype(compute_dtype),
+                    v.reshape(B, nh, Dh, Ta).astype(compute_dtype))
+
+        return proj
+
+    def proj(blk):
+        k = _linear(enc_out, blk["xk_w"], None, compute_dtype)
+        v = _linear(enc_out, blk["xv_w"], blk["xv_b"], compute_dtype)
+        k = _split_heads(k, nh).transpose(0, 2, 3, 1).astype(compute_dtype)
+        v = _split_heads(v, nh).transpose(0, 2, 3, 1).astype(compute_dtype)
+        return k, v
+
+    return proj
+
+
+def cross_kv_q8(params, enc_out, n_head: int, compute_dtype=jnp.bfloat16,
+                enc_layout: str = "btd"):
     """cross_kv with int8 quantization fused into the layer scan.
 
     Returns ((L, B, H, Dh, Ta) int8 codes, (L, B, H, Ta) f32 scales) x2.
@@ -328,13 +444,10 @@ def cross_kv_q8(params, enc_out, n_head: int, compute_dtype=jnp.bfloat16):
     """
     from ..ops.cross_attention import quantize_kv_bhdt
     dec = params["decoder"]
-    nh = n_head
+    proj = _make_cross_proj(enc_out, n_head, compute_dtype, enc_layout)
 
     def body(_, blk):
-        k = _linear(enc_out, blk["xk_w"], None, compute_dtype)
-        v = _linear(enc_out, blk["xv_w"], blk["xv_b"], compute_dtype)
-        k = _split_heads(k, nh).transpose(0, 2, 3, 1).astype(compute_dtype)
-        v = _split_heads(v, nh).transpose(0, 2, 3, 1).astype(compute_dtype)
+        k, v = proj(blk)
         kq, ks = quantize_kv_bhdt(k)
         vq, vs = quantize_kv_bhdt(v)
         return None, (kq, ks, vq, vs)
@@ -343,7 +456,8 @@ def cross_kv_q8(params, enc_out, n_head: int, compute_dtype=jnp.bfloat16):
     return (kq, ks), (vq, vs)
 
 
-def cross_kv_q4(params, enc_out, n_head: int, compute_dtype=jnp.bfloat16):
+def cross_kv_q4(params, enc_out, n_head: int, compute_dtype=jnp.bfloat16,
+                enc_layout: str = "btd"):
     """cross_kv with 4-bit quantization fused into the layer scan.
 
     Returns ((L, B, H, Dh//2, Ta) uint8 nibble-packed codes,
@@ -356,13 +470,10 @@ def cross_kv_q4(params, enc_out, n_head: int, compute_dtype=jnp.bfloat16):
     """
     from ..ops.cross_attention import quantize_kv_bhdt_q4
     dec = params["decoder"]
-    nh = n_head
+    proj = _make_cross_proj(enc_out, n_head, compute_dtype, enc_layout)
 
     def body(_, blk):
-        k = _linear(enc_out, blk["xk_w"], None, compute_dtype)
-        v = _linear(enc_out, blk["xv_w"], blk["xv_b"], compute_dtype)
-        k = _split_heads(k, nh).transpose(0, 2, 3, 1).astype(compute_dtype)
-        v = _split_heads(v, nh).transpose(0, 2, 3, 1).astype(compute_dtype)
+        k, v = proj(blk)
         kq, ks = quantize_kv_bhdt_q4(k)
         vq, vs = quantize_kv_bhdt_q4(v)
         return None, (kq, ks, vq, vs)
