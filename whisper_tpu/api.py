@@ -37,6 +37,90 @@ from .weights.ggml_reader import read_ggml_file
 DELTA_MIN = 10  # 100 ms in ticks
 
 
+class _PackedWindowFn:
+    """Single-upload / single-fetch wrapper around a window-decode fn.
+
+    On a tunneled TPU every host<->device transfer pays a round trip; the
+    raw decode_window signature is ~9 small uploads and its result dict
+    ~14 fetches per call — and the serving loop makes one such call per
+    iteration.  This wrapper packs every non-resident input into ONE
+    (B+1, P+4) int32 blob (prompt | pad_len | seek | seek_end | live,
+    with temperature/rng bit-cast into a trailer row) and concatenates
+    every output leaf into ONE f32 vector fetched with a single
+    np.asarray.  Output int32 leaves are token ids/counters < 2**24, so
+    the f32 round-trip is exact.
+
+    The call signature matches make_decode_window's; seek/seek_end may be
+    scalars (serial path) or (B,) arrays (batch path); rng may be a host
+    uint32[2] array (no device traffic at all) or a device PRNG key.
+    Results come back as a numpy pytree.
+    """
+
+    def __init__(self, fn, P: int, has_live: bool, in_shardings=None):
+        self.fn = fn
+        self.P = P
+        self.has_live = has_live
+        self._leaf_meta = None
+        self._treedef = None
+
+        def core(params, kc, vc, blob):
+            nB = blob.shape[0] - 1
+            ints = blob[:nB]
+            prompt = ints[:, :P]
+            pad_len = ints[:, P]
+            seeks = ints[:, P + 1]
+            ends = ints[:, P + 2]
+            trailer = blob[nB]
+            t_cur = jax.lax.bitcast_convert_type(trailer[0], jnp.float32)
+            rng = jax.lax.bitcast_convert_type(trailer[1:3], jnp.uint32)
+            args = (params, kc, vc, prompt, pad_len, t_cur, seeks, ends, rng)
+            if has_live:
+                args += (ints[:, P + 3] != 0,)
+            out = fn(*args)
+            leaves = jax.tree_util.tree_leaves(out)
+            return jnp.concatenate(
+                [jnp.ravel(x).astype(jnp.float32) for x in leaves])
+
+        self._jit = (jax.jit(core) if in_shardings is None
+                     else jax.jit(core, in_shardings=in_shardings))
+
+    def __call__(self, params, kc, vc, prompt, pad_len, temperature,
+                 seek, seek_end, rng, row_live=None):
+        prompt = np.asarray(prompt, np.int32)
+        B, P = prompt.shape
+        assert P == self.P, (P, self.P)
+        blob = np.zeros((B + 1, P + 4), np.int32)
+        blob[:B, :P] = prompt
+        blob[:B, P] = np.asarray(pad_len)
+        blob[:B, P + 1] = np.asarray(seek)        # scalar broadcasts
+        blob[:B, P + 2] = np.asarray(seek_end)
+        blob[:B, P + 3] = (1 if row_live is None
+                           else np.asarray(row_live).astype(np.int32))
+        blob[B, 0] = np.float32(temperature).view(np.int32)
+        blob[B, 1:3] = np.asarray(rng).view(np.int32).reshape(-1)[:2]
+        if self._leaf_meta is None:
+            out_shape = jax.eval_shape(
+                self.fn, params, kc, vc,
+                jax.ShapeDtypeStruct((B, P), jnp.int32),
+                jax.ShapeDtypeStruct((B,), jnp.int32),
+                jax.ShapeDtypeStruct((), jnp.float32),
+                jax.ShapeDtypeStruct((B,), jnp.int32),
+                jax.ShapeDtypeStruct((B,), jnp.int32),
+                jax.ShapeDtypeStruct((2,), jnp.uint32),
+                *([jax.ShapeDtypeStruct((B,), jnp.bool_)]
+                  if self.has_live else []))
+            leaves, self._treedef = jax.tree_util.tree_flatten(out_shape)
+            self._leaf_meta = [(l.shape, np.dtype(l.dtype)) for l in leaves]
+        packed = np.asarray(self._jit(params, kc, vc, blob))
+        arrs, off = [], 0
+        for shape, dtype in self._leaf_meta:
+            n = int(np.prod(shape)) if shape else 1
+            a = packed[off:off + n].reshape(shape)
+            arrs.append(a if dtype == np.float32 else a.astype(dtype))
+            off += n
+        return jax.tree_util.tree_unflatten(self._treedef, arrs)
+
+
 class SamplingStrategy:
     GREEDY = 0
     BEAM_SEARCH = 1
@@ -403,57 +487,40 @@ class WhisperContext:
                 compute_dtype=self.compute_dtype,
                 cross_mode=self.cross_mode,
             )
+            # the mesh layout only applies when this call's batch can
+            # shard over the data axes — a serial ctx.full() on a
+            # context that a mesh BatchTranscriber also uses (B=1, or
+            # B=n_decoders) must compile a plain single-device fn, not
+            # inherit batch in_shardings it can't satisfy
+            use_mesh = self.mesh is not None
+            if use_mesh:
+                n_data = (self.mesh.shape.get("data", 1)
+                          * self.mesh.shape.get("slice", 1))
+                use_mesh = n_data > 0 and B % n_data == 0
             if strategy == "beam":
                 from .decode.beam import make_beam_decode_window
-                # beams shard over the data axes when the mesh divides the
-                # beam count (same gate as the greedy path below)
-                use_mesh = self.mesh is not None
-                if use_mesh:
-                    n_data = (self.mesh.shape.get("data", 1)
-                              * self.mesh.shape.get("slice", 1))
-                    use_mesh = n_data > 0 and B % n_data == 0
                 fn = make_beam_decode_window(
                     consts=consts, options=opts, cfg=cfg, beam_size=B,
                     extra_suppress=extra_suppress,
                     mesh=self.mesh if use_mesh else None)
-                if use_mesh:
-                    from .parallel.mesh import decode_window_shardings
-                    # beam signature = greedy minus the row_live tail arg
-                    self._jit_cache[key] = jax.jit(
-                        fn, in_shardings=decode_window_shardings(
-                            self.mesh, self.params,
-                            quant_cross=self.cross_mode in (
-                                "einsum_q8", "pallas_q8dt", "einsum_q8i",
-                                "einsum_q4"))[:-1])
-                else:
-                    self._jit_cache[key] = jax.jit(fn)
             else:
-                # the mesh layout only applies when this call's batch can
-                # shard over the data axes — a serial ctx.full() on a
-                # context that a mesh BatchTranscriber also uses (B=1, or
-                # B=n_decoders) must compile a plain single-device fn, not
-                # inherit batch in_shardings it can't satisfy
-                use_mesh = self.mesh is not None
-                if use_mesh:
-                    n_data = (self.mesh.shape.get("data", 1)
-                              * self.mesh.shape.get("slice", 1))
-                    use_mesh = n_data > 0 and B % n_data == 0
                 fn = make_decode_window(
                     consts=consts, options=opts, cfg=cfg,
                     extra_suppress=extra_suppress,
                     mesh=self.mesh if use_mesh else None)
-                if use_mesh:
-                    # explicit multichip layout: windows over "data", heads
-                    # over "model" (see parallel/mesh.py)
-                    from .parallel.mesh import decode_window_shardings
-                    self._jit_cache[key] = jax.jit(
-                        fn, in_shardings=decode_window_shardings(
-                            self.mesh, self.params,
-                            quant_cross=self.cross_mode in (
-                                "einsum_q8", "pallas_q8dt", "einsum_q8i",
-                                "einsum_q4")))
-                else:
-                    self._jit_cache[key] = jax.jit(fn)
+            in_sh = None
+            if use_mesh:
+                # explicit multichip layout: windows over "data", heads
+                # over "model" (see parallel/mesh.py); the packed blob is
+                # replicated
+                from .parallel.mesh import decode_window_blob_shardings
+                in_sh = decode_window_blob_shardings(
+                    self.mesh, self.params,
+                    quant_cross=self.cross_mode in (
+                        "einsum_q8", "pallas_q8dt", "einsum_q8i",
+                        "einsum_q4"))
+            self._jit_cache[key] = _PackedWindowFn(
+                fn, P, has_live=(strategy != "beam"), in_shardings=in_sh)
         return self._jit_cache[key]
 
     def _mel_window(self, seek: int) -> np.ndarray:
@@ -839,12 +906,12 @@ class WhisperContext:
             vc = jnp.broadcast_to(vc, (vc.shape[0], n_cur) + vc.shape[2:])
 
         t0 = time.perf_counter()
+        # all-live row mask; inputs stay host-side — _PackedWindowFn ships
+        # them in one blob upload and fetches all results in one transfer
         extra_args = (() if strategy == "beam"
-                      else (jnp.ones((n_cur,), bool),))  # row_live: all live
-        out = fn(self.params, kc, vc, jnp.asarray(buf), jnp.asarray(pad_len),
-                 jnp.float32(t_cur), jnp.int32(seek), jnp.int32(seek_end), rng,
-                 *extra_args)
-        out = jax.tree_util.tree_map(np.asarray, out)
+                      else (np.ones((n_cur,), bool),))
+        out = fn(self.params, kc, vc, buf, pad_len,
+                 t_cur, seek, seek_end, rng, *extra_args)
         dt = int((time.perf_counter() - t0) * 1e6)
         n_tok = int(out["n_tokens"])
         self.timings.t_decode_us += dt

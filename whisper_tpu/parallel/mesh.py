@@ -143,3 +143,21 @@ def decode_window_shardings(mesh: Mesh, params,
     return (p_sh, cross, cross,
             ns(P(da, None)), ns(P(da)), ns(P()),
             ns(P()), ns(P()), ns(P()), ns(P(da)))
+
+
+def decode_window_blob_shardings(mesh: Mesh, params,
+                                quant_cross: bool = False) -> tuple:
+    """in_shardings for the PACKED decode-window signature
+    (params, k_cross, v_cross, blob) — see api._decode_window_fn.
+
+    The (B+1, P+4) int32 blob is replicated: it is a few KB and GSPMD
+    re-shards the unpacked per-row fields onto the data axes for free."""
+    def ns(s):
+        return NamedSharding(mesh, s)
+
+    p_sh = jax.tree_util.tree_map(
+        ns, param_specs(params), is_leaf=lambda x: isinstance(x, P))
+    cross = (ns(kv_spec(mesh)),
+             ns(P(None, data_axes(mesh), "model", None))) if quant_cross \
+        else ns(kv_spec(mesh))
+    return (p_sh, cross, cross, ns(P()))
