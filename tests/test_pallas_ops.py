@@ -236,3 +236,28 @@ def test_encode_dt_matches_channels_last():
                                  compute_dtype=jnp.float32, enc_layout="bdt")
     k_deq = np.asarray(kq).astype(np.float32) * np.asarray(ks)[:, :, :, None, :]
     assert np.abs(k_deq - np.asarray(kc)).max() <= kscale / 127 + kscale * 0.02
+
+
+def test_encode_pf_btd_match_einsum():
+    """The opt-in transpose-elimination variants (attn_impl="pallas_pf"
+    projection-fused lane-tight QKV; "pallas_btd" fully transpose-free
+    (B,T,D) kernel with head-group lane slices) == the einsum path.
+    Both measured SLOWER than the default `pallas` on v5e (see
+    docs/ROADMAP.md round-3 note) but stay available and correct."""
+    import jax.numpy as jnp
+    from whisper_tpu.models import whisper as wm
+    from whisper_tpu.models.whisper import WhisperConfig
+    from whisper_tpu.weights.convert import random_params
+
+    cfg = WhisperConfig(128, 32, 64, 4, 2, 32, 64, 4, 2, 80, "test")
+    params = random_params(cfg, seed=0, dtype=jnp.float32)
+    rng = np.random.RandomState(13)
+    mel = jnp.asarray(rng.randn(2, 64, 80).astype(np.float32) * 0.3)
+
+    ref = np.asarray(wm.encode(params, mel, n_head=4,
+                               compute_dtype=jnp.float32, attn_impl="einsum"))
+    scale = np.abs(ref).max()
+    for impl in ("pallas_pf_interpret", "pallas_btd_interpret"):
+        out = np.asarray(wm.encode(params, mel, n_head=4,
+                                   compute_dtype=jnp.float32, attn_impl=impl))
+        assert np.abs(out - ref).max() / scale < 0.02, impl

@@ -304,6 +304,75 @@ def _encoder_block_dt(x, blk, n_head, compute_dtype, t_valid: int,
     return x
 
 
+def _encoder_block_pf(x, blk, n_head, compute_dtype, t_valid: int,
+                      interpret: bool = False):
+    """Projection-fused encoder layer: residual stays (B, Tp, D)
+    channels-last (the layout the MXU GEMMs like), but the QKV
+    projections emit the attention kernel's lane-tight (B, H, Dh, Tp)
+    directly via einsum — the per-layer pad/transpose prep of the plain
+    pallas path (3 transposes in + 1 out + pads, ~35% of encoder wall)
+    becomes part of the projection GEMMs' output layout.
+
+    x is padded to Tp (a BLOCK_Q multiple) ONCE by encode(); pad rows
+    carry garbage activations but are masked as attention keys, and
+    row-local ops (LN/MLP) never mix rows."""
+    from ..ops.encoder_attention import encoder_attention
+
+    B, Tp, D = x.shape
+    Dh = D // n_head
+    ln = _layernorm(x, blk["attn_ln_w"], blk["attn_ln_b"])
+    lnc = ln.astype(compute_dtype)
+
+    def proj_ht(w, b):
+        # torch-(O, I) weight, O = H*Dh -> (B, H, Dh, Tp) in one GEMM
+        wr = w.reshape(n_head, Dh, D).astype(compute_dtype)
+        y = jnp.einsum("btd,hxd->bhxt", lnc, wr,
+                       preferred_element_type=jnp.float32)
+        if b is not None:
+            y = y + b.reshape(n_head, Dh)[None, :, :, None]
+        return y.astype(compute_dtype)
+
+    q = proj_ht(blk["q_w"], blk["q_b"])
+    k = proj_ht(blk["k_w"], None)                 # K has no bias
+    v = proj_ht(blk["v_w"], blk["v_b"])
+    attn = encoder_attention(q, k, v, t_valid=t_valid, interpret=interpret)
+
+    # out-projection contracts the (H, Dh) pair straight back to (B,Tp,D)
+    wo = blk["o_w"].reshape(D, n_head, Dh).astype(compute_dtype)
+    o = jnp.einsum("bhxt,dhx->btd", attn.astype(compute_dtype), wo,
+                   preferred_element_type=jnp.float32) + blk["o_b"]
+    x = x + o
+
+    ln = _layernorm(x, blk["mlp_ln_w"], blk["mlp_ln_b"])
+    h = _gelu(_linear(ln, blk["mlp0_w"], blk["mlp0_b"], compute_dtype))
+    x = x + _linear(h, blk["mlp2_w"], blk["mlp2_b"], compute_dtype)
+    return x
+
+
+def _encoder_block_btd(x, blk, n_head, compute_dtype, t_valid: int,
+                       interpret: bool = False):
+    """Fully transpose-free encoder layer: the attention kernel consumes
+    the projections' natural (B, Tp, D) output and heads are lane slices
+    inside the kernel (ops/encoder_attention.encoder_attention_btd).
+    x is padded to Tp once by encode(); pad rows are masked as keys."""
+    from ..ops.encoder_attention import encoder_attention_btd
+
+    ln = _layernorm(x, blk["attn_ln_w"], blk["attn_ln_b"])
+    q = _linear(ln, blk["q_w"], blk["q_b"], compute_dtype)
+    k = _linear(ln, blk["k_w"], None, compute_dtype)       # K has no bias
+    v = _linear(ln, blk["v_w"], blk["v_b"], compute_dtype)
+    cd = compute_dtype
+    attn = encoder_attention_btd(q.astype(cd), k.astype(cd), v.astype(cd),
+                                 n_head=n_head, t_valid=t_valid,
+                                 interpret=interpret)
+    x = x + _linear(attn, blk["o_w"], blk["o_b"], compute_dtype)
+
+    ln = _layernorm(x, blk["mlp_ln_w"], blk["mlp_ln_b"])
+    h = _gelu(_linear(ln, blk["mlp0_w"], blk["mlp0_b"], compute_dtype))
+    x = x + _linear(h, blk["mlp2_w"], blk["mlp2_b"], compute_dtype)
+    return x
+
+
 def default_encoder_attn_impl() -> str:
     """pallas on TPU, einsum elsewhere.
 
@@ -339,6 +408,41 @@ def encode(params, mel, n_head: int, compute_dtype=jnp.bfloat16,
     x = conv_stem(enc, mel, compute_dtype)
     n_ctx = x.shape[1]
     x = x + enc["pos"][:n_ctx]
+
+    if attn_impl in ("pallas_btd", "pallas_btd_interpret"):
+        # transpose-free: (B, T, D) end to end, ONE pad outside the scan
+        from ..ops.encoder_attention import BLOCK_Q
+        interp = attn_impl == "pallas_btd_interpret"
+        Tp = ((n_ctx + BLOCK_Q - 1) // BLOCK_Q) * BLOCK_Q
+        if Tp != n_ctx:
+            x = jnp.pad(x, ((0, 0), (0, Tp - n_ctx), (0, 0)))
+
+        def body_btd(carry, blk):
+            return _encoder_block_btd(carry, blk, n_head, compute_dtype,
+                                      t_valid=n_ctx, interpret=interp), None
+
+        x, _ = jax.lax.scan(body_btd, x, enc["blocks"])
+        assert out_layout == "btd", \
+            "out_layout='bdt' requires attn_impl='pallas_dt'"
+        return _layernorm(x[:, :n_ctx], enc["ln_post_w"], enc["ln_post_b"])
+
+    if attn_impl in ("pallas_pf", "pallas_pf_interpret"):
+        # projection-fused: channels-last residual, lane-tight QKV emitted
+        # straight from the projection GEMMs; ONE pad outside the scan
+        from ..ops.encoder_attention import BLOCK_Q
+        interp = attn_impl == "pallas_pf_interpret"
+        Tp = ((n_ctx + BLOCK_Q - 1) // BLOCK_Q) * BLOCK_Q
+        if Tp != n_ctx:
+            x = jnp.pad(x, ((0, 0), (0, Tp - n_ctx), (0, 0)))
+
+        def body_pf(carry, blk):
+            return _encoder_block_pf(carry, blk, n_head, compute_dtype,
+                                     t_valid=n_ctx, interpret=interp), None
+
+        x, _ = jax.lax.scan(body_pf, x, enc["blocks"])
+        assert out_layout == "btd", \
+            "out_layout='bdt' requires attn_impl='pallas_dt'"
+        return _layernorm(x[:, :n_ctx], enc["ln_post_w"], enc["ln_post_b"])
 
     if attn_impl in ("pallas_dt", "pallas_dt_interpret"):
         # channels-first layer stack: ONE transpose in, one out; the

@@ -100,3 +100,73 @@ def self_attention(q, k, v, compute_dtype=jnp.bfloat16, interpret=False):
                             interpret=interpret)
     out = out[..., :T].transpose(0, 3, 1, 2)                # (B, T, H, Dh)
     return out.reshape(B, T, H * Dh)
+
+
+def _attn_btd_kernel(q_ref, k_ref, v_ref, o_ref, *, t_valid: int,
+                     heads_per_group: int, dh: int, scale: float):
+    """One (b, head-group, q-block) cell; refs are (1, TQ, Dg) /
+    (1, Tp, Dg) channels-last blocks with Dg = heads_per_group * dh —
+    no transposed layout exists anywhere.  Heads are static lane
+    slices; the small head loop unrolls."""
+    q = q_ref[0]                                    # (TQ, Dg)
+    k = k_ref[0]                                    # (Tp, Dg)
+    v = v_ref[0]
+    TQ = q.shape[0]
+    Tp = k.shape[0]
+    mask = None
+    if t_valid < Tp:
+        mask = jax.lax.broadcasted_iota(jnp.int32, (TQ, Tp), 1) < t_valid
+    for h in range(heads_per_group):
+        sl = slice(h * dh, (h + 1) * dh)
+        qk = jax.lax.dot_general(
+            q[:, sl], k[:, sl], dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale      # (TQ, Tp)
+        if mask is not None:
+            qk = jnp.where(mask, qk, -1e30)
+        w = jax.nn.softmax(qk, axis=-1)
+        o_ref[0, :, sl] = jax.lax.dot_general(
+            w.astype(v.dtype), v[:, sl],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("n_head", "t_valid",
+                                             "interpret"))
+def encoder_attention_btd(q, k, v, n_head: int, t_valid: int | None = None,
+                          interpret: bool = False):
+    """Transpose-free fused attention: q/k/v (B, Tp, D) channels-last ->
+    (B, Tp, D) f32.  Tp must be a BLOCK_Q multiple (pad + t_valid like
+    encoder_attention).  Reads the projection GEMMs' natural output
+    layout, so the per-layer (B,T,H,Dh)<->(B,H,Dh,T) transposes of the
+    self_attention wrapper disappear entirely.
+
+    The grid carries a head-group axis sized so each group is 128 lanes
+    (2 heads at Dh=64): K/V blocks stay ~400 KB and the lane slices
+    inside the kernel are register-width aligned."""
+    B, Tp, D = q.shape
+    assert Tp % BLOCK_Q == 0, (Tp, BLOCK_Q)
+    assert D % n_head == 0
+    dh = D // n_head
+    heads_per_group = max(1, 128 // dh)
+    while n_head % heads_per_group:
+        heads_per_group //= 2
+    G = n_head // heads_per_group
+    Dg = heads_per_group * dh
+    if t_valid is None:
+        t_valid = Tp
+    spec_q = pl.BlockSpec((1, BLOCK_Q, Dg), lambda b, g, i: (b, i, g),
+                          memory_space=pltpu.VMEM)
+    # K/V index maps ignore the q-block index -> fetched once per (b, g)
+    spec_kv = pl.BlockSpec((1, Tp, Dg), lambda b, g, i: (b, 0, g),
+                           memory_space=pltpu.VMEM)
+    kern = functools.partial(_attn_btd_kernel, t_valid=t_valid,
+                             heads_per_group=heads_per_group, dh=dh,
+                             scale=dh ** -0.5)
+    return pl.pallas_call(
+        kern,
+        grid=(B, G, Tp // BLOCK_Q),
+        in_specs=[spec_q, spec_kv, spec_kv],
+        out_specs=spec_q,
+        out_shape=jax.ShapeDtypeStruct((B, Tp, D), jnp.float32),
+        interpret=interpret,
+    )(q, k, v)
