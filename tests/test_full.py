@@ -134,6 +134,34 @@ def test_grammar_speculative_matches_reference_loop(random_ctx, params):
     assert n_spec_steps > 0
 
 
+def test_grammar_speculative_chunk_capacity_clamp(random_ctx, params):
+    """Regression: the adaptive chunk length starts at 2 and resets to 2
+    on a speculation miss — both must clamp to the traced SPEC_CHUNK
+    capacity, or a SPEC_CHUNK=1 build asks the device for 2 steps and
+    indexes past the 1-row packed result (IndexError, found round 3)."""
+    from whisper_tpu.decode import grammar_loop
+    from whisper_tpu.grammar import grammar_from_gbnf
+
+    src = open("/root/reference/grammars/colors.gbnf").read()
+    pcm = _noise(3)
+    params.temperature_inc = 0.0
+    params.grammar_rules = grammar_from_gbnf(src)
+    assert random_ctx.full(params, pcm) == 0
+    ref = [(s.t0, s.t1, s.text, [t.id for t in s.tokens])
+           for s in random_ctx.result_all]
+
+    old = grammar_loop.SPEC_CHUNK
+    try:
+        grammar_loop.SPEC_CHUNK = 1   # degenerate: one token per sync
+        params.grammar_rules = grammar_from_gbnf(src)
+        assert random_ctx.full(params, pcm) == 0
+        k1 = [(s.t0, s.t1, s.text, [t.id for t in s.tokens])
+              for s in random_ctx.result_all]
+    finally:
+        grammar_loop.SPEC_CHUNK = old
+    assert k1 == ref
+
+
 def test_grammar_best_of_multi_decoder(random_ctx, params):
     """t > 0 greedy+grammar decodes best_of decoders in one device batch
     (reference: whisper.cpp:5718-5724) — each with its own grammar state;

@@ -285,7 +285,10 @@ def decode_window_grammar(ctx, prompt, kc, vc, t_cur, seek, seek_end,
         i_stop = params.max_tokens if params.max_tokens > 0 else 1 << 30
 
         i = 0
-        cur_k = 2           # adaptive: x2 on clean chunks, reset on miss
+        # adaptive: x2 on clean chunks, reset on miss; always <= the
+        # traced chunk capacity (a SPEC_CHUNK=1 build must never ask the
+        # device for 2 steps — the packed result only has K rows)
+        cur_k = min(2, SPEC_CHUNK)
         need_step = False   # device must be resumed with last_tok[0]
         # `raw` stays a DEVICE array end to end: the host validates from
         # the craws rows inside each packed result, so the only host
@@ -349,7 +352,7 @@ def decode_window_grammar(ctx, prompt, kc, vc, t_cur, seek, seek_end,
             if stopped:
                 break
             if mismatched:
-                cur_k = 2
+                cur_k = min(2, SPEC_CHUNK)
                 need_step = True
             elif dev_stop:
                 need_step = True
