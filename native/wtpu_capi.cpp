@@ -97,8 +97,11 @@ struct whisper_timings_box {
     float sample_ms, encode_ms, decode_ms, batchd_ms, prompt_ms;
 };
 
+struct whisper_state;   // fwd: contexts carry a lazily-made self-state
+
 struct whisper_context {
     PyObject * obj;
+    struct whisper_state * self_state = nullptr;  // see ctx_self_state()
     std::vector<float> logits_buf;
     whisper_timings_box timings_box;
     // storage for returned const char*: whisper.h pointers stay valid for
@@ -133,6 +136,23 @@ struct whisper_state {
         return strings.back().c_str();
     }
 };
+
+// The whisper_state* passed to C callbacks installed via whisper_full /
+// whisper_full_parallel (the no-explicit-state entry points): the
+// WhisperContext doubles as its own default state on the Python side
+// (every *_from_state accessor works on it), so the box wraps a second
+// reference to ctx->obj.  Mirrors the reference, where those callbacks
+// receive ctx->state — a client calling e.g.
+// whisper_full_n_tokens_from_state(state) inside a callback must not
+// segfault.  Freed by whisper_free.
+static whisper_state * ctx_self_state(whisper_context * ctx) {
+    if (!ctx->self_state) {
+        ctx->self_state = new whisper_state();
+        Py_INCREF(ctx->obj);
+        ctx->self_state->obj = ctx->obj;
+    }
+    return ctx->self_state;
+}
 
 // call g_capi.<name>(args...) -> new ref (nullptr on error, error printed)
 static PyObject * call(const char * name, PyObject * args) {
@@ -184,6 +204,7 @@ static PyObject * np_from_f32(const float * samples, int n) {
 
 struct CbBox {
     whisper_context * ctx;
+    whisper_state * state;   // never null: explicit state or ctx self-state
     void * fn;
     void * user_data;
 };
@@ -193,7 +214,7 @@ static PyObject * new_segment_tramp(PyObject * self, PyObject * args) {
     PyObject * ctx_obj;
     int n_new;
     if (!PyArg_ParseTuple(args, "Oi", &ctx_obj, &n_new)) return nullptr;
-    ((whisper_new_segment_callback) box->fn)(box->ctx, nullptr, n_new,
+    ((whisper_new_segment_callback) box->fn)(box->ctx, box->state, n_new,
                                              box->user_data);
     Py_RETURN_NONE;
 }
@@ -203,7 +224,7 @@ static PyObject * progress_tramp(PyObject * self, PyObject * args) {
     PyObject * ctx_obj;
     int progress;
     if (!PyArg_ParseTuple(args, "Oi", &ctx_obj, &progress)) return nullptr;
-    ((whisper_progress_callback) box->fn)(box->ctx, nullptr, progress,
+    ((whisper_progress_callback) box->fn)(box->ctx, box->state, progress,
                                           box->user_data);
     Py_RETURN_NONE;
 }
@@ -214,7 +235,7 @@ static PyObject * encoder_begin_tramp(PyObject * self, PyObject * args) {
     CbBox * box = (CbBox *) PyCapsule_GetPointer(self, "wtpu.cb");
     (void) args;
     bool cont = ((whisper_encoder_begin_callback) box->fn)(
-        box->ctx, nullptr, box->user_data);
+        box->ctx, box->state, box->user_data);
     return PyBool_FromLong(cont);
 }
 
@@ -256,13 +277,42 @@ static PyObject * logits_filter_tramp(PyObject * self, PyObject * args) {
     Py_buffer view;
     if (PyObject_GetBuffer(f32, &view,
                            PyBUF_C_CONTIGUOUS | PyBUF_WRITABLE) == 0) {
+        // snapshot before the callback so only entries the C callback
+        // actually wrote flow back: blanket-assigning the f32 copy over
+        // the host chain's float64 array would round EVERY logit and
+        // could flip near-tie argmax/multinomial picks vs the Python
+        // callback path
+        const size_t nv = (size_t) (view.len / (Py_ssize_t) sizeof(float));
+        std::vector<float> before((float *) view.buf,
+                                  (float *) view.buf + nv);
         ((whisper_logits_filter_callback) box->fn)(
-            box->ctx, nullptr, td.data(), (int) n,
+            box->ctx, box->state, td.data(), (int) n,
             (float *) view.buf, box->user_data);
+        Py_buffer dview;
+        bool wrote = false;
+        if (PyObject_GetBuffer(logits_arr, &dview,
+                               PyBUF_C_CONTIGUOUS | PyBUF_WRITABLE) == 0) {
+            if (dview.len == (Py_ssize_t) (nv * sizeof(double))) {
+                double * dst = (double *) dview.buf;
+                const float * after = (const float *) view.buf;
+                for (size_t i = 0; i < nv; i++)
+                    if (after[i] != before[i]
+                        || (after[i] != after[i] && before[i] == before[i]))
+                        dst[i] = (double) after[i];
+                wrote = true;
+            }
+            PyBuffer_Release(&dview);
+        } else {
+            PyErr_Clear();
+        }
+        if (!wrote) {
+            // non-f64 or non-contiguous host array: fall back to the
+            // whole-array assignment (still correct, just f32-rounded)
+            PyObject * slice = PySlice_New(nullptr, nullptr, nullptr);
+            if (PyObject_SetItem(logits_arr, slice, f32) != 0) PyErr_Print();
+            Py_DECREF(slice);
+        }
         PyBuffer_Release(&view);
-        PyObject * slice = PySlice_New(nullptr, nullptr, nullptr);
-        if (PyObject_SetItem(logits_arr, slice, f32) != 0) PyErr_Print();
-        Py_DECREF(slice);
     } else {
         PyErr_Print();
     }
@@ -286,8 +336,9 @@ static PyMethodDef g_lfilt_def = {"logits_filter", logits_filter_tramp,
                                   METH_VARARGS, nullptr};
 
 static PyObject * make_trampoline(PyMethodDef * def, whisper_context * ctx,
+                                  whisper_state * state,
                                   void * fn, void * user_data) {
-    CbBox * box = new CbBox{ctx, fn, user_data};
+    CbBox * box = new CbBox{ctx, state, fn, user_data};
     PyObject * cap = PyCapsule_New(box, "wtpu.cb", cb_capsule_free);
     PyObject * f = PyCFunction_New(def, cap);
     Py_DECREF(cap);
@@ -304,6 +355,7 @@ static void set_attr(PyObject * o, const char * k, PyObject * v) {
 }
 
 static PyObject * params_to_py(whisper_context * cctx,
+                               whisper_state * cstate,
                                const whisper_full_params & p) {
     PyObject * args = Py_BuildValue("(i)", (int) p.strategy);
     PyObject * fp = call("whisper_full_default_params", args);
@@ -366,23 +418,23 @@ static PyObject * params_to_py(whisper_context * cctx,
 
     if (p.new_segment_callback)
         set_attr(fp, "new_segment_callback", make_trampoline(
-            &g_seg_def, cctx, (void *) p.new_segment_callback,
+            &g_seg_def, cctx, cstate, (void *) p.new_segment_callback,
             p.new_segment_callback_user_data));
     if (p.progress_callback)
         set_attr(fp, "progress_callback", make_trampoline(
-            &g_prog_def, cctx, (void *) p.progress_callback,
+            &g_prog_def, cctx, cstate, (void *) p.progress_callback,
             p.progress_callback_user_data));
     if (p.encoder_begin_callback)
         set_attr(fp, "encoder_begin_callback", make_trampoline(
-            &g_encb_def, cctx, (void *) p.encoder_begin_callback,
+            &g_encb_def, cctx, cstate, (void *) p.encoder_begin_callback,
             p.encoder_begin_callback_user_data));
     if (p.abort_callback)
         set_attr(fp, "abort_callback", make_trampoline(
-            &g_abort_def, cctx, (void *) p.abort_callback,
+            &g_abort_def, cctx, cstate, (void *) p.abort_callback,
             p.abort_callback_user_data));
     if (p.logits_filter_callback)
         set_attr(fp, "logits_filter_callback", make_trampoline(
-            &g_lfilt_def, cctx, (void *) p.logits_filter_callback,
+            &g_lfilt_def, cctx, cstate, (void *) p.logits_filter_callback,
             p.logits_filter_callback_user_data));
 
     // in-struct grammar (reference: whisper.h:546-551): END-terminated
@@ -403,9 +455,16 @@ static PyObject * params_to_py(whisper_context * cctx,
         PyObject * g = call("whisper_grammar_from_c_rules",
                             Py_BuildValue("(Nn)", rules,
                                           (Py_ssize_t) p.i_start_rule));
-        if (g) {
-            set_attr(fp, "grammar_rules", g);
+        if (!g) {
+            // reference rejects unusable grammar params; proceeding
+            // without the grammar would return success with output
+            // violating the caller's constraint
+            fprintf(stderr, "whisper_tpu: failed to marshal grammar_rules; "
+                            "rejecting whisper_full params\n");
+            Py_DECREF(fp);
+            return nullptr;
         }
+        set_attr(fp, "grammar_rules", g);
         set_attr(fp, "grammar_penalty",
                  PyFloat_FromDouble(p.grammar_penalty));
     }
@@ -471,7 +530,14 @@ struct whisper_state * whisper_init_state(struct whisper_context * ctx) {
 
 void whisper_free(struct whisper_context * ctx) {
     if (!ctx) return;
-    { Gil gil; Py_XDECREF(ctx->obj); }
+    {
+        Gil gil;
+        if (ctx->self_state) {
+            Py_XDECREF(ctx->self_state->obj);
+            delete ctx->self_state;
+        }
+        Py_XDECREF(ctx->obj);
+    }
     delete ctx;
 }
 
@@ -521,7 +587,7 @@ int whisper_full(struct whisper_context * ctx,
                  struct whisper_full_params params,
                  const float * samples, int n_samples) {
     Gil gil;
-    PyObject * fp = params_to_py(ctx, params);
+    PyObject * fp = params_to_py(ctx, ctx_self_state(ctx), params);
     PyObject * arr = np_from_f32(samples, n_samples);
     if (!fp || !arr) { Py_XDECREF(fp); Py_XDECREF(arr); return -1; }
     return (int) call_long("whisper_full",
@@ -533,7 +599,7 @@ int whisper_full_with_state(struct whisper_context * ctx,
                             struct whisper_full_params params,
                             const float * samples, int n_samples) {
     Gil gil;
-    PyObject * fp = params_to_py(ctx, params);
+    PyObject * fp = params_to_py(ctx, state, params);
     PyObject * arr = np_from_f32(samples, n_samples);
     if (!fp || !arr) { Py_XDECREF(fp); Py_XDECREF(arr); return -1; }
     return (int) call_long("whisper_full_with_state",
@@ -546,7 +612,7 @@ int whisper_full_parallel(struct whisper_context * ctx,
                           const float * samples, int n_samples,
                           int n_processors) {
     Gil gil;
-    PyObject * fp = params_to_py(ctx, params);
+    PyObject * fp = params_to_py(ctx, ctx_self_state(ctx), params);
     PyObject * arr = np_from_f32(samples, n_samples);
     if (!fp || !arr) { Py_XDECREF(fp); Py_XDECREF(arr); return -1; }
     PyObject * none = Py_None;

@@ -23,10 +23,15 @@ static bool abort_now(void * ud) {
 }
 
 static int n_encb_calls = 0;
+static int g_encb_state_segs = -2;
 static bool encoder_begin_veto(struct whisper_context * ctx,
                                struct whisper_state * st, void * ud) {
-    (void) ctx; (void) st; (void) ud;
+    (void) ctx; (void) ud;
     n_encb_calls++;
+    /* the state pointer must be live and usable with *_from_state
+     * accessors, like the reference's ctx->state (a NULL here would
+     * segfault conforming clients — regression, round 3) */
+    if (st) g_encb_state_segs = whisper_full_n_segments_from_state(st);
     return false;                 /* veto every window */
 }
 
@@ -125,10 +130,12 @@ int main(int argc, char ** argv) {
     printf("ABORT|%d|%d\n", n_abort_calls, whisper_full_n_segments(ctx));
     fp.abort_callback = NULL;
 
-    /* encoder_begin veto -> no windows encoded, zero segments */
+    /* encoder_begin veto -> no windows encoded, zero segments; the
+     * callback also dereferences its whisper_state* (>= 0 proves it) */
     fp.encoder_begin_callback = encoder_begin_veto;
     if (whisper_full(ctx, fp, wpcm, nw) != 0) return 1;
-    printf("ENCB|%d|%d\n", n_encb_calls, whisper_full_n_segments(ctx));
+    printf("ENCB|%d|%d|%d\n", n_encb_calls, whisper_full_n_segments(ctx),
+           g_encb_state_segs);
     fp.encoder_begin_callback = NULL;
 
     /* logits_filter forcing one text token: every decoded text token of

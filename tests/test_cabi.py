@@ -106,8 +106,13 @@ def test_c_abi_extended_surface(tmp_path):
     assert n_base > 0
     n_abort_calls, n_abort_segs = map(int, lines["ABORT"].split("|"))
     assert n_abort_calls == 1 and n_abort_segs == 0   # aborted before work
-    n_encb_calls, n_encb_segs = map(int, lines["ENCB"].split("|"))
+    n_encb_calls, n_encb_segs, encb_state_segs = map(
+        int, lines["ENCB"].split("|"))
     assert n_encb_calls == 1 and n_encb_segs == 0     # veto gates encode
+    # the whisper_state* handed to the callback is live: the C side called
+    # whisper_full_n_segments_from_state(state) on it (regression: the
+    # trampolines used to pass NULL, segfaulting conforming clients)
+    assert encb_state_segs >= 0
     n_lfilt, lfilt_ok = lines["LFILT"].split("|")
     assert int(n_lfilt) > 0 and lfilt_ok == "ok"      # forced-token filter
     gram_ok, n_gram_chars = lines["GRAMMAR"].split("|")

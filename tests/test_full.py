@@ -134,6 +134,38 @@ def test_grammar_speculative_matches_reference_loop(random_ctx, params):
     assert n_spec_steps > 0
 
 
+def test_grammar_speculative_with_suppress_regex(random_ctx, params):
+    """suppress_regex is static per window, so the speculative device
+    chunk applies it at every step (round 3: it used to be host-only,
+    which made any regex that suppresses the unconstrained argmax
+    mismatch at position 0 of every chunk).  Output must be token-equal
+    to the one-token-per-sync oracle path, and the regex must hold."""
+    from whisper_tpu.grammar import grammar_from_gbnf
+
+    src = open("/root/reference/grammars/colors.gbnf").read()
+    pcm = _noise(3)
+    params.temperature_inc = 0.0
+    params.suppress_regex = r" red.*"   # suppress the likely first pick
+    params.grammar_rules = grammar_from_gbnf(src)
+    assert random_ctx.full(params, pcm) == 0
+    spec = [(s.t0, s.t1, s.text, [t.id for t in s.tokens])
+            for s in random_ctx.result_all]
+    # the regex suppresses whole TOKENS fullmatching " red.*" (reference
+    # semantics, src/whisper.cpp:5098-5106) — none may be emitted
+    banned = set(random_ctx._regex_suppress_ids(r" red.*"))
+    for s in random_ctx.result_all:
+        assert not (banned & {t.id for t in s.tokens})
+
+    params.grammar_rules = grammar_from_gbnf(src)
+    params.logits_filter_callback = lambda toks, lg: None  # K=1 oracle
+    assert random_ctx.full(params, pcm) == 0
+    oracle = [(s.t0, s.t1, s.text, [t.id for t in s.tokens])
+              for s in random_ctx.result_all]
+    params.logits_filter_callback = None
+    params.suppress_regex = None
+    assert spec == oracle
+
+
 def test_grammar_speculative_chunk_capacity_clamp(random_ctx, params):
     """Regression: the adaptive chunk length starts at 2 and resets to 2
     on a speculation miss — both must clamp to the traced SPEC_CHUNK

@@ -14,8 +14,16 @@ import os as _os
 # loops instead of paying 30-120 s of jit each. Opt out with
 # WTPU_NO_COMPILE_CACHE=1 or point elsewhere with JAX_COMPILATION_CACHE_DIR.
 if _os.environ.get("WTPU_NO_COMPILE_CACHE") != "1":
-    _os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                           "/tmp/wtpu_jax_cache")
+    # per-user path: a fixed world-shared /tmp name would collide between
+    # users (permission failures) and let a local attacker pre-seed
+    # serialized executables another user's process would deserialize
+    _os.environ.setdefault(
+        "JAX_COMPILATION_CACHE_DIR",
+        _os.path.join(_os.environ.get("XDG_CACHE_HOME")
+                      or _os.path.expanduser("~/.cache"),
+                      "wtpu_jax_cache")
+        if _os.access(_os.path.expanduser("~"), _os.W_OK)
+        else f"/tmp/wtpu_jax_cache_{_os.getuid()}")
     try:
         import jax as _jax
         _jax.config.update("jax_compilation_cache_dir",

@@ -146,6 +146,13 @@ def main(argv=None) -> int:
         print(whisper_bench_ggml_mul_mat_str(args.threads))
         return 0
     if args.what == 3:
+        # bench.py lives at the repo root (not in the package); make it
+        # importable when bench_tool is run from any cwd
+        import os
+        import sys
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        if root not in sys.path:
+            sys.path.insert(0, root)
         from bench import bench_latency  # repo-root bench.py
         lat = bench_latency(args.size)
         dev = jax.devices()[0]

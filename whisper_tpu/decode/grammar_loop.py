@@ -40,7 +40,8 @@ from .loop import DELTA_MIN
 SPEC_CHUNK = 8   # device tokens per host grammar sync (speculative path)
 
 
-def _make_chunk_fn(ctx, consts: FilterConsts, opts: FilterOptions, K: int):
+def _make_chunk_fn(ctx, consts: FilterConsts, opts: FilterOptions, K: int,
+                   extra_suppress: tuple = ()):
     """Jitted up-to-K-step speculative decoder (B=1, greedy).
 
     A `lax.while_loop` that samples through the jitted filter chain
@@ -58,7 +59,11 @@ def _make_chunk_fn(ctx, consts: FilterConsts, opts: FilterOptions, K: int):
     nh = ctx.config.n_text_head
     cd = ctx.compute_dtype
     V = ctx.hparams.n_vocab
-    process = make_process_logits(consts, opts)
+    # suppress_regex ids are static per window, so the device chain can
+    # apply them at EVERY chunk step — otherwise a regex that suppresses
+    # the unconstrained argmax would mismatch the host at position 0 of
+    # every chunk, degrading speculation to 2 device calls per token
+    process = make_process_logits(consts, opts, extra_suppress)
     beg = consts.token_beg
     eot = consts.token_eot
 
@@ -277,10 +282,12 @@ def decode_window_grammar(ctx, prompt, kc, vc, t_cur, seek, seek_end,
                    and params.logits_filter_callback is None
                    and grammar is not None)
     if speculative:
-        key = ("gchunk", opts, SPEC_CHUNK)
+        extra = (ctx._regex_suppress_ids(params.suppress_regex)
+                 if params.suppress_regex else ())
+        key = ("gchunk", opts, SPEC_CHUNK, extra)
         if key not in ctx._jit_cache:
             ctx._jit_cache[key] = _make_chunk_fn(ctx, consts, opts,
-                                                 SPEC_CHUNK)
+                                                 SPEC_CHUNK, extra)
         chunk_fn = ctx._jit_cache[key]
         i_stop = params.max_tokens if params.max_tokens > 0 else 1 << 30
 

@@ -495,7 +495,6 @@ def parse_gbnf(src: str) -> tuple[list[list[Element]], dict[str, int]]:
 # native (C++) engine — same semantics, ~100x faster per-token suppression
 # ---------------------------------------------------------------------------
 
-_VOCAB_BLOB_CACHE: dict = {}   # id(vocab) -> (bytes buf, offsets, n)
 
 
 class NativeGrammar:
@@ -541,11 +540,13 @@ class NativeGrammar:
             return
         import ctypes
 
-        # blob build cached per vocab object: suppressing per window would
-        # otherwise rebuild ~0.5 MB of token bytes every copy
-        key = id(vocab)
-        cached = _VOCAB_BLOB_CACHE.get(key)
-        if cached is None:
+        # blob build cached ON the vocab object (suppressing per window
+        # would otherwise rebuild ~0.5 MB of token bytes every copy).
+        # Deliberately not an id()-keyed dict: CPython reuses freed
+        # object addresses, so a global id->blob map can serve model A's
+        # token table to model B after A is garbage-collected.
+        cached = getattr(vocab, "_grammar_vocab_blob", None)
+        if cached is None or cached[2] != vocab.token_eot:
             parts = vocab.id_to_token[:vocab.token_eot]
             blob = b"".join(parts)
             offsets = [0]
@@ -554,7 +555,7 @@ class NativeGrammar:
             buf = (ctypes.c_uint8 * len(blob)).from_buffer_copy(blob)
             off = (ctypes.c_int32 * len(offsets))(*offsets)
             cached = (buf, off, vocab.token_eot)
-            _VOCAB_BLOB_CACHE[key] = cached
+            vocab._grammar_vocab_blob = cached
         buf, off, n = cached
         self._lib.wtpu_grammar_set_vocab(self._h, buf, off, n, n)
         self._vocab_loaded = True

@@ -409,62 +409,44 @@ def encode(params, mel, n_head: int, compute_dtype=jnp.bfloat16,
     n_ctx = x.shape[1]
     x = x + enc["pos"][:n_ctx]
 
-    if attn_impl in ("pallas_btd", "pallas_btd_interpret"):
-        # transpose-free: (B, T, D) end to end, ONE pad outside the scan
+    # pre-padded whole-stack variants: pad T to a BLOCK_Q multiple ONCE
+    # outside the scan (pad rows are masked as attention keys via t_valid;
+    # row-local ops never mix rows), run one scan over the chosen block
+    # fn.  "pallas_dt" carries the residual channels-first (B, D, T); the
+    # other two stay channels-last (B, T, D).
+    _PADDED_BLOCKS = {
+        # impl -> (block fn, channels_first)
+        "pallas_dt": (_encoder_block_dt, True),    # one lane transpose in/out
+        "pallas_pf": (_encoder_block_pf, False),   # lane-tight QKV via einsum
+        "pallas_btd": (_encoder_block_btd, False), # heads as kernel lane slices
+    }
+    base = attn_impl.removesuffix("_interpret")
+    if base in _PADDED_BLOCKS:
         from ..ops.encoder_attention import BLOCK_Q
-        interp = attn_impl == "pallas_btd_interpret"
+        block_fn, channels_first = _PADDED_BLOCKS[base]
+        interp = attn_impl.endswith("_interpret")
         Tp = ((n_ctx + BLOCK_Q - 1) // BLOCK_Q) * BLOCK_Q
+        if channels_first:
+            x = x.transpose(0, 2, 1)               # (B, D, T)
         if Tp != n_ctx:
-            x = jnp.pad(x, ((0, 0), (0, Tp - n_ctx), (0, 0)))
+            pad_t = ((0, 0), (0, 0), (0, Tp - n_ctx)) if channels_first \
+                else ((0, 0), (0, Tp - n_ctx), (0, 0))
+            x = jnp.pad(x, pad_t)
 
-        def body_btd(carry, blk):
-            return _encoder_block_btd(carry, blk, n_head, compute_dtype,
-                                      t_valid=n_ctx, interpret=interp), None
+        def body_padded(carry, blk):
+            return block_fn(carry, blk, n_head, compute_dtype,
+                            t_valid=n_ctx, interpret=interp), None
 
-        x, _ = jax.lax.scan(body_btd, x, enc["blocks"])
+        x, _ = jax.lax.scan(body_padded, x, enc["blocks"])
+        if channels_first:
+            if out_layout == "bdt":
+                return _layernorm_dt(x[..., :n_ctx], enc["ln_post_w"],
+                                     enc["ln_post_b"])
+            x = x[..., :n_ctx].transpose(0, 2, 1)  # (B, T, D)
+            return _layernorm(x, enc["ln_post_w"], enc["ln_post_b"])
         assert out_layout == "btd", \
             "out_layout='bdt' requires attn_impl='pallas_dt'"
         return _layernorm(x[:, :n_ctx], enc["ln_post_w"], enc["ln_post_b"])
-
-    if attn_impl in ("pallas_pf", "pallas_pf_interpret"):
-        # projection-fused: channels-last residual, lane-tight QKV emitted
-        # straight from the projection GEMMs; ONE pad outside the scan
-        from ..ops.encoder_attention import BLOCK_Q
-        interp = attn_impl == "pallas_pf_interpret"
-        Tp = ((n_ctx + BLOCK_Q - 1) // BLOCK_Q) * BLOCK_Q
-        if Tp != n_ctx:
-            x = jnp.pad(x, ((0, 0), (0, Tp - n_ctx), (0, 0)))
-
-        def body_pf(carry, blk):
-            return _encoder_block_pf(carry, blk, n_head, compute_dtype,
-                                     t_valid=n_ctx, interpret=interp), None
-
-        x, _ = jax.lax.scan(body_pf, x, enc["blocks"])
-        assert out_layout == "btd", \
-            "out_layout='bdt' requires attn_impl='pallas_dt'"
-        return _layernorm(x[:, :n_ctx], enc["ln_post_w"], enc["ln_post_b"])
-
-    if attn_impl in ("pallas_dt", "pallas_dt_interpret"):
-        # channels-first layer stack: ONE transpose in, one out; the
-        # per-layer lane transposes of the channels-last path disappear
-        # (see _encoder_block_dt)
-        from ..ops.encoder_attention import BLOCK_Q
-        interp = attn_impl == "pallas_dt_interpret"
-        Tp = ((n_ctx + BLOCK_Q - 1) // BLOCK_Q) * BLOCK_Q
-        x = x.transpose(0, 2, 1)                       # (B, D, T)
-        if Tp != n_ctx:
-            x = jnp.pad(x, ((0, 0), (0, 0), (0, Tp - n_ctx)))
-
-        def body_dt(carry, blk):
-            return _encoder_block_dt(carry, blk, n_head, compute_dtype,
-                                     t_valid=n_ctx, interpret=interp), None
-
-        x, _ = jax.lax.scan(body_dt, x, enc["blocks"])
-        if out_layout == "bdt":
-            return _layernorm_dt(x[..., :n_ctx], enc["ln_post_w"],
-                                 enc["ln_post_b"])
-        x = x[..., :n_ctx].transpose(0, 2, 1)          # (B, T, D)
-        return _layernorm(x, enc["ln_post_w"], enc["ln_post_b"])
 
     assert out_layout == "btd", \
         "out_layout='bdt' requires attn_impl='pallas_dt'"
