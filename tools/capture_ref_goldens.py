@@ -101,6 +101,23 @@ def main():
         print(f"  -> {GOLDEN / name}.json "
               f"({len(data['transcription'])} segments)")
 
+    # writer-format goldens (tests/test_output_golden.py): byte-exact
+    # txt/vtt/srt/csv/lrc files from the reference writers on jfk
+    writer_caps = [
+        ("ref_jfk_fmt", ["-otxt", "-ovtt", "-osrt", "-ocsv", "-olrc"],
+         ("txt", "vtt", "srt", "csv", "lrc")),
+        ("ref_jfk_fmt_ml", ["-ml", "16", "-ovtt", "-osrt"],
+         ("vtt", "srt")),
+    ]
+    for name, flags, exts in writer_caps:
+        cmd = [cli, "-m", str(model), "-f", jfk, "-nf", "-bs", "1",
+               "-bo", "1", "-of", str(tmp / name), *flags]
+        print("+", " ".join(cmd))
+        subprocess.run(cmd, check=True, capture_output=True)
+        for ext in exts:
+            shutil.copy(f"{tmp / name}.{ext}", GOLDEN / f"{name}.{ext}")
+            print(f"  -> {GOLDEN / name}.{ext}")
+
 
 if __name__ == "__main__":
     main()
