@@ -156,6 +156,34 @@ def test_pipeline_golden_dtw(tmp_path):
     assert n_checked > 0, "golden contains no DTW-timestamped tokens"
 
 
+def test_pipeline_golden_lang_auto(tmp_path, jfk_pcm):
+    """-l auto: language auto-detect (one decode step over the lang-token
+    block, reference: whisper_lang_auto_detect_with_state) must pick the
+    SAME language as the binary and transcribe identically with it.
+    Golden: whisper-cli -l auto -oj on the multilingual seed-7 model —
+    the binary detected 'be' (p = 0.026118)."""
+    path = make_random_model(tmp_path, seed=7, ftype=1, n_vocab=51865)
+    ctx = wt.WhisperContext.from_file(path)
+    ctx.pcm_to_mel(jfk_pcm)
+    lid, probs = ctx.lang_auto_detect()
+    assert wt.lang_str(lid) == "be", wt.lang_str(lid)
+    assert probs[lid] == pytest.approx(0.026118, rel=0.02)
+
+    p = _params()
+    p.language = "auto"
+    p.token_timestamps = False   # golden captured with -oj (not -ojf)
+    assert ctx.full(p, jfk_pcm) == 0
+    ref = json.load(open(os.path.join(GOLDEN, "ref_jfk_lang_auto.json")))
+    assert ref["result"]["language"] == "be"
+    rt = ref["transcription"]
+    assert ctx.full_n_segments() == len(rt)
+    for i, rseg in enumerate(rt):
+        seg = ctx.result_all[i]
+        assert seg.t0 * 10 == rseg["offsets"]["from"], f"seg {i} t0"
+        assert seg.t1 * 10 == rseg["offsets"]["to"], f"seg {i} t1"
+        assert seg.text == rseg["text"], f"seg {i} text"
+
+
 def test_pipeline_golden_translate_de(tmp_path, jfk_pcm):
     """Multilingual model, -l de -tr: pins the language + task token
     prompt assembly (sot, lang_de, translate) against the binary."""

@@ -12,7 +12,16 @@ import numpy as np
 
 def high_pass_filter(data: np.ndarray, cutoff: float,
                      sample_rate: float) -> np.ndarray:
-    """First-order IIR high-pass (reference: common.cpp:601-613)."""
+    """First-order IIR high-pass — the TEXTBOOK filter.
+
+    NOTE: this is deliberately NOT what the reference's helper computes.
+    The reference (common.cpp:601-613) overwrites data[i-1] with the
+    filtered value before reading it on the next iteration, so its
+    recurrence collapses to y_i = alpha * x_i for i >= 1 — a uniform
+    attenuation, not a filter (verified against the compiled binary,
+    tests/test_vad_golden.py).  `vad_simple` below reproduces the
+    reference's collapsed version for decision parity; this helper keeps
+    the filter the reference plainly intended."""
     rc = 1.0 / (2.0 * np.pi * cutoff)
     dt = 1.0 / sample_rate
     alpha = dt / (rc + dt)
@@ -28,6 +37,21 @@ def high_pass_filter(data: np.ndarray, cutoff: float,
     return out.astype(np.float32)
 
 
+def _reference_high_pass(data: np.ndarray, cutoff: float,
+                         sample_rate: float) -> np.ndarray:
+    """Bit-parity twin of the reference's high_pass_filter: because the
+    loop reads the already-overwritten previous sample, the output is
+    [x0, alpha*x1, alpha*x2, ...] (common.cpp:601-613)."""
+    rc = 1.0 / (2.0 * np.pi * cutoff)
+    dt = 1.0 / sample_rate
+    alpha = np.float32(dt / (rc + dt))
+    x = np.asarray(data, dtype=np.float32)
+    out = x * alpha
+    if len(out):
+        out[0] = x[0]
+    return out
+
+
 def vad_simple(pcmf32: np.ndarray, sample_rate: int, last_ms: int,
                vad_thold: float, freq_thold: float,
                verbose: bool = False) -> bool:
@@ -41,7 +65,12 @@ def vad_simple(pcmf32: np.ndarray, sample_rate: int, last_ms: int,
 
     x = np.asarray(pcmf32, dtype=np.float32)
     if freq_thold > 0.0:
-        x = high_pass_filter(x, freq_thold, sample_rate)
+        # decision parity with the reference binary: its filter collapses
+        # to a uniform alpha scaling (see _reference_high_pass), which
+        # makes freq_thold a near-no-op on the last/all energy RATIO —
+        # using the real filter here would change decisions on
+        # low-frequency-dominated audio
+        x = _reference_high_pass(x, freq_thold, sample_rate)
 
     energy_all = float(np.abs(x).mean())
     energy_last = float(np.abs(x[n_samples - n_samples_last:]).mean())
