@@ -1,0 +1,145 @@
+#!/usr/bin/env python3
+"""Differential fuzzer: random audio x random flag combos, reference
+whisper-cli vs our CLI, segment-exact comparison.
+
+Requires a built reference binary (cmake -DGGML_NATIVE=OFF
+-DGGML_OPENMP=OFF from /root/reference) — this is a development tool,
+not a CI test; the stable cross-implementation behaviors it explores are
+pinned as static goldens in tests/golden/ once found interesting.
+
+Usage:
+    python tools/difftest.py /path/to/whisper-cli [n_cases] [seed]
+
+Every case prints PASS/DIFF; DIFFs dump both segment lists.  Flags are
+drawn only from the deterministic subset (greedy t=0, -nf): beam and
+the fallback ladder sample multinomially, which is implementation-
+defined (libstdc++ discrete_distribution vs JAX PRNG) and can never
+match across implementations.
+"""
+
+import json
+import os
+import pathlib
+import random
+import subprocess
+import sys
+import tempfile
+import wave
+
+import numpy as np
+
+ROOT = pathlib.Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(ROOT))
+sys.path.insert(0, str(ROOT / "tests"))
+
+
+def write_wav(path, pcm_f32):
+    pcm16 = (np.clip(pcm_f32, -1, 1) * 32767).astype("<i2")
+    with wave.open(str(path), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes(pcm16.tobytes())
+
+
+def run_ref(cli, model, wav, out, flags):
+    subprocess.run([cli, "-m", str(model), "-f", str(wav), "-nf",
+                    "-bs", "1", "-bo", "1", "-ojf", "-of", str(out),
+                    *flags],
+                   check=True, capture_output=True, timeout=600)
+    return json.load(open(f"{out}.json"))["transcription"]
+
+
+def run_ours(model, wav, out, flags):
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    subprocess.run([sys.executable, "-m", "whisper_tpu.cli",
+                    "-m", str(model), "-f", str(wav), "-nf",
+                    "-bs", "1", "-bo", "1", "-ojf", "-of", str(out),
+                    *flags],
+                   check=True, capture_output=True, timeout=1200, env=env,
+                   cwd=str(ROOT))
+    return json.load(open(f"{out}.json"))["transcription"]
+
+
+FLAG_POOL = [
+    lambda r: ["-ml", str(r.choice([1, 8, 16, 30]))],
+    lambda r: ["-sow", "-ml", str(r.choice([5, 12]))],
+    lambda r: ["-mc", str(r.choice([0, 4, 16]))],
+    lambda r: ["-ot", str(r.choice([500, 3000]))],
+    lambda r: ["-d", str(r.choice([4000, 12000]))],
+    lambda r: ["-sns"],
+    lambda r: ["--suppress-regex", r.choice([" the", " a.*", "[A-Z].*"])],
+    lambda r: ["-nt"],
+    lambda r: ["-tr", "-l", "de"],            # multilingual model only
+    lambda r: ["--prompt", r.choice(["hello world", "Zürich 42nd naïve"])],
+]
+
+
+def segments_equal(a, b):
+    if len(a) != len(b):
+        return False
+    for sa, sb in zip(a, b):
+        if (sa["text"] != sb["text"]
+                or sa["offsets"] != sb["offsets"]):
+            return False
+        ta = [t["id"] for t in sa.get("tokens", [])]
+        tb = [t["id"] for t in sb.get("tokens", [])]
+        if ta != tb:
+            return False
+    return True
+
+
+def main():
+    cli = sys.argv[1]
+    n_cases = int(sys.argv[2]) if len(sys.argv) > 2 else 20
+    seed = int(sys.argv[3]) if len(sys.argv) > 3 else 0
+    rng = random.Random(seed)
+
+    from conftest import make_random_model
+
+    tmp = pathlib.Path(tempfile.mkdtemp(prefix="wtpu_difftest_"))
+    model_en = make_random_model(tmp, seed=7, ftype=1)
+    ml_dir = tmp / "ml"
+    ml_dir.mkdir()
+    model_ml = make_random_model(ml_dir, seed=7, ftype=1, n_vocab=51865)
+
+    n_diff = 0
+    for case in range(n_cases):
+        arng = np.random.RandomState(seed * 1000 + case)
+        secs = rng.choice([2, 8, 15, 35])
+        amp = rng.choice([0.02, 0.1, 0.3])
+        pcm = arng.randn(16000 * secs) * amp
+        if rng.random() < 0.3:   # silent tail
+            pcm[-16000:] = 0.0
+        wav = tmp / f"case{case}.wav"
+        write_wav(wav, pcm)
+
+        n_flags = rng.choice([0, 1, 1, 2])
+        flags = []
+        for f in rng.sample(FLAG_POOL, n_flags):
+            flags += f(rng)
+        model = model_ml if "-tr" in flags else model_en
+
+        try:
+            ref = run_ref(cli, model, wav, tmp / f"r{case}", flags)
+            ours = run_ours(model, wav, tmp / f"o{case}", flags)
+        except subprocess.CalledProcessError as e:
+            print(f"case {case:3d} ERROR flags={flags}: "
+                  f"{e.stderr.decode()[-200:]}")
+            n_diff += 1
+            continue
+        if segments_equal(ref, ours):
+            print(f"case {case:3d} PASS  ({secs}s amp={amp} flags={flags})")
+        else:
+            n_diff += 1
+            print(f"case {case:3d} DIFF  ({secs}s amp={amp} flags={flags})")
+            print("  ref :", [(s['offsets']['from'], s['offsets']['to'],
+                               s['text']) for s in ref])
+            print("  ours:", [(s['offsets']['from'], s['offsets']['to'],
+                               s['text']) for s in ours])
+    print(f"{n_cases - n_diff}/{n_cases} identical")
+    return 1 if n_diff else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
