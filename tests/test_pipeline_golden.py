@@ -122,6 +122,24 @@ def test_pipeline_golden_maxlen(golden_ctx, jfk_pcm):
     _assert_matches_golden(golden_ctx, "ref_jfk_maxlen")
 
 
+def test_pipeline_golden_offset_nt(golden_ctx):
+    """-ot 3000 -nt: engine-level no_timestamps (all timestamp tokens
+    suppressed in the logit chain, reference: src/whisper.cpp:5064-5068)
+    combined with a seek offset.  Pins the decode AND the reference's
+    accidental emission arithmetic: whisper_sample_token inits tid to 0
+    (:5302-5304) and with -nt no timestamp prob ever exceeds 0, so
+    t0 = seek + 2*(0 - token_beg) goes hugely negative — found by
+    tools/difftest.py, reproduced bit-exactly."""
+    rng = np.random.RandomState(3003)
+    pcm_f = (rng.randn(16000 * 8) * 0.3).clip(-1, 1)
+    pcm = ((pcm_f * 32767).astype(np.int16)).astype(np.float32) / 32768.0
+    p = _params()
+    p.offset_ms = 3000
+    p.no_timestamps = True
+    assert golden_ctx.full(p, pcm) == 0
+    _assert_matches_golden(golden_ctx, "ref_noise8_offset_nt")
+
+
 def test_pipeline_golden_dtw(tmp_path):
     """-dtw tiny.en: DTW token-level timestamps (t_dtw) end-to-end vs the
     binary — pins the cross-QK capture, alignment-head selection, median

@@ -81,6 +81,14 @@ def main():
     noise3 = tmp / "noise3.wav"
     write_wav(noise3, np.random.RandomState(5).randn(16000 * 3) * 0.1)
 
+    # offset + engine-level no_timestamps: pins the -nt decode (all ts
+    # tokens suppressed in the logit chain) AND the reference's accidental
+    # tid=0 emission arithmetic (whisper_sample_token inits tid to 0 and
+    # with -nt no ts prob ever exceeds 0, so t0 = seek + 2*(0 - token_beg)
+    # goes hugely negative — a faithful drop-in reproduces it bit-exactly)
+    noise8 = tmp / "noise8.wav"
+    write_wav(noise8, np.random.RandomState(3003).randn(16000 * 8) * 0.3)
+
     # exercises initial_prompt tokenization (unicode + contraction +
     # digits) through the real-vocab tokenizer on both sides
     prompt = "The naïve café doesn't exist on 42nd street in Zürich."
@@ -91,6 +99,7 @@ def main():
         ("ref_noise40_greedy", model, noise40, ()),
         ("ref_silence_greedy", model, silence, ()),
         ("ref_jfk_maxlen", model, jfk, ("-ml", "16")),
+        ("ref_noise8_offset_nt", model, noise8, ("-ot", "3000", "-nt")),
         ("ref_jfk_de_translate", model_ml, jfk, ("-l", "de", "-tr")),
         ("ref_noise3_dtw", model_dtw, noise3, ("-dtw", "tiny.en")),
     ]

@@ -9,6 +9,7 @@ Usage:  python -m whisper_tpu.cli -m model.bin -f audio.wav [options]
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 from . import outputs
@@ -37,7 +38,10 @@ def build_parser() -> argparse.ArgumentParser:
     a("-ml", "--max-len", type=int, default=0, dest="max_len")
     a("-sow", "--split-on-word", action="store_true", dest="split_on_word")
     a("-bo", "--best-of", type=int, default=5, dest="best_of")
-    a("-bs", "--beam-size", type=int, default=-1, dest="beam_size")
+    # reference default: whisper_full_default_params(BEAM_SEARCH)
+    # .beam_search.beam_size = 5 (cli.cpp:47) — the reference CLI runs
+    # beam search by default
+    a("-bs", "--beam-size", type=int, default=5, dest="beam_size")
     a("-ac", "--audio-ctx", type=int, default=0, dest="audio_ctx")
     a("-wt", "--word-thold", type=float, default=0.01, dest="word_thold")
     a("-et", "--entropy-thold", type=float, default=2.40, dest="entropy_thold")
@@ -90,8 +94,11 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
-def cli_params_to_full(args) -> FullParams:
-    strategy = (SamplingStrategy.BEAM_SEARCH if args.beam_size > 1
+def cli_params_to_full(args, use_grammar: bool = False) -> FullParams:
+    # grammar forces beam search like the reference (cli.cpp:1114-1115:
+    # strategy = beam_size > 1 || use_grammar ? BEAM : GREEDY)
+    strategy = (SamplingStrategy.BEAM_SEARCH
+                if args.beam_size > 1 or use_grammar
                 else SamplingStrategy.GREEDY)
     p = full_default_params(strategy)
     p.print_realtime = False
@@ -107,7 +114,8 @@ def cli_params_to_full(args) -> FullParams:
     p.duration_ms = args.duration_ms
     p.token_timestamps = args.output_wts or args.output_jsn_full or args.max_len > 0
     p.thold_pt = args.word_thold
-    p.max_len = args.max_len
+    # -owts without -ml defaults to 60-char karaoke lines (cli.cpp:1131)
+    p.max_len = 60 if args.output_wts and args.max_len == 0 else args.max_len
     p.split_on_word = args.split_on_word
     p.audio_ctx = args.audio_ctx
     p.debug_mode = args.debug_mode
@@ -121,6 +129,9 @@ def cli_params_to_full(args) -> FullParams:
     p.entropy_thold = args.entropy_thold
     p.logprob_thold = args.logprob_thold
     p.no_speech_thold = args.no_speech_thold
+    # the engine-level flag (suppresses all timestamp tokens in the logit
+    # chain, cli.cpp:1153) — distinct from print_timestamps above
+    p.no_timestamps = args.no_timestamps
     p.suppress_nst = args.suppress_nst
     return p
 
@@ -196,18 +207,36 @@ def main(argv=None) -> int:
     if args.detect_language:
         args.language = "auto"
 
-    params = cli_params_to_full(args)
-
+    # grammar semantics mirror the reference CLI (cli.cpp:1045-1066,
+    # 1114-1115, 1163-1172): --grammar is a file path OR an inline GBNF
+    # string; a parse failure exits 4; sampling additionally requires a
+    # non-empty --grammar-rule (its absence leaves the grammar unused but
+    # STILL forces beam strategy); an unknown rule warns and skips.
+    use_grammar = False
+    grammar_src = symbols = None
     if args.grammar:
-        from .grammar import grammar_from_gbnf
+        from .grammar import parse_gbnf
+        grammar_src = (open(args.grammar).read()
+                       if os.path.isfile(args.grammar) else args.grammar)
         try:
-            src = open(args.grammar).read()
+            _, symbols = parse_gbnf(grammar_src)
+        except Exception:
+            print(f'error: failed to parse grammar "{args.grammar}"',
+                  file=sys.stderr)
+            return 4
+        use_grammar = bool(args.grammar_rule)
+
+    params = cli_params_to_full(args, use_grammar=use_grammar)
+
+    if use_grammar:
+        if args.grammar_rule not in symbols:
+            print(f"warning: grammar rule '{args.grammar_rule}' not found "
+                  "- skipping grammar sampling", file=sys.stderr)
+        else:
+            from .grammar import grammar_from_gbnf
             params.grammar_rules = grammar_from_gbnf(
-                src, args.grammar_rule or "root")
+                grammar_src, args.grammar_rule)
             params.grammar_penalty = args.grammar_penalty
-        except Exception as e:
-            print(f"error: failed to parse grammar: {e}", file=sys.stderr)
-            return 1
 
     for fname in args.fname_inp:
         pcm, pcm_stereo = load_audio(fname, stereo=args.diarize)
