@@ -202,6 +202,63 @@ def test_server_roundtrip(model_path, jfk_wav_path):
         httpd.shutdown()
 
 
+def test_server_verbose_json(model_path, jfk_wav_path):
+    """verbose_json carries the reference server's full field set
+    (server.cpp:927-980): per-segment token ids, a words array with
+    per-token timing + probability, temperature, avg_logprob; start/end
+    are omitted when no_timestamps is requested."""
+    import socket
+    from http.server import ThreadingHTTPServer
+
+    from whisper_tpu import server as srv_mod
+
+    srv_mod.STATE.ctx = wt.WhisperContext.from_file(model_path)
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    httpd = ThreadingHTTPServer(("127.0.0.1", port), srv_mod.Handler)
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        wav = open(jfk_wav_path, "rb").read()[:16000 * 2 * 2 + 44]
+        boundary = "vb"
+
+        def post(extra_fields):
+            fields = {"temperature_inc": "0.0",
+                      "response_format": "verbose_json", **extra_fields}
+            body = (f"--{boundary}\r\nContent-Disposition: form-data; "
+                    f'name="file"; filename="a.wav"\r\n\r\n').encode() + wav
+            for k, v in fields.items():
+                body += (f"\r\n--{boundary}\r\nContent-Disposition: "
+                         f'form-data; name="{k}"\r\n\r\n{v}').encode()
+            body += f"\r\n--{boundary}--\r\n".encode()
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/inference", data=body,
+                headers={"Content-Type":
+                         f'multipart/form-data; boundary="{boundary}"'})
+            with urllib.request.urlopen(req, timeout=300) as r:
+                return json.load(r)
+
+        doc = post({})
+        assert set(doc) == {"task", "language", "duration", "text",
+                            "segments"}
+        assert doc["task"] == "transcribe" and doc["duration"] > 0
+        seg = doc["segments"][0]
+        for key in ("id", "text", "start", "end", "tokens", "words",
+                    "temperature", "avg_logprob", "no_speech_prob"):
+            assert key in seg, key
+        word = seg["words"][0]
+        assert {"word", "start", "end", "t_dtw", "probability"} <= set(word)
+        assert len(seg["tokens"]) == len(seg["words"])
+
+        doc_nt = post({"no_timestamps": "true"})
+        seg_nt = doc_nt["segments"][0]
+        assert "start" not in seg_nt and "end" not in seg_nt
+        if seg_nt.get("words"):
+            assert "start" not in seg_nt["words"][0]
+    finally:
+        httpd.shutdown()
+
+
 def test_command_match():
     from whisper_tpu.command import match_command
     idx, sim = match_command("turn on the lights",

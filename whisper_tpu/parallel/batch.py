@@ -181,6 +181,19 @@ class BatchTranscriber:
         ctx = self.ctx
         p = self.params
         states = []
+
+        def _with_energy(st, pcm):
+            # token-level timestamps need the per-stream signal energy the
+            # serial full() computes (reference: whisper.cpp:5523); the
+            # emission path reads it from the stream's state
+            if p.token_timestamps:
+                from ..timestamps import get_signal_energy
+                arr = np.asarray(pcm)
+                if arr.dtype == np.int16:
+                    arr = arr.astype(np.float32) / 32768.0
+                st.energy = get_signal_energy(arr, 32)
+            return st
+
         for pcm in streams:
             if self.device_mel:
                 # mel runs on the TPU inside _encode_batch; the host only
@@ -203,14 +216,15 @@ class BatchTranscriber:
                     seek_end=(n_len_org if p.duration_ms == 0
                               else p.offset_ms // 10 + p.duration_ms // 10))
                 st.pcm_padded = padded
-                states.append(st)
+                states.append(_with_energy(st, pcm))
                 continue
             mel, n_len_org = log_mel_spectrogram(
                 np.asarray(pcm), ctx.filters)
-            states.append(StreamState(
+            states.append(_with_energy(StreamState(
                 mel=mel, seek=p.offset_ms // 10,
                 seek_end=(n_len_org if p.duration_ms == 0
-                          else p.offset_ms // 10 + p.duration_ms // 10)))
+                          else p.offset_ms // 10 + p.duration_ms // 10)),
+                pcm))
         for st in states:
             if st.seek_end < st.seek + DELTA_MIN:
                 st.done = True

@@ -76,6 +76,10 @@ class _BatchWorker:
     def _default_params():
         p = full_default_params()
         p.print_progress = False
+        # match the handler's server-level defaults so the warmup compiles
+        # the same decode configuration live requests use
+        p.greedy.best_of = 2
+        p.no_context = False
         return p
 
     @staticmethod
@@ -85,6 +89,7 @@ class _BatchWorker:
         params to the whole group, so anything missing here silently
         leaks settings between requests."""
         return (p.language, p.translate, p.no_timestamps, p.single_segment,
+                p.no_context,
                 p.max_tokens, p.temperature, p.temperature_inc,
                 p.strategy,
                 p.beam_search.beam_size, p.greedy.best_of,
@@ -173,9 +178,10 @@ class _BatchWorker:
 class _SegmentsView:
     """Read-only accessor facade over a segment list (for formatters)."""
 
-    def __init__(self, segments, lang_id=0):
+    def __init__(self, segments, lang_id=0, ctx=None):
         self._segs = segments
         self._lang = lang_id
+        self._ctx = ctx
 
     def full_n_segments(self): return len(self._segs)
     def full_lang_id(self): return self._lang
@@ -184,6 +190,13 @@ class _SegmentsView:
     def full_get_segment_text(self, i): return self._segs[i].text
     def full_get_segment_no_speech_prob(self, i):
         return self._segs[i].no_speech_prob
+    def full_n_tokens(self, i): return len(self._segs[i].tokens)
+    def full_get_token_id(self, i, j): return self._segs[i].tokens[j].id
+    def full_get_token_data(self, i, j): return self._segs[i].tokens[j]
+    def full_get_token_text(self, i, j):
+        return self._ctx.token_to_str(self._segs[i].tokens[j].id)
+    def token_eot(self):
+        return self._ctx.token_eot()
 
 
 def _parse_multipart(body: bytes, content_type: str) -> dict:
@@ -247,6 +260,9 @@ def _apply_request_params(params, form: dict):
                       ("split_on_word", "split_on_word"),
                       ("no_timestamps", "no_timestamps"),
                       ("detect_language", "detect_language"),
+                      ("no_context", "no_context"),
+                      # both spellings accepted (server.cpp:504-511)
+                      ("suppress_non_speech", "suppress_nst"),
                       ("suppress_nst", "suppress_nst")]:
         v = get(key)
         if v is not None and attr:
@@ -286,9 +302,44 @@ def _format_response(ctx, fmt: str, params=None,
                       f"{ctx.full_get_segment_text(i)}\n\n")
         return "text/vtt", out.getvalue()
     if fmt == "verbose_json":
-        # field semantics follow the reference server (server.cpp:929-935):
-        # full language name, translate-aware task, pcm-length duration
+        # field semantics follow the reference server (server.cpp:927-980):
+        # full language name, translate-aware task, pcm-length duration,
+        # per-segment token ids + "words" array with per-token timing
+        # (present only for non-special tokens, timestamps gated on
+        # no_timestamps), temperature, avg_logprob (the reference divides
+        # the non-special logprob sum by the FULL token count — kept)
         from .languages import lang_str_full
+        no_ts = params is not None and params.no_timestamps
+        eot = ctx.token_eot()
+        segments = []
+        for i in range(n):
+            seg = {"id": i, "text": ctx.full_get_segment_text(i)}
+            if not no_ts:
+                seg["start"] = ctx.full_get_segment_t0(i) / 100.0
+                seg["end"] = ctx.full_get_segment_t1(i) / 100.0
+            tok_ids, words, total_logprob = [], [], 0.0
+            n_tok = ctx.full_n_tokens(i)
+            for j in range(n_tok):
+                tok = ctx.full_get_token_data(i, j)
+                if tok.id >= eot:
+                    continue
+                tok_ids.append(tok.id)
+                word = {"word": ctx.full_get_token_text(i, j)}
+                if not no_ts:
+                    word["start"] = tok.t0 / 100.0
+                    word["end"] = tok.t1 / 100.0
+                    word["t_dtw"] = tok.t_dtw
+                word["probability"] = tok.p
+                total_logprob += tok.plog
+                words.append(word)
+            if tok_ids:
+                seg["tokens"] = tok_ids
+                seg["words"] = words
+            seg["temperature"] = (params.temperature
+                                  if params is not None else 0.0)
+            seg["avg_logprob"] = total_logprob / max(n_tok, 1)
+            seg["no_speech_prob"] = ctx.full_get_segment_no_speech_prob(i)
+            segments.append(seg)
         doc = {
             "task": ("translate" if params is not None and params.translate
                      else "transcribe"),
@@ -297,13 +348,7 @@ def _format_response(ctx, fmt: str, params=None,
                          else (ctx.full_get_segment_t1(n - 1) / 100.0
                                if n else 0.0)),
             "text": "".join(ctx.full_get_segment_text(i) for i in range(n)),
-            "segments": [{
-                "id": i,
-                "start": ctx.full_get_segment_t0(i) / 100.0,
-                "end": ctx.full_get_segment_t1(i) / 100.0,
-                "text": ctx.full_get_segment_text(i),
-                "no_speech_prob": ctx.full_get_segment_no_speech_prob(i),
-            } for i in range(n)],
+            "segments": segments,
         }
         return "application/json", json.dumps(doc, ensure_ascii=False)
     # default: simple json
@@ -366,7 +411,18 @@ class Handler(BaseHTTPRequestHandler):
 
             params = full_default_params()
             params.print_progress = False
+            # server-level defaults that differ from whisper_full_default_
+            # params (reference server.cpp:56, 82): best_of 2, and context
+            # IS carried across windows within a request
+            params.greedy.best_of = 2
+            params.no_context = False
             fmt = _apply_request_params(params, form)
+            # post-parse rules (server.cpp:808, 833): max_len defaults to
+            # 60, token timestamps only for verbose_json responses
+            if params.max_len == 0:
+                params.max_len = 60
+            params.token_timestamps = (not params.no_timestamps
+                                       and fmt == "verbose_json")
 
             if STATE.ctx is None:
                 raise RuntimeError("no model loaded")
@@ -376,7 +432,7 @@ class Handler(BaseHTTPRequestHandler):
                 from .languages import lang_id as _lang_id
                 lid = (_lang_id(params.language)
                        if params.language not in (None, "", "auto") else 0)
-                view = _SegmentsView(segs, max(lid, 0))
+                view = _SegmentsView(segs, max(lid, 0), ctx=STATE.ctx)
                 ctype, out = _format_response(view, fmt, params, duration_s)
             else:
                 with STATE.lock:
