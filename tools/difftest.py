@@ -15,6 +15,15 @@ drawn only from the deterministic subset (greedy t=0, -nf): beam and
 the fallback ladder sample multinomially, which is implementation-
 defined (libstdc++ discrete_distribution vs JAX PRNG) and can never
 match across implementations.
+
+Known benign DIFF class — greedy near-ties: random weights produce an
+almost-flat distribution over 51k tokens, so two candidates can sit
+within ~1e-7 probability of each other and the argmax flips on f32
+GEMM rounding (ggml vs XLA).  Signature: a single token id differs at
+one position with BOTH sides' top-p within ~2% of each other, identical
+timestamps, and the suffix re-converges.  Such cases are tagged
+"(near-tie?)" in the output; only structural divergence (timestamps,
+segmentation, non-reconverging tokens) is actionable.
 """
 
 import json
@@ -75,6 +84,29 @@ FLAG_POOL = [
 ]
 
 
+def _near_tie_only(ref, ours):
+    """True when the two runs differ only by token ids at matching
+    positions whose top probabilities sit within 2% of each other, with
+    identical segment timestamps — the benign f32 argmax-flip class."""
+    if len(ref) != len(ours):
+        return False
+    saw_flip = False
+    for sa, sb in zip(ref, ours):
+        if sa["offsets"] != sb["offsets"]:
+            return False
+        ta, tb = sa.get("tokens", []), sb.get("tokens", [])
+        if len(ta) != len(tb):
+            return False
+        for x, y in zip(ta, tb):
+            if x["id"] == y["id"]:
+                continue
+            pa, pb = x.get("p", 0.0), y.get("p", 0.0)
+            if pa <= 0 or pb <= 0 or abs(pa - pb) / max(pa, pb) > 0.02:
+                return False
+            saw_flip = True
+    return saw_flip
+
+
 def segments_equal(a, b):
     if len(a) != len(b):
         return False
@@ -132,7 +164,9 @@ def main():
             print(f"case {case:3d} PASS  ({secs}s amp={amp} flags={flags})")
         else:
             n_diff += 1
-            print(f"case {case:3d} DIFF  ({secs}s amp={amp} flags={flags})")
+            tag = " (near-tie?)" if _near_tie_only(ref, ours) else ""
+            print(f"case {case:3d} DIFF{tag}  "
+                  f"({secs}s amp={amp} flags={flags})")
             print("  ref :", [(s['offsets']['from'], s['offsets']['to'],
                                s['text']) for s in ref])
             print("  ours:", [(s['offsets']['from'], s['offsets']['to'],
