@@ -39,7 +39,7 @@ class StreamTranscriber:
                  language: str = "en", translate: bool = False,
                  no_context: bool = True, audio_ctx: int = 0,
                  beam_size: int = -1, no_timestamps: bool | None = None,
-                 print_special: bool = False):
+                 print_special: bool = False, no_fallback: bool = True):
         self.ctx = ctx
         self.use_vad = step_ms <= 0
         self.step_ms = step_ms if not self.use_vad else 3000
@@ -70,9 +70,15 @@ class StreamTranscriber:
         p.beam_search.beam_size = beam_size
         p.audio_ctx = audio_ctx
         p.tdrz_enable = False
-        p.temperature_inc = 0.0    # stream disables fallback
+        # the reference stream KEEPS the temperature fallback unless -nf
+        # (stream.cpp:328); the API default stays no-fallback for
+        # deterministic streaming, the CLI below exposes -nf like the
+        # reference
+        if no_fallback:
+            p.temperature_inc = 0.0
         p.no_context = True        # context carried via prompt_tokens below
-        self._keep_context = not no_context
+        # VAD mode never carries context (stream.cpp:137 no_context |= use_vad)
+        self._keep_context = (not no_context) and not self.use_vad
 
         self.pcmf32_old = np.zeros(0, np.float32)
         self.prompt_tokens: list[int] = []
@@ -233,6 +239,9 @@ def main(argv=None) -> int:
     ap.add_argument("--length", type=int, default=10000, dest="length_ms")
     ap.add_argument("--keep", type=int, default=200, dest="keep_ms")
     ap.add_argument("-mt", "--max-tokens", type=int, default=32)
+    ap.add_argument("-nf", "--no-fallback", action="store_true",
+                    dest="no_fallback",
+                    help="do not use temperature fallback while decoding")
     ap.add_argument("-vth", "--vad-thold", type=float, default=0.6)
     ap.add_argument("-fth", "--freq-thold", type=float, default=100.0)
     ap.add_argument("-l", "--language", default="en")
@@ -248,11 +257,13 @@ def main(argv=None) -> int:
     ctx = WhisperContext.from_file(args.model)
     st = StreamTranscriber(
         ctx, step_ms=args.step_ms, length_ms=args.length_ms,
-        keep_ms=args.keep_ms, max_tokens=args.max_tokens,
+        # the reference stream zeroes max_tokens post-parse regardless of
+        # -mt (stream.cpp:139) and keeps the fallback unless -nf (:328)
+        keep_ms=args.keep_ms, max_tokens=0,
         vad_thold=args.vad_thold, freq_thold=args.freq_thold,
         language=args.language, translate=args.translate,
         no_context=not args.keep_context, audio_ctx=args.audio_ctx,
-        beam_size=args.beam_size)
+        beam_size=args.beam_size, no_fallback=args.no_fallback)
 
     chunk_ms = st.step_ms if not st.use_vad else 100
     if args.capture is not None:
