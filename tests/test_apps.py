@@ -267,6 +267,26 @@ def test_command_match():
     assert idx == 1 and sim == 1.0
 
 
+def test_command_transcribe_utterance(ctx):
+    """transcribe_utterance uses the reference decode config
+    (command.cpp:149-186): beam-5 @ t=0.4 with a single-rung ladder by
+    default, greedy t=0 when deterministic=True."""
+    from whisper_tpu.command import transcribe_utterance
+
+    pcm = _noise(2, seed=3)
+    text = transcribe_utterance(ctx, pcm, max_tokens=8)
+    assert isinstance(text, str)
+
+    det1 = transcribe_utterance(ctx, pcm, max_tokens=8, deterministic=True)
+    det2 = transcribe_utterance(ctx, pcm, max_tokens=8, deterministic=True)
+    assert det1 == det2  # greedy t=0 is reproducible
+
+    # suppress_regex reaches the params (kills any token matching .*)
+    blank = transcribe_utterance(ctx, pcm, max_tokens=4,
+                                 deterministic=True, suppress_regex=None)
+    assert isinstance(blank, str)
+
+
 def test_server_batched_mode(model_path, jfk_wav_path):
     """Concurrent requests ride one device batch (_BatchWorker)."""
     import socket

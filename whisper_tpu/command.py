@@ -26,16 +26,35 @@ from .constants import SAMPLE_RATE
 def transcribe_utterance(ctx: WhisperContext, pcm: np.ndarray, *,
                          max_tokens: int = 32, grammar=None,
                          grammar_penalty: float = 100.0,
-                         initial_prompt: str | None = None) -> str:
-    p = full_default_params()
+                         initial_prompt: str | None = None,
+                         suppress_regex: str | None = None,
+                         temperature: float = 0.4,
+                         beam_size: int = 5,
+                         deterministic: bool = False) -> str:
+    """One utterance -> text, with the reference transcribe() decode
+    configuration (command.cpp:149-186): beam-5 search at temperature
+    0.4 with temperature_inc 1.0 (a single-rung ladder).  Pass
+    deterministic=True for greedy t=0 instead (useful for tests)."""
+    from .api import SamplingStrategy
+    p = full_default_params(SamplingStrategy.GREEDY if deterministic
+                            else SamplingStrategy.BEAM_SEARCH)
     p.print_progress = False
     p.single_segment = True
     p.no_timestamps = True
     p.max_tokens = max_tokens
-    p.temperature_inc = 0.0
+    if deterministic:
+        p.temperature = 0.0
+        p.temperature_inc = 0.0
+    else:
+        p.temperature = temperature
+        p.temperature_inc = 1.0
+        p.greedy.best_of = 5
+        p.beam_search.beam_size = beam_size
     p.translate = False
     p.no_context = True
     p.initial_prompt = initial_prompt
+    if suppress_regex:
+        p.suppress_regex = suppress_regex
     if grammar is not None:
         p.grammar_rules = grammar
         p.grammar_penalty = grammar_penalty
@@ -69,6 +88,10 @@ def main(argv=None) -> int:
     ap.add_argument("-vth", "--vad-thold", type=float, default=0.6)
     ap.add_argument("-fth", "--freq-thold", type=float, default=100.0)
     ap.add_argument("-mt", "--max-tokens", type=int, default=32)
+    ap.add_argument("--suppress-regex", default=None, dest="suppress_regex")
+    ap.add_argument("--deterministic", action="store_true",
+                    help="greedy t=0 decode instead of the reference's "
+                         "beam-5 @ t=0.4")
     args = ap.parse_args(argv)
 
     ctx = WhisperContext.from_file(args.model)
@@ -97,7 +120,9 @@ def main(argv=None) -> int:
     for pcm in chunks:
         text = transcribe_utterance(
             ctx, pcm, max_tokens=args.max_tokens, grammar=grammar,
-            grammar_penalty=args.grammar_penalty, initial_prompt=args.prompt)
+            grammar_penalty=args.grammar_penalty, initial_prompt=args.prompt,
+            suppress_regex=args.suppress_regex,
+            deterministic=args.deterministic)
         if commands is not None:
             idx, sim = match_command(text, commands)
             print(f"heard: '{text}' -> command [{idx}] "
