@@ -49,6 +49,8 @@ def transcribe_move(ctx, pcm, grammar_text, grammar_penalty):
     p.audio_ctx = min(768, ctx.n_audio_ctx())
     p.temperature = 0.0
     p.temperature_inc = 2.0
+    p.greedy.best_of = 1
+    p.beam_search.beam_size = 1
     p.language = "en"
     p.grammar_penalty = grammar_penalty
     p.grammar_rules = grammar_from_gbnf(grammar_text, "move")

@@ -281,10 +281,22 @@ def test_command_transcribe_utterance(ctx):
     det2 = transcribe_utterance(ctx, pcm, max_tokens=8, deterministic=True)
     assert det1 == det2  # greedy t=0 is reproducible
 
-    # suppress_regex reaches the params (kills any token matching .*)
-    blank = transcribe_utterance(ctx, pcm, max_tokens=4,
-                                 deterministic=True, suppress_regex=None)
-    assert isinstance(blank, str)
+    # suppress_regex reaches the decode: suppressing the exact text of
+    # the first decoded token removes it (command.cpp:173 parity;
+    # suppress_regex full-matches token strings, whisper.cpp:5098-5105)
+    import re as _re
+    tok_texts = [ctx.full_get_token_text(0, j)
+                 for j in range(ctx.full_n_tokens(0))]
+    text_toks = [t for t in tok_texts if not t.startswith("[_")]
+    if text_toks:
+        target = text_toks[0]
+        sup = transcribe_utterance(ctx, pcm, max_tokens=8,
+                                   deterministic=True,
+                                   suppress_regex=_re.escape(target))
+        sup_toks = [ctx.full_get_token_text(0, j)
+                    for j in range(ctx.full_n_tokens(0))]
+        assert target not in sup_toks
+        assert isinstance(sup, str)
 
 
 def test_server_batched_mode(model_path, jfk_wav_path):

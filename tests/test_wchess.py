@@ -115,6 +115,23 @@ def test_grammar_parses_with_engine():
     assert grammar_from_gbnf(chess.grammar(), "move") is not None
 
 
+def test_king_capture_does_not_crash():
+    """The reference's lazy allowed-set update lets a stale king move slip
+    through (e2 still listed after Ba6 pins nothing but attacks e2); after
+    the king is captured, process() must keep returning results instead of
+    raising (reference reads board[INVALID_POS] without crashing)."""
+    chess = Chessboard()
+    play(chess,
+         ("e4", "e2-e4"), ("b6", "b7-b6"), ("a4", "a2-a4"),
+         ("bishop to a6", "c8-a6"),
+         ("king to e2", "e1-e2"),       # stale allowed set accepts this
+         ("bishop to e2", "a6-e2"))     # captures the king
+    # further processing must not raise
+    for cmd in ("d4", "d5", "queen to e2", "knight f3"):
+        assert isinstance(chess.process(cmd), str)
+    assert isinstance(chess.grammar(), str)
+
+
 def test_stringify_board():
     chess = Chessboard()
     s = chess.stringify_board()

@@ -363,6 +363,8 @@ class Chessboard:
                 pinned.update = True
                 del enemy_pins[i]
                 break
+        if king.pos is None:   # king captured through a stale allowed set
+            return
         if piece.move_pattern(king.pos):
             d = _normalize((king.pos % 8 - piece.pos % 8,
                             king.pos // 8 - piece.pos // 8))
@@ -383,6 +385,8 @@ class Chessboard:
         enemies = state.whites if color else state.blacks
         own = state.blacks if color else state.whites
         king = enemies[12]
+        if king.pos is None:   # king captured through a stale allowed set
+            return
         atk_l, atk_r = (SW, SE) if color else (NW, NE)
         for p in own:
             if not p.move_pattern(king.pos):

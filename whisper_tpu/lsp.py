@@ -137,17 +137,26 @@ def _register_commandset(ctx: WhisperContext, words) -> _Commandset:
 
 
 def _guided(ctx: WhisperContext, params: dict,
-            commandsets: list[_Commandset], language: str) -> dict:
+            commandsets: list[_Commandset], language: str,
+            audio_ctx: int) -> dict:
     """lsp.cpp:203-287 — decode the prompt, softmax the raw first-token
     logits, rank commands by the probability of their first token."""
     if not commandsets:
         raise ValueError("no commandset registered")
     idx = int(params.get("commandset_index", len(commandsets) - 1))
+    if not 0 <= idx < len(commandsets):
+        raise ValueError(f"commandset_index {idx} out of range "
+                         f"(registered: {len(commandsets)})")
     cs = commandsets[idx]
     pcm = _load_pcm(params, maxlength_ms=2000)
 
     from .models import whisper as wm
     ctx.pcm_to_mel(pcm)
+    # the -ac flag reaches guided too (wparams.audio_ctx, lsp.cpp:224);
+    # set explicitly so a previous full() call can't leak its value in
+    if audio_ctx > ctx.n_audio_ctx():
+        raise ValueError("audio_ctx is larger than the maximum allowed")
+    ctx.exp_n_audio_ctx = audio_ctx
     _, kc, vc = ctx.encode_window(0)
 
     # prompt = [prev] + commandset prompt + prompt_init (the whisper_full
@@ -235,7 +244,7 @@ def serve(ctx: WhisperContext, stdin=None, stdout=None, *,
                                 translate=translate, max_tokens=max_tokens,
                                 audio_ctx=audio_ctx))
             elif method == "guided" and "commands" not in params:
-                reply(_guided(ctx, params, commandsets, language))
+                reply(_guided(ctx, params, commandsets, language, audio_ctx))
             elif method == "seek":
                 raise _JsonRpcError(-32601, "Seeking is not yet supported.")
             elif method == "registerCommandset":
