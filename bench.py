@@ -229,12 +229,12 @@ def main():
     ap.add_argument("--tokens", type=int, default=64,
                     help="decoder steps per 30 s window")
     ap.add_argument("--iters", type=int, default=3)
-    ap.add_argument("--serving-batch", type=int, default=48,
-                    help="batch for the serving-path bench.  B=64 also fits "
+    ap.add_argument("--serving-batch", type=int, default=64,
+                    help="batch for the serving-path bench.  B=64 fits "
                          "large-v3 on one 16 GB v5e since the round-3 "
-                         "transient fixes but buys only ~2%% steady rtf "
-                         "(630x vs 616x) while p50 window latency grows "
-                         "2.34->3.01 s; 48 is the latency/throughput knee")
+                         "transient fixes and is the throughput default "
+                         "(632x steady, steady p99 3.1 s); pick 48 for the "
+                         "latency knee (612x steady, p50 2.33 vs 3.01 s)")
     ap.add_argument("--mode", default="both",
                     choices=["kernel", "serving", "both", "latency"],
                     help="kernel = jitted mel+encode+fixed-token decode "
