@@ -1,0 +1,178 @@
+"""Quality decode configs on the batched serving path.
+
+Round-3 verdict: the production BatchTranscriber carried only the
+narrowest config (1 greedy decoder per row), silently dropping the
+reference's best_of ladder diversity (whisper.cpp:5718-5724).  These
+tests pin the round-4 fix: every temperature-fallback rung of the batch
+path must take the SAME decisions and draws as the serial full() —
+bit-identical segments, not just "both produce text".
+
+Draw keys derive from (window seek, ladder attempt, candidate index)
+(api.window_rng), so a window's multinomial candidates are independent
+of batch composition — that is what makes exact parity possible.
+"""
+
+import numpy as np
+import pytest
+
+import whisper_tpu as wt
+from whisper_tpu.parallel.batch import BatchTranscriber
+from conftest import make_random_model
+
+
+@pytest.fixture(scope="module")
+def ctx(tmp_path_factory):
+    path = make_random_model(tmp_path_factory.mktemp("m"))
+    return wt.WhisperContext.from_file(path)
+
+
+def _noise(seconds, seed=0):
+    return (np.random.RandomState(int(seed))
+            .randn(int(16000 * seconds)).astype(np.float32) * 0.1)
+
+
+def _segs(segments):
+    return [(s.t0, s.t1, s.text, tuple(t.id for t in s.tokens))
+            for s in segments]
+
+
+def _serial(ctx, params, streams):
+    out = []
+    for pcm in streams:
+        state = ctx.init_state()
+        assert ctx.full(params, pcm, state=state) == 0
+        out.append(_segs(state.result_all))
+    return out
+
+
+def test_ladder_retry_best_of_matches_serial(ctx):
+    """Force every rung to fail its quality gate (logprob_thold above any
+    achievable avg logprob) so each window climbs the whole temperature
+    ladder: t=0 greedy, then best_of=3 multinomial candidates per rung
+    (tiled through the fixed-B loop, chunked since 3 candidates x 4
+    pending > B=4).  Segments must equal the serial path's exactly."""
+    def mkparams():
+        p = wt.full_default_params()
+        p.print_progress = False
+        p.greedy.best_of = 3
+        p.logprob_thold = 5.0     # unreachable: every rung fails the gate
+        p.no_speech_thold = 2.0   # keep the nsp escape hatch closed
+        return p
+
+    streams = [_noise(d, seed=100 + d) for d in (2, 3, 4, 2.5)]
+    serial = _serial(ctx, mkparams(), streams)
+
+    bt = BatchTranscriber(ctx, batch_size=4, params=mkparams())
+    batch = [_segs(segs) for segs in bt.transcribe(streams)]
+    assert serial == batch
+
+
+def test_positive_start_temperature_matches_serial(ctx):
+    """params.temperature > 0 from the start: the reference decodes
+    best_of multinomial candidates on the FIRST rung (whisper.cpp:5718),
+    so the batch path must tile candidates immediately (no natural-layout
+    pass at all)."""
+    def mkparams():
+        p = wt.full_default_params()
+        p.print_progress = False
+        p.greedy.best_of = 2
+        p.temperature = 0.4
+        p.temperature_inc = 0.0   # single rung
+        return p
+
+    streams = [_noise(d, seed=7 + d) for d in (2, 3)]
+    serial = _serial(ctx, mkparams(), streams)
+    bt = BatchTranscriber(ctx, batch_size=4, params=mkparams())
+    batch = [_segs(segs) for segs in bt.transcribe(streams)]
+    assert serial == batch
+
+
+def test_best_of_one_multinomial_matches_serial(ctx):
+    """best_of=1 at t>0: single multinomial candidate per window rides the
+    natural-layout path; its draw key is position-independent, so it still
+    matches serial bit-for-bit."""
+    def mkparams():
+        p = wt.full_default_params()
+        p.print_progress = False
+        p.greedy.best_of = 1
+        p.temperature = 0.3
+        p.temperature_inc = 0.0
+        return p
+
+    streams = [_noise(d, seed=40 + d) for d in (2, 3, 4)]
+    serial = _serial(ctx, mkparams(), streams)
+    bt = BatchTranscriber(ctx, batch_size=4, params=mkparams())
+    batch = [_segs(segs) for segs in bt.transcribe(streams)]
+    assert serial == batch
+
+
+def test_retry_parity_independent_of_batch_size(ctx):
+    """The same streams through B=2 and B=4 transcribers (different
+    chunking, different slot positions) produce identical segments —
+    draws depend only on (seek, attempt, candidate)."""
+    def mkparams():
+        p = wt.full_default_params()
+        p.print_progress = False
+        p.greedy.best_of = 2
+        p.logprob_thold = 5.0
+        p.no_speech_thold = 2.0
+        return p
+
+    streams = [_noise(d, seed=60 + d) for d in (2, 3, 2.5)]
+    b2 = [_segs(s) for s in BatchTranscriber(
+        ctx, batch_size=2, params=mkparams()).transcribe(streams)]
+    b4 = [_segs(s) for s in BatchTranscriber(
+        ctx, batch_size=4, params=mkparams()).transcribe(streams)]
+    assert b2 == b4
+
+
+def test_beam_search_batch_matches_serial(ctx):
+    """Beam-5 on the serving path: S streams x K beams ride one device
+    batch (grouped cross-attention, per-stream top-k) and must reproduce
+    the serial beam search segment-for-segment at t=0 (deterministic
+    beam: no draws involved)."""
+    def mkparams():
+        p = wt.full_default_params(wt.SamplingStrategy.BEAM_SEARCH)
+        p.print_progress = False
+        p.beam_search.beam_size = 3
+        p.temperature_inc = 0.0   # single deterministic rung
+        return p
+
+    streams = [_noise(d, seed=80 + d) for d in (2, 3, 4)]
+    serial = _serial(ctx, mkparams(), streams)
+    bt = BatchTranscriber(ctx, batch_size=6, params=mkparams())
+    batch = [_segs(segs) for segs in bt.transcribe(streams)]
+    assert serial == batch
+
+
+def test_beam_ladder_retry_matches_serial(ctx):
+    """Beam search with a forced fallback ladder: t=0 beams, then
+    best_of multinomial slots at t>0 (reference: whisper.cpp:5718-5724).
+    The per-stream draw keys make even the t>0 beam candidate draws
+    bit-identical between the batched and serial paths."""
+    def mkparams():
+        p = wt.full_default_params(wt.SamplingStrategy.BEAM_SEARCH)
+        p.print_progress = False
+        p.beam_search.beam_size = 2
+        p.greedy.best_of = 2
+        p.logprob_thold = 5.0
+        p.no_speech_thold = 2.0
+        return p
+
+    streams = [_noise(d, seed=90 + d) for d in (2, 3)]
+    serial = _serial(ctx, mkparams(), streams)
+    bt = BatchTranscriber(ctx, batch_size=4, params=mkparams())
+    batch = [_segs(segs) for segs in bt.transcribe(streams)]
+    assert serial == batch
+
+
+def test_window_rng_derivation():
+    """Keys are (seek, attempt<<8 | candidate) uint32 pairs; the beam form
+    is a single (2,) key."""
+    from whisper_tpu.api import window_rng
+    k = window_rng(1234, 2, 3)
+    assert k.shape == (3, 2) and k.dtype == np.uint32
+    assert list(k[:, 0]) == [1234] * 3
+    assert list(k[:, 1]) == [512, 513, 514]
+    kb = window_rng(99, 1, 4, per_row=False)
+    assert kb.shape == (2,) and list(kb) == [99, 1]

@@ -1,0 +1,158 @@
+"""Continuous batching: slot refill between window iterations, no
+head-of-line blocking (round-4 verdict ask #2).
+
+The reference server processes one request at a time against one
+whisper_context (reference: examples/server/server.cpp:694); the plain
+BatchTranscriber admits work only at batch boundaries.  ContinuousBatcher
+re-picks the device batch before EVERY window iteration, so these tests
+assert scheduling structurally (iteration indices, completion order) —
+no wall-clock flakiness.
+"""
+
+import time
+
+import numpy as np
+import pytest
+
+import whisper_tpu as wt
+from whisper_tpu.parallel.batch import ContinuousBatcher
+from conftest import make_random_model
+
+
+@pytest.fixture(scope="module")
+def ctx(tmp_path_factory):
+    path = make_random_model(tmp_path_factory.mktemp("m"))
+    return wt.WhisperContext.from_file(path)
+
+
+def _noise(seconds, seed=0):
+    return (np.random.RandomState(int(seed))
+            .randn(int(16000 * seconds)).astype(np.float32) * 0.1)
+
+
+def _params():
+    p = wt.full_default_params()
+    p.print_progress = False
+    p.single_segment = True   # full-window seek advance: window count is
+    p.max_tokens = 5          # deterministic = ceil(duration / window)
+    return p
+
+
+def _segs(segments):
+    return [(s.t0, s.t1, s.text) for s in segments]
+
+
+def _wait(pred, timeout=120.0, interval=0.02):
+    deadline = time.monotonic() + timeout
+    while time.monotonic() < deadline:
+        if pred():
+            return True
+        time.sleep(interval)
+    return False
+
+
+def test_continuous_matches_serial(ctx):
+    streams = [_noise(d, seed=10 + d) for d in (2, 3, 4)]
+    serial = []
+    for pcm in streams:
+        state = ctx.init_state()
+        assert ctx.full(_params(), pcm, state=state) == 0
+        serial.append(_segs(state.result_all))
+
+    eng = ContinuousBatcher(ctx, batch_size=2, params=_params())
+    try:
+        jobs = [eng.submit_async(pcm) for pcm in streams]
+        for j in jobs:
+            assert j.done.wait(timeout=300)
+            assert j.error is None
+        assert [_segs(j.st.result_all) for j in jobs] == serial
+        # bookkeeping populated
+        for j in jobs:
+            assert j.iter_joined is not None and j.iter_done is not None
+            assert j.t_done is not None and j.t_first_segment is not None
+    finally:
+        eng.close()
+
+
+def test_midflight_join_first_segment_within_one_iteration(ctx):
+    """A request arriving while a long stream is mid-decode joins the very
+    next window iteration and gets its first segment there — it does NOT
+    wait for the long stream to drain.  The engine's iteration_hook pins
+    the join point deterministically (no wall-clock racing)."""
+    import threading
+
+    # single_segment advances seek by the full 30 s chunk per window, so
+    # 235 s of audio is 8 window iterations and 35 s is 2
+    long_pcm = _noise(235, seed=1)
+    short_pcm = _noise(35, seed=2)
+
+    eng = ContinuousBatcher(ctx, batch_size=2, params=_params())
+    release = threading.Event()
+    paused = threading.Event()
+
+    def hook(n):
+        if n >= 2 and not release.is_set():
+            paused.set()
+            release.wait(timeout=120)
+
+    eng.iteration_hook = hook
+    try:
+        a = eng.submit_async(long_pcm)
+        # the engine parks between iterations 2 and 3, A mid-flight
+        assert paused.wait(timeout=300)
+        assert not a.done.is_set()
+        b = eng.submit_async(short_pcm)
+        release.set()
+        assert b.done.wait(timeout=300) and b.error is None
+        # joined mid-flight (at the paused iteration or right after it)...
+        assert b.iter_joined >= 2
+        # ...and finished within (its own window count + 1 admission
+        # iteration), far before the long stream
+        n_windows_b = -(-35 * 100 // 3000)        # ceil(ticks / window)
+        assert b.iter_done - b.iter_joined <= n_windows_b + 1
+        assert a.done.wait(timeout=300) and a.error is None
+        assert b.iter_done < a.iter_done
+        assert b.t_first_segment is not None
+    finally:
+        eng.iteration_hook = None
+        release.set()
+        eng.close()
+
+
+def test_slot_refill_from_queue(ctx):
+    """Three streams, two slots: when the short stream in slot 1 finishes,
+    the queued third stream takes its slot while the long stream is still
+    decoding — completion order is (B, C, A)."""
+    a = _noise(235, seed=3)   # 8 windows (30 s seek advance per window)
+    b = _noise(35, seed=4)    # 2 windows
+    c = _noise(35, seed=5)
+
+    eng = ContinuousBatcher(ctx, batch_size=2, params=_params())
+    try:
+        ja = eng.submit_async(a)
+        jb = eng.submit_async(b)
+        jc = eng.submit_async(c)
+        for j in (ja, jb, jc):
+            assert j.done.wait(timeout=300) and j.error is None
+        assert jb.iter_done < ja.iter_done
+        assert jc.iter_done < ja.iter_done     # refilled B's slot mid-batch
+        assert jc.iter_done >= jb.iter_done
+    finally:
+        eng.close()
+
+
+def test_too_short_stream_resolves_immediately(ctx):
+    eng = ContinuousBatcher(ctx, batch_size=2, params=_params())
+    try:
+        j = eng.submit_async(np.zeros(400, np.float32))
+        assert j.done.wait(timeout=60)
+        assert j.error is None and j.st.result_all == []
+    finally:
+        eng.close()
+
+
+def test_close_rejects_new_and_drains(ctx):
+    eng = ContinuousBatcher(ctx, batch_size=2, params=_params())
+    eng.close()
+    with pytest.raises(RuntimeError):
+        eng.submit(_noise(2))

@@ -587,23 +587,21 @@ def test_batch_no_recompile_on_fallback(tmp_path):
     ctx = wt.WhisperContext.from_file(path)
     p = wt.full_default_params()
     p.print_progress = False
+    # force the FULL ladder on every window (unreachable logprob gate):
+    # t=0 natural layout, then best_of candidate-tiled retries at every
+    # hotter rung — all through shapes warmup() already compiled
+    p.logprob_thold = 5.0
+    p.no_speech_thold = 2.0
     bt = BatchTranscriber(ctx, batch_size=4, params=p)
-
-    # force a partial fallback: pending-row 0 fails at every non-final
-    # temperature, exercising subset sizes 3 -> 1 -> 1 -> ...
-    orig = bt._row_success
-    bt._row_success = (
-        lambda out, j, t_cur, last: (last or j != 0)
-        and orig(out, j, t_cur, last=last))
+    bt.warmup()
+    keys_before = set(ctx._jit_cache)
 
     streams = [_noise(2, seed=s) for s in range(3)]   # partial batch (3 of 4)
     results = bt.transcribe(streams)
     assert len(results) == 3
 
-    dec_keys = [k for k in ctx._jit_cache if k[0] == "dec"]
-    enc_keys = [k for k in ctx._jit_cache if k[0] == "enc_batch"]
-    assert len(dec_keys) == 1, f"decode recompiled: {dec_keys}"
-    assert len(enc_keys) == 1, f"encode recompiled: {enc_keys}"
+    new_keys = set(ctx._jit_cache) - keys_before
+    assert not new_keys, f"ladder retries compiled fresh fns: {new_keys}"
 
     # live rows produced real output despite the padding
     assert any(len(r) > 0 for r in results)

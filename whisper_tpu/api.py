@@ -56,10 +56,15 @@ class _PackedWindowFn:
     Results come back as a numpy pytree.
     """
 
-    def __init__(self, fn, P: int, has_live: bool, in_shardings=None):
+    def __init__(self, fn, P: int, has_live: bool, in_shardings=None,
+                 per_row_rng: bool = False):
         self.fn = fn
         self.P = P
         self.has_live = has_live
+        # per_row_rng: the decode fn takes a (B, 2) per-row key array
+        # (order-independent draws, see decode/loop.py sample()); the keys
+        # ride two extra int columns of the same single blob upload
+        self.per_row_rng = per_row_rng
         self._leaf_meta = None
         self._treedef = None
 
@@ -72,7 +77,11 @@ class _PackedWindowFn:
             ends = ints[:, P + 2]
             trailer = blob[nB]
             t_cur = jax.lax.bitcast_convert_type(trailer[0], jnp.float32)
-            rng = jax.lax.bitcast_convert_type(trailer[1:3], jnp.uint32)
+            if per_row_rng:
+                rng = jax.lax.bitcast_convert_type(
+                    ints[:, P + 4:P + 6], jnp.uint32)
+            else:
+                rng = jax.lax.bitcast_convert_type(trailer[1:3], jnp.uint32)
             args = (params, kc, vc, prompt, pad_len, t_cur, seeks, ends, rng)
             if has_live:
                 args += (ints[:, P + 3] != 0,)
@@ -89,7 +98,8 @@ class _PackedWindowFn:
         prompt = np.asarray(prompt, np.int32)
         B, P = prompt.shape
         assert P == self.P, (P, self.P)
-        blob = np.zeros((B + 1, P + 4), np.int32)
+        W = P + 6 if self.per_row_rng else P + 4
+        blob = np.zeros((B + 1, W), np.int32)
         blob[:B, :P] = prompt
         blob[:B, P] = np.asarray(pad_len)
         blob[:B, P + 1] = np.asarray(seek)        # scalar broadcasts
@@ -97,7 +107,11 @@ class _PackedWindowFn:
         blob[:B, P + 3] = (1 if row_live is None
                            else np.asarray(row_live).astype(np.int32))
         blob[B, 0] = np.float32(temperature).view(np.int32)
-        blob[B, 1:3] = np.asarray(rng).view(np.int32).reshape(-1)[:2]
+        if self.per_row_rng:
+            blob[:B, P + 4:P + 6] = np.asarray(
+                rng, np.uint32).view(np.int32).reshape(B, 2)
+        else:
+            blob[B, 1:3] = np.asarray(rng).view(np.int32).reshape(-1)[:2]
         if self._leaf_meta is None:
             out_shape = jax.eval_shape(
                 self.fn, params, kc, vc,
@@ -106,7 +120,8 @@ class _PackedWindowFn:
                 jax.ShapeDtypeStruct((), jnp.float32),
                 jax.ShapeDtypeStruct((B,), jnp.int32),
                 jax.ShapeDtypeStruct((B,), jnp.int32),
-                jax.ShapeDtypeStruct((2,), jnp.uint32),
+                jax.ShapeDtypeStruct(
+                    (B, 2) if self.per_row_rng else (2,), jnp.uint32),
                 *([jax.ShapeDtypeStruct((B,), jnp.bool_)]
                   if self.has_live else []))
             leaves, self._treedef = jax.tree_util.tree_flatten(out_shape)
@@ -466,9 +481,10 @@ class WhisperContext:
     def _decode_window_fn(self, B: int, P: int, opts: FilterOptions,
                           single_segment: bool, no_timestamps: bool,
                           max_tokens: int, strategy: str = "greedy",
-                          extra_suppress: tuple = ()):
+                          extra_suppress: tuple = (),
+                          per_row_rng: bool = False):
         key = ("dec", B, P, opts, single_segment, no_timestamps, max_tokens,
-               strategy, extra_suppress, self.cross_mode)
+               strategy, extra_suppress, self.cross_mode, per_row_rng)
         if key not in self._jit_cache:
             consts = FilterConsts.from_vocab(self.vocab, self.hparams.n_audio_ctx)
             cfg = LoopConfig(
@@ -520,7 +536,42 @@ class WhisperContext:
                         "einsum_q8", "pallas_q8dt", "einsum_q8i",
                         "einsum_q4"))
             self._jit_cache[key] = _PackedWindowFn(
-                fn, P, has_live=(strategy != "beam"), in_shardings=in_sh)
+                fn, P, has_live=(strategy != "beam"), in_shardings=in_sh,
+                per_row_rng=per_row_rng)
+        return self._jit_cache[key]
+
+    def _beam_batch_window_fn(self, S: int, K: int, P: int,
+                              opts: FilterOptions, single_segment: bool,
+                              no_timestamps: bool, max_tokens: int,
+                              extra_suppress: tuple = ()):
+        """Batched beam search: S streams x K beams in one device batch
+        (decode/beam.make_batched_beam_decode_window).  Inputs are
+        per-stream rows (B = S for the packed blob; rng is (S, 2)
+        per-stream keys), outputs per-beam rows (S*K)."""
+        key = ("decbb", S, K, P, opts, single_segment, no_timestamps,
+               max_tokens, extra_suppress, self.cross_mode)
+        if key not in self._jit_cache:
+            from .decode.beam import make_batched_beam_decode_window
+            consts = FilterConsts.from_vocab(self.vocab,
+                                             self.hparams.n_audio_ctx)
+            cfg = LoopConfig(
+                n_head=self.config.n_text_head,
+                n_text_ctx=self.hparams.n_text_ctx,
+                prompt_size=P,
+                max_tokens_loop=(
+                    min(self.hparams.n_text_ctx // 2 - 4, max_tokens + 1)
+                    if max_tokens > 0 else self.hparams.n_text_ctx // 2 - 4),
+                max_tokens_param=max_tokens,
+                single_segment=single_segment,
+                no_timestamps=no_timestamps,
+                compute_dtype=self.compute_dtype,
+                cross_mode=self.cross_mode,
+            )
+            fn = make_batched_beam_decode_window(
+                consts=consts, options=opts, cfg=cfg, n_streams=S,
+                beam_size=K, extra_suppress=extra_suppress)
+            self._jit_cache[key] = _PackedWindowFn(
+                fn, P, has_live=True, per_row_rng=True)
         return self._jit_cache[key]
 
     def _mel_window(self, seek: int) -> np.ndarray:
@@ -695,7 +746,6 @@ class WhisperContext:
         )
 
         seek = seek_start
-        rng = jax.random.PRNGKey(0)
 
         # main sliding-window loop
         while True:
@@ -788,69 +838,21 @@ class WhisperContext:
                     use_beam = params.strategy == SamplingStrategy.BEAM_SEARCH
                     result = self._decode_window(
                         prompt, kc, vc, n_cur, t_cur, seek, seek_end,
-                        params, opts, no_timestamps, rng,
+                        params, opts, no_timestamps, attempt=it,
                         strategy="beam" if use_beam else "greedy")
-                rng, _ = jax.random.split(rng)
 
                 self.no_speech_prob = float(result["no_speech_prob"][0])
 
-                # rank sequences (reference: src/whisper.cpp:6169-6203)
-                best_j, best_score = -1, -math.inf
-                seqs = []
-                for j in range(n_cur):
-                    failed = bool(result["failed"][j])
-                    rl = int(result["result_len"][j])
-                    plogs = np.asarray(result["plog"][j][:rl])
-                    score, avg_lp, entropy = _sequence_score(
-                        plogs, np.asarray(result["tokens"][j][:rl]),
-                        params.length_penalty)
-                    if not failed and rl > 32 and entropy < params.entropy_thold:
-                        failed = True
-                        self.timings.n_fail_h += 1
-                    seqs.append((failed, rl, score, avg_lp))
-                    if not failed and score > best_score:
-                        best_score, best_j = score, j
-
-                success = True
-                if it != len(temperatures) - 1:
-                    if best_j < 0:
-                        success = False
-                    else:
-                        avg_lp = seqs[best_j][3]
-                        if (avg_lp < params.logprob_thold
-                                and self.no_speech_prob < params.no_speech_thold):
-                            success = False
-                    if not success:
-                        self.timings.n_fail_p += 1
-
-                if success:
-                    j = max(best_j, 0)
-                    # the reference resizes the winning sequence to
-                    # result_len before emission (whisper.cpp:6180); only a
-                    # loop-failed decoder (possible at the final temperature
-                    # when everything failed) keeps its full sampled tail —
-                    # ITS OWN tail, not the batch-global step count: the
-                    # token buffer is EOT-initialized, so trailing EOT
-                    # padding (from rows that decoded longer) must not be
-                    # emitted
-                    n_emit = (_own_sampled_len(
-                        np.asarray(result["tokens"][j]),
-                        int(result["n_tokens"]), self.vocab.token_eot)
-                        if bool(result["failed"][j]) else seqs[j][1])
-                    best = {
-                        "tokens": np.asarray(result["tokens"][j]),
-                        "p": np.asarray(result["p"][j]),
-                        "plog": np.asarray(result["plog"][j]),
-                        "tid": np.asarray(result["tid"][j]),
-                        "pt": np.asarray(result["pt"][j]),
-                        "ptsum": np.asarray(result["ptsum"][j]),
-                        "result_len": seqs[j][1],
-                        "n_emit": n_emit,
-                        "seek_delta": int(result["seek_delta"][j]),
-                        "avg_logprobs": seqs[j][3],
-                        "prompt": prompt,
-                    }
+                # rank sequences + ladder decision — shared with the batch
+                # serving path (reference: src/whisper.cpp:6169-6230)
+                best, n_fail_h = _rank_window_candidates(
+                    result, n_cur, params, last=(it == len(temperatures) - 1),
+                    token_eot=self.vocab.token_eot)
+                self.timings.n_fail_h += n_fail_h
+                if best is not None:
+                    best["prompt"] = prompt
                     break
+                self.timings.n_fail_p += 1
 
             if best is None:
                 # every temperature failed; consume the window
@@ -884,16 +886,18 @@ class WhisperContext:
     # ------------------------------------------------------------------
 
     def _decode_window(self, prompt, kc, vc, n_cur, t_cur, seek, seek_end,
-                       params, opts, no_timestamps, rng, strategy="greedy"):
+                       params, opts, no_timestamps, attempt=0,
+                       strategy="greedy"):
         """One jitted device call decoding the whole window."""
         # prompt buffer size: tiny when unconditioned, full when carrying past
         P = 8 if len(prompt) <= 8 else (
             self.hparams.n_text_ctx // 2 + 8)
         extra = (self._regex_suppress_ids(params.suppress_regex)
                  if params.suppress_regex else ())
+        per_row = strategy != "beam"
         fn = self._decode_window_fn(
             n_cur, P, opts, params.single_segment, no_timestamps,
-            params.max_tokens, strategy, extra)
+            params.max_tokens, strategy, extra, per_row_rng=per_row)
 
         pad = P - len(prompt)
         buf = np.zeros((n_cur, P), dtype=np.int32)
@@ -907,7 +911,11 @@ class WhisperContext:
 
         t0 = time.perf_counter()
         # all-live row mask; inputs stay host-side — _PackedWindowFn ships
-        # them in one blob upload and fetches all results in one transfer
+        # them in one blob upload and fetches all results in one transfer.
+        # Draw keys derive from (window seek, ladder attempt, candidate),
+        # so the same window re-decoded through the BATCHED serving path
+        # gets bit-identical multinomial draws (see loop.py sample())
+        rng = window_rng(seek, attempt, n_cur, per_row=per_row)
         extra_args = (() if strategy == "beam"
                       else (np.ones((n_cur,), bool),))
         out = fn(self.params, kc, vc, buf, pad_len,
@@ -1221,6 +1229,26 @@ for _f in ("mel", "mel_n_len_org", "lang_id_state", "no_speech_prob",
     setattr(WhisperContext, _f, _session_property(_f))
 del _f
 
+def window_rng(seek, attempt: int, n_cur: int, per_row: bool = True):
+    """Sampling keys for one window decode, derived from
+    (window seek, ladder attempt, candidate index).
+
+    Host-side uint32 pairs == jax.random.PRNGKey data bit-for-bit (threefry
+    keys; any distinct pair is an independent stream), so no device op is
+    needed.  Deriving from position rather than chaining a global key makes
+    a window's multinomial draws independent of batch composition and
+    decode order: serial full() and the batched serving path produce
+    IDENTICAL retry candidates for the same audio.  per_row=False returns
+    one (2,) key (beam search consumes a single stream per window)."""
+    if not per_row:
+        return np.array([np.uint32(seek), np.uint32(attempt)], np.uint32)
+    keys = np.empty((n_cur, 2), np.uint32)
+    keys[:, 0] = np.uint32(seek)
+    keys[:, 1] = (np.uint32(attempt) << np.uint32(8)) + np.arange(
+        n_cur, dtype=np.uint32)
+    return keys
+
+
 def _own_sampled_len(tokens, n_tokens: int, token_eot: int) -> int:
     """Length of one row's own sampled sequence inside the batch-global
     step budget `n_tokens`: the loop's token buffer is EOT-initialized, so
@@ -1252,3 +1280,74 @@ def _sequence_score(plogs: np.ndarray, token_ids: np.ndarray,
     ps = counts / counts.sum()
     entropy = float(-(ps * np.log(ps)).sum())
     return score, avg, entropy
+
+
+def _rank_window_candidates(result, n_cur: int, params, last: bool,
+                            token_eot: int, row0: int = 0):
+    """Rank one window's n_cur candidate sequences and decide whether this
+    temperature rung succeeded (reference: src/whisper.cpp:6169-6230).
+
+    This is THE ladder decision — shared verbatim by the serial
+    orchestrator (_full_impl) and the batched serving path
+    (parallel/batch.py), so a window transcribed through either takes
+    identical fallback decisions.
+
+    result: decode output dict; rows [row0, row0 + n_cur) are this
+    window's candidates.  last: final temperature rung (always emits).
+    Returns (best: dict | None, n_fail_h: int).  best is None when the
+    rung failed and a hotter retry should run; otherwise it carries the
+    winning candidate's arrays + emission metadata (everything
+    _emit_segments needs except "prompt", which the caller attaches).
+    """
+    best_j, best_score = -1, -math.inf
+    seqs = []
+    n_fail_h = 0
+    for jj in range(n_cur):
+        j = row0 + jj
+        failed = bool(result["failed"][j])
+        rl = int(result["result_len"][j])
+        plogs = np.asarray(result["plog"][j][:rl])
+        score, avg_lp, entropy = _sequence_score(
+            plogs, np.asarray(result["tokens"][j][:rl]),
+            params.length_penalty)
+        if not failed and rl > 32 and entropy < params.entropy_thold:
+            failed = True
+            n_fail_h += 1
+        seqs.append((failed, rl, score, avg_lp))
+        if not failed and score > best_score:
+            best_score, best_j = score, jj
+
+    no_speech_prob = float(result["no_speech_prob"][row0])
+    if not last:
+        if best_j < 0:
+            return None, n_fail_h
+        avg_lp = seqs[best_j][3]
+        if (avg_lp < params.logprob_thold
+                and no_speech_prob < params.no_speech_thold):
+            return None, n_fail_h
+
+    jj = max(best_j, 0)
+    j = row0 + jj
+    # the reference resizes the winning sequence to result_len before
+    # emission (whisper.cpp:6180); only a loop-failed candidate (possible
+    # at the final rung when everything failed) keeps its full sampled
+    # tail — ITS OWN tail, not the batch-global step count: the token
+    # buffer is EOT-initialized, so trailing EOT padding (from rows that
+    # decoded longer) must not be emitted
+    n_emit = (_own_sampled_len(np.asarray(result["tokens"][j]),
+                               int(result["n_tokens"]), token_eot)
+              if bool(result["failed"][j]) else seqs[jj][1])
+    best = {
+        "tokens": np.asarray(result["tokens"][j]),
+        "p": np.asarray(result["p"][j]),
+        "plog": np.asarray(result["plog"][j]),
+        "tid": np.asarray(result["tid"][j]),
+        "pt": np.asarray(result["pt"][j]),
+        "ptsum": np.asarray(result["ptsum"][j]),
+        "result_len": seqs[jj][1],
+        "n_emit": n_emit,
+        "seek_delta": int(result["seek_delta"][j]),
+        "avg_logprobs": seqs[jj][3],
+        "no_speech_prob": no_speech_prob,
+    }
+    return best, n_fail_h

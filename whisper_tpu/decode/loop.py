@@ -153,10 +153,26 @@ def make_decode_window(params_treedef_free_fn=None, *,
     token_eot = consts.token_eot
 
     def sample(state: LoopState, temperature):
-        """-> (token id (B,), p, plog, tid, pt, ptsum)."""
-        rng, sub = jax.random.split(state.rng)
+        """-> (token id (B,), p, plog, tid, pt, ptsum).
+
+        state.rng is either one (2,) key (legacy: one joint categorical
+        over the batch, so a row's draw depends on its slot position) or
+        a (B, 2) per-row key array: every row advances its OWN
+        counter-based stream, so its draws depend only on (key, logits) —
+        independent of slot position and batch composition.  Callers
+        derive per-row keys from (seek, attempt, candidate), which is what
+        makes the batched serving ladder bit-identical to the serial
+        per-window path (the reference's draws are rand()-seeded and not
+        reproducible either way; reference: src/whisper.cpp:5875-5883).
+        """
+        if state.rng.ndim == 2:                      # (B, 2) per-row keys
+            pairs = jax.vmap(jax.random.split)(state.rng)   # (B, 2, 2)
+            rng, subs = pairs[:, 0], pairs[:, 1]
+            drawn_id = jax.vmap(jax.random.categorical)(subs, state.logprobs)
+        else:
+            rng, sub = jax.random.split(state.rng)
+            drawn_id = jax.random.categorical(sub, state.logprobs, axis=-1)
         greedy_id = jnp.argmax(state.probs, axis=-1)
-        drawn_id = jax.random.categorical(sub, state.logprobs, axis=-1)
         tok = jnp.where(temperature < 1e-6, greedy_id, drawn_id).astype(jnp.int32)
 
         b = jnp.arange(tok.shape[0])

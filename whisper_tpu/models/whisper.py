@@ -810,7 +810,8 @@ def _cross_attn_step(xq, kc, vc, compute_dtype):
 
 
 def decode_step(params, tokens, pos_ids, cache_index, kv_self, k_cross, v_cross,
-                kv_len, n_head: int, pad_len=None, compute_dtype=jnp.bfloat16):
+                kv_len, n_head: int, pad_len=None, compute_dtype=jnp.bfloat16,
+                group: int = 1):
     """One autoregressive step over a preallocated KV cache.
 
     tokens: (B,) int32 — one new token per sequence
@@ -824,6 +825,13 @@ def decode_step(params, tokens, pos_ids, cache_index, kv_self, k_cross, v_cross,
         from the prompt and must not be attended to
     k_cross/v_cross: (L, ...) stacked per-layer cross KV in any of the
         layouts accepted by _cross_attn_step
+    group: rows per cross-KV entry — batched beam search packs
+        (S streams x K beams) rows against S encoder outputs (group=K).
+        Cross attention has no causal structure, so the K beams of a
+        stream simply ride the query-position axis of one einsum against
+        their shared cross-KV row: nothing is tiled in HBM.  Requires an
+        einsum cross path (default array, q8e/q8i/q4e); the Pallas
+        single-query kernels keep group=1.
     Returns (logits (B, n_vocab), updated kv_self).
     """
     dec = params["decoder"]
@@ -877,7 +885,15 @@ def decode_step(params, tokens, pos_ids, cache_index, kv_self, k_cross, v_cross,
 
         ln = _layernorm(x, blk["xattn_ln_w"], blk["xattn_ln_b"])
         xq = _split_heads(_linear(ln, blk["xq_w"], blk["xq_b"], compute_dtype), nh)
-        attn = _cross_attn_step(xq, kc, vc, compute_dtype)
+        if group > 1:
+            # (S*K, 1, H, Dh) -> (S, K, H, Dh): the K beams of a stream
+            # become query positions against the stream's shared cross-KV
+            Sg = xq.shape[0] // group
+            xq_g = xq.reshape(Sg, group * xq.shape[1], nh, xq.shape[-1])
+            attn = _cross_attn_step(xq_g, kc, vc, compute_dtype)
+            attn = attn.reshape(xq.shape[0], xq.shape[1], -1)
+        else:
+            attn = _cross_attn_step(xq, kc, vc, compute_dtype)
         x = x + _linear(attn, blk["xo_w"], blk["xo_b"], compute_dtype)
 
         ln = _layernorm(x, blk["mlp_ln_w"], blk["mlp_ln_b"])

@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from ..api import (FullParams, Segment, WhisperContext, WhisperState,
-                   full_default_params)
+                   _rank_window_candidates, full_default_params, window_rng)
 from ..audio.mel import log_mel_spectrogram
 from ..constants import CHUNK_SIZE, TICKS_PER_SECOND
 from ..decode.filters import FilterOptions
@@ -87,6 +87,11 @@ class BatchTranscriber:
             raise ValueError(
                 "batched transcription needs an explicit language "
                 "(per-stream auto-detect would desynchronize the batch)")
+        if p.grammar_rules is not None or p.logits_filter_callback:
+            raise ValueError(
+                "grammar / logits-filter decoding is host-looped — use the "
+                "serial ctx.full() path (the server routes this "
+                "automatically)")
         self.no_timestamps = p.no_timestamps
         self.opts = FilterOptions(
             suppress_blank=p.suppress_blank,
@@ -95,6 +100,13 @@ class BatchTranscriber:
             suppress_nst=p.suppress_nst,
             max_initial_ts=p.max_initial_ts,
         )
+        # phase wall-time accounting + per-iteration latencies; reset by
+        # transcribe(), accumulated by _iterate() (which the continuous
+        # batcher also drives directly)
+        self.phase_times: dict[str, float] = {
+            "upload": 0.0, "prep": 0.0, "encode": 0.0, "decode": 0.0,
+            "finish": 0.0}
+        self.window_times: list[tuple[int, float]] = []
         self.prompt_init = [ctx.vocab.token_sot]
         if ctx.vocab.is_multilingual:
             lid = _lang_id(p.language)
@@ -137,6 +149,26 @@ class BatchTranscriber:
         return self.ctx._jit_cache[key](self.ctx.params,
                                         jnp.asarray(mel_windows))
 
+    def _build_prompts(self, states, batch):
+        """(carried-past prompts, bare prompts) for the streams in batch
+        (reference prompt assembly: whisper.cpp:5759-5771)."""
+        ctx = self.ctx
+        p = self.params
+        prompts = []        # with carried past (used while t < 0.5)
+        prompts_bare = []   # prompt_init only (hot retries,
+                            # reference: whisper.cpp:5763 t_cur<0.5 gate)
+        for i in batch:
+            st = states[i]
+            prompt = []
+            if st.prompt_past and p.n_max_text_ctx > 0:
+                n_take = min(p.n_max_text_ctx,
+                             ctx.hparams.n_text_ctx // 2,
+                             len(st.prompt_past))
+                prompt = [ctx.vocab.token_prev] + st.prompt_past[-n_take:]
+            prompts.append(prompt + self.prompt_init)
+            prompts_bare.append(list(self.prompt_init))
+        return prompts, prompts_bare
+
     def _encode_batch_sliced(self, pcm_all, rows, starts):
         """Device-resident variant: streams' padded PCM lives on the device
         (uploaded once); per iteration only (B,) row indices and sample
@@ -145,7 +177,7 @@ class BatchTranscriber:
         host->device transfer of the upload-per-iteration path."""
         from ..constants import HOP_LENGTH, N_FFT
         key = ("enc_batch_sliced", tuple(pcm_all.shape), str(pcm_all.dtype),
-               self.B, self.ctx.cross_mode)
+               len(rows), self.ctx.cross_mode)
         if key not in self.ctx._jit_cache:
             from ..audio.mel import log_mel_spectrogram_jax
             from ..models import whisper as wm
@@ -176,11 +208,11 @@ class BatchTranscriber:
 
     # -- main driver -------------------------------------------------------
 
-    def transcribe(self, streams: list[np.ndarray]) -> list[list[Segment]]:
-        """-> per-stream segment lists."""
+    def _make_stream(self, pcm) -> StreamState:
+        """Host-side per-stream prep: mel (or padded PCM for device_mel),
+        signal energy for token timestamps, window scheduling fields."""
         ctx = self.ctx
         p = self.params
-        states = []
 
         def _with_energy(st, pcm):
             # token-level timestamps need the per-stream signal energy the
@@ -194,48 +226,53 @@ class BatchTranscriber:
                 st.energy = get_signal_energy(arr, 32)
             return st
 
-        for pcm in streams:
-            if self.device_mel:
-                # mel runs on the TPU inside _encode_batch; the host only
-                # pads (reflect head + 30 s zero tail, audio/mel.py).
-                # int16 streams stay packed s16le until after the on-device
-                # window slice — half the h2d bytes, and bit-identical to
-                # converting on the host (the serial path's s16/32768)
-                from ..audio.mel import pad_audio
-                from ..constants import N_FFT
-                arr = np.asarray(pcm)
-                if arr.dtype != np.int16:
-                    arr = arr.astype(np.float32)
-                if len(arr) < 1 + N_FFT // 2:
-                    # too short for the reflect pad; zero-extend like a
-                    # silent signal (same guard as log_mel_spectrogram)
-                    arr = np.pad(arr, (0, 1 + N_FFT // 2 - len(arr)))
-                padded, _, n_len_org = pad_audio(arr)
-                st = StreamState(
-                    mel=None, seek=p.offset_ms // 10,
-                    seek_end=(n_len_org if p.duration_ms == 0
-                              else p.offset_ms // 10 + p.duration_ms // 10))
-                st.pcm_padded = padded
-                states.append(_with_energy(st, pcm))
-                continue
+        if self.device_mel:
+            # mel runs on the TPU inside _encode_batch; the host only
+            # pads (reflect head + 30 s zero tail, audio/mel.py).
+            # int16 streams stay packed s16le until after the on-device
+            # window slice — half the h2d bytes, and bit-identical to
+            # converting on the host (the serial path's s16/32768)
+            from ..audio.mel import pad_audio
+            from ..constants import N_FFT
+            arr = np.asarray(pcm)
+            if arr.dtype != np.int16:
+                arr = arr.astype(np.float32)
+            if len(arr) < 1 + N_FFT // 2:
+                # too short for the reflect pad; zero-extend like a
+                # silent signal (same guard as log_mel_spectrogram)
+                arr = np.pad(arr, (0, 1 + N_FFT // 2 - len(arr)))
+            padded, _, n_len_org = pad_audio(arr)
+            st = StreamState(
+                mel=None, seek=p.offset_ms // 10,
+                seek_end=(n_len_org if p.duration_ms == 0
+                          else p.offset_ms // 10 + p.duration_ms // 10))
+            st.pcm_padded = padded
+            st = _with_energy(st, pcm)
+        else:
             mel, n_len_org = log_mel_spectrogram(
                 np.asarray(pcm), ctx.filters)
-            states.append(_with_energy(StreamState(
+            st = _with_energy(StreamState(
                 mel=mel, seek=p.offset_ms // 10,
                 seek_end=(n_len_org if p.duration_ms == 0
                           else p.offset_ms // 10 + p.duration_ms // 10)),
-                pcm))
-        for st in states:
-            if st.seek_end < st.seek + DELTA_MIN:
-                st.done = True
+                pcm)
+        if st.seek_end < st.seek + DELTA_MIN:
+            st.done = True
+        return st
+
+    def transcribe(self, streams: list[np.ndarray]) -> list[list[Segment]]:
+        """-> per-stream segment lists."""
+        ctx = self.ctx
+        states = [self._make_stream(pcm) for pcm in streams]
 
         # device_mel: keep every stream's padded PCM resident on the device
         # (one upload) and cut windows on-device, unless the total is large
         # or a mesh is attached (resident gathers would cross shards)
         import time as _time
-        self.phase_times: dict[str, float] = {
+        self.phase_times = {
             "upload": 0.0, "prep": 0.0, "encode": 0.0, "decode": 0.0,
             "finish": 0.0}
+        self.window_times = []
         _t0 = _time.perf_counter()
         pcm_dev = None
         if self.device_mel and self.mesh is None:
@@ -261,137 +298,331 @@ class BatchTranscriber:
                 del stack
         self.phase_times["upload"] = _time.perf_counter() - _t0
 
-        n_ctx = ctx.hparams.n_audio_ctx
-        n_mels = ctx.hparams.n_mels
-
-        # per-iteration wall times (n_windows, seconds) — one iteration is
-        # one batched encode + decode ladder, i.e. the latency a window
-        # experiences; bench.py reports p50/p99 from this
-        self.window_times: list[tuple[int, float]] = []
-
         while True:
             active = [i for i, st in enumerate(states) if not st.done]
             if not active:
                 break
-            _t_iter = _time.perf_counter()
-            batch = active[:self.B]
-            B = len(batch)
+            self._iterate(states, active[:self.B], pcm_dev)
 
-            # every device call is padded to the FIXED batch size self.B —
-            # partial tail batches and fallback rebatches reuse one compiled
-            # loop instead of compiling per subset size (dead rows are
-            # masked via row_live and start completed)
-            if pcm_dev is not None:
-                from ..constants import HOP_LENGTH
-                mel_windows = None
-                rows_idx = np.zeros((self.B,), np.int32)
-                starts = np.zeros((self.B,), np.int32)
-                for row, i in enumerate(batch):
-                    rows_idx[row] = i
-                    starts[row] = states[i].seek * HOP_LENGTH
-            elif self.device_mel:
-                from ..constants import HOP_LENGTH, N_FFT
-                S = 2 * n_ctx * HOP_LENGTH + N_FFT
-                all_i16 = all(states[i].pcm_padded.dtype == np.int16
-                              for i in batch)
-                mel_windows = np.zeros(
-                    (self.B, S), np.int16 if all_i16 else np.float32)
-            else:
-                mel_windows = np.zeros((self.B, 2 * n_ctx, n_mels),
-                                       np.float32)
-            prompts = []        # with carried past (used while t < 0.5)
-            prompts_bare = []   # prompt_init only (hot retries,
-                                # reference: whisper.cpp:5763 t_cur<0.5 gate)
-            for row, i in enumerate(batch):
-                st = states[i]
-                if pcm_dev is not None:
-                    pass   # windows cut on-device from the resident PCM
-                elif self.device_mel:
-                    start = st.seek * HOP_LENGTH
-                    chunk = st.pcm_padded[start:start + S]
-                    if (chunk.dtype == np.int16
-                            and mel_windows.dtype != np.int16):
-                        chunk = chunk.astype(np.float32) / 32768.0
-                    mel_windows[row, :len(chunk)] = chunk
-                else:
-                    avail = max(0, min(2 * n_ctx, st.mel.shape[0] - st.seek))
-                    mel_windows[row, :avail] = st.mel[st.seek:st.seek + avail]
-                prompt = []
-                if st.prompt_past and p.n_max_text_ctx > 0:
-                    n_take = min(p.n_max_text_ctx,
-                                 ctx.hparams.n_text_ctx // 2,
-                                 len(st.prompt_past))
-                    prompt = [ctx.vocab.token_prev] + st.prompt_past[-n_take:]
-                prompts.append(prompt + self.prompt_init)
-                prompts_bare.append(list(self.prompt_init))
+        return [st.result_all for st in states]
 
-            self.phase_times["prep"] += _time.perf_counter() - _t_iter
-            _t0 = _time.perf_counter()
-            # drop the previous iteration's cross-KV BEFORE dispatching the
-            # next encode: holding both alive is a ~2x cross-KV transient
-            # (q8 large-v3 B=48 is ~6 GB/iteration) that fragments HBM and
-            # makes iterations progressively slower
-            kc = vc = None  # noqa: F841
-            if pcm_dev is not None:
-                kc, vc = self._encode_batch_sliced(pcm_dev, rows_idx, starts)
-            else:
-                if self.mesh is not None:
-                    from jax.sharding import NamedSharding
-                    from .mesh import batch_spec
-                    mel_windows = jax.device_put(
-                        jnp.asarray(mel_windows),
-                        NamedSharding(self.mesh, batch_spec(self.mesh)))
-                kc, vc = self._encode_batch(mel_windows)
-            import os as _os
-            if _os.environ.get("WTPU_PHASE_FENCE") == "1":
-                # measurement only: encode dispatch is async, so without a
-                # fence its cost lands in the decode phase
-                jax.block_until_ready(kc)
-            self.phase_times["encode"] += _time.perf_counter() - _t0
+    def _iterate(self, states, batch, pcm_dev=None) -> None:
+        """One batched window iteration over the streams in `batch`
+        (global indices into `states`): encode every stream's current
+        window, run the temperature-fallback ladder, emit segments and
+        advance seeks.  The continuous-batching server calls this
+        directly, refilling `batch` between iterations."""
+        import time as _time
+        from ..api import SamplingStrategy
+        ctx = self.ctx
+        p = self.params
+        _t_iter = _time.perf_counter()
+        B = len(batch)
 
-            # temperature-fallback ladder, rebatching only the failed rows
-            # (reference per-decoder ladder: src/whisper.cpp:5706-6230)
-            temps = [p.temperature]
-            if p.temperature_inc > 0.0:
-                t = p.temperature + p.temperature_inc
-                while t < 1.0 + 1e-6:
-                    temps.append(t)
-                    t += p.temperature_inc
+        prompts, prompts_bare = self._build_prompts(states, batch)
+        self.phase_times["prep"] += _time.perf_counter() - _t_iter
 
-            pending = list(range(B))   # row indices into the original batch
-            for it, t_cur in enumerate(temps):
-                if not pending:
-                    break
-                cur_prompts = prompts if t_cur < 0.5 else prompts_bare
+        if p.strategy == SamplingStrategy.BEAM_SEARCH:
+            self._iterate_beam(states, batch, prompts, prompts_bare,
+                               pcm_dev, _t_iter)
+            return
+
+        # temperature-fallback ladder, rebatching only the failed rows
+        # (reference per-decoder ladder: src/whisper.cpp:5706-6230)
+        temps = [p.temperature]
+        if p.temperature_inc > 0.0:
+            t = p.temperature + p.temperature_inc
+            while t < 1.0 + 1e-6:
+                temps.append(t)
+                t += p.temperature_inc
+
+        kc = vc = None
+        pending = list(range(B))   # row indices into the original batch
+        for it, t_cur in enumerate(temps):
+            if not pending:
+                break
+            last = it == len(temps) - 1
+            cur_prompts = prompts if t_cur < 0.5 else prompts_bare
+            # candidate count per window at this rung — the reference
+            # samples best_of decoders whenever t > 0 and keeps the best
+            # (whisper.cpp:5718-5724); at t == 0 greedy argmax needs one
+            n_cand = max(1, p.greedy.best_of) if t_cur > 0.0 else 1
+            n_cand = min(n_cand, self.B)
+
+            if n_cand == 1:
+                # natural layout: one candidate per stream, rows stay in
+                # their batch positions (no cross-KV movement); slots are
+                # padded to the FIXED batch size so partial tails reuse
+                # the compiled encode
+                if kc is None:
+                    _t0 = _time.perf_counter()
+                    kc, vc = self._encode_slots(
+                        states,
+                        list(batch) + [None] * (self.B - B), pcm_dev)
+                    import os as _os
+                    if _os.environ.get("WTPU_PHASE_FENCE") == "1":
+                        # measurement only: encode dispatch is async, so
+                        # without a fence its cost lands in the decode phase
+                        jax.block_until_ready(kc)
+                    self.phase_times["encode"] += _time.perf_counter() - _t0
                 live = np.zeros((self.B,), bool)
                 live[pending] = True
                 seeks = np.zeros((self.B,), np.int32)
                 ends = np.zeros((self.B,), np.int32)
+                keys = np.zeros((self.B, 2), np.uint32)
                 for r in pending:
-                    seeks[r] = states[batch[r]].seek
-                    ends[r] = states[batch[r]].seek_end
+                    st = states[batch[r]]
+                    seeks[r] = st.seek
+                    ends[r] = st.seek_end
+                    keys[r] = window_rng(st.seek, it, 1)[0]
                 _t0 = _time.perf_counter()
                 out = self._decode_rows(
                     [cur_prompts[r] if r < B and live[r] else
                      list(self.prompt_init) for r in range(self.B)],
-                    kc, vc, live, seeks, ends, t_cur)
+                    kc, vc, live, seeks, ends, t_cur, keys)
                 self.phase_times["decode"] += _time.perf_counter() - _t0
                 _t0 = _time.perf_counter()
                 still_failed = []
                 for r in pending:
                     st = states[batch[r]]
-                    ok = self._row_success(out, r, t_cur,
-                                           last=(it == len(temps) - 1))
-                    if ok:
-                        self._finish_window(st, out, r, int(out["n_tokens"]),
-                                            cur_prompts[r])
-                    else:
+                    best, _ = _rank_window_candidates(
+                        out, 1, p, last, ctx.vocab.token_eot, row0=r)
+                    if best is None:
                         still_failed.append(r)
+                    else:
+                        best["prompt"] = cur_prompts[r]
+                        self._finish_window(st, best)
                 pending = still_failed
                 self.phase_times["finish"] += _time.perf_counter() - _t0
-            self.window_times.append((B, _time.perf_counter() - _t_iter))
+            else:
+                # candidate-tiled retry: each pending stream gets n_cand
+                # consecutive slots of the SAME fixed-B compiled loop, its
+                # window re-encoded into each (the resident-PCM slicer
+                # tiles for free; otherwise the window is duplicated
+                # host-side).  The previous rung's cross-KV is dropped
+                # first — finished rows no longer need it, and holding two
+                # full stacks is the q8 OOM hazard
+                kc = vc = None
+                pending = self._ladder_retry_tiled(
+                    states, batch, pending, cur_prompts, t_cur, it, last,
+                    n_cand, pcm_dev)
+        self.window_times.append((B, _time.perf_counter() - _t_iter))
 
-        return [st.result_all for st in states]
+    def _ladder_retry_tiled(self, states, batch, pending, cur_prompts,
+                            t_cur, it, last, n_cand, pcm_dev) -> list[int]:
+        """Ladder rung with best_of > 1: decode n_cand multinomial
+        candidates per pending stream inside the fixed-B batch and keep
+        the best by sequence score — the reference's GREEDY best_of
+        semantics (whisper.cpp:5718-5724) on the serving path.  Draw keys
+        come from (seek, attempt, candidate), so results are bit-identical
+        to the serial full() ladder.  Returns rows still failed."""
+        import time as _time
+        ctx = self.ctx
+        p = self.params
+        groups_per_pass = max(1, self.B // n_cand)
+        still_failed: list[int] = []
+        for c0 in range(0, len(pending), groups_per_pass):
+            chunk = pending[c0:c0 + groups_per_pass]
+            slot_streams: list = []
+            for r in chunk:
+                slot_streams.extend([batch[r]] * n_cand)
+            slot_streams.extend([None] * (self.B - len(slot_streams)))
+
+            _t0 = _time.perf_counter()
+            kc, vc = self._encode_slots(states, slot_streams, pcm_dev)
+            self.phase_times["encode"] += _time.perf_counter() - _t0
+
+            prompts_t = [list(self.prompt_init) for _ in range(self.B)]
+            live = np.zeros((self.B,), bool)
+            seeks = np.zeros((self.B,), np.int32)
+            ends = np.zeros((self.B,), np.int32)
+            keys = np.zeros((self.B, 2), np.uint32)
+            for g, r in enumerate(chunk):
+                st = states[batch[r]]
+                s0 = g * n_cand
+                group_keys = window_rng(st.seek, it, n_cand)
+                for c in range(n_cand):
+                    prompts_t[s0 + c] = cur_prompts[r]
+                    live[s0 + c] = True
+                    seeks[s0 + c] = st.seek
+                    ends[s0 + c] = st.seek_end
+                    keys[s0 + c] = group_keys[c]
+            _t0 = _time.perf_counter()
+            out = self._decode_rows(prompts_t, kc, vc, live, seeks, ends,
+                                    t_cur, keys)
+            self.phase_times["decode"] += _time.perf_counter() - _t0
+            _t0 = _time.perf_counter()
+            for g, r in enumerate(chunk):
+                st = states[batch[r]]
+                best, _ = _rank_window_candidates(
+                    out, n_cand, p, last, ctx.vocab.token_eot,
+                    row0=g * n_cand)
+                if best is None:
+                    still_failed.append(r)
+                else:
+                    best["prompt"] = cur_prompts[r]
+                    self._finish_window(st, best)
+            self.phase_times["finish"] += _time.perf_counter() - _t0
+        return still_failed
+
+    def _iterate_beam(self, states, batch, prompts, prompts_bare,
+                      pcm_dev, _t_iter) -> None:
+        """Beam-search window iteration: each pending stream decodes
+        K = beam_size beams at t == 0 (best_of slots at t > 0, reference:
+        whisper.cpp:5718-5724) through ONE jitted (S x K)-row batch —
+        beam-5 requests ride the device batch instead of dropping to the
+        serial per-window path (round-3 verdict ask #1b)."""
+        import time as _time
+        p = self.params
+        B = len(batch)
+
+        temps = [p.temperature]
+        if p.temperature_inc > 0.0:
+            t = p.temperature + p.temperature_inc
+            while t < 1.0 + 1e-6:
+                temps.append(t)
+                t += p.temperature_inc
+
+        pending = list(range(B))
+        for it, t_cur in enumerate(temps):
+            if not pending:
+                break
+            last = it == len(temps) - 1
+            cur_prompts = prompts if t_cur < 0.5 else prompts_bare
+            # slot count per stream at this rung (serial: api._full_impl)
+            K = (p.beam_search.beam_size if t_cur <= 0.0
+                 else max(1, p.greedy.best_of))
+            K = max(1, min(K, self.B))
+            pending = self._beam_rung(states, batch, pending, cur_prompts,
+                                      t_cur, it, last, K, pcm_dev)
+        self.window_times.append((B, _time.perf_counter() - _t_iter))
+
+    def _beam_rung(self, states, batch, pending, cur_prompts, t_cur, it,
+                   last, K, pcm_dev) -> list[int]:
+        """One beam ladder rung: chunks of S = B//K streams per device
+        call, each stream spanning K beam rows.  Per-stream draw keys
+        (window_rng(seek, attempt)) make results bit-identical to the
+        serial beam path.  Returns rows still failed."""
+        import time as _time
+        ctx = self.ctx
+        p = self.params
+        S = max(1, self.B // K)
+        still_failed: list[int] = []
+        for c0 in range(0, len(pending), S):
+            chunk = pending[c0:c0 + S]
+            slot_streams = ([batch[r] for r in chunk]
+                            + [None] * (S - len(chunk)))
+
+            _t0 = _time.perf_counter()
+            kc, vc = self._encode_slots(states, slot_streams, pcm_dev)
+            self.phase_times["encode"] += _time.perf_counter() - _t0
+
+            prompts_t = [list(self.prompt_init) for _ in range(S)]
+            live = np.zeros((S,), bool)
+            seeks = np.zeros((S,), np.int32)
+            ends = np.zeros((S,), np.int32)
+            keys = np.zeros((S, 2), np.uint32)
+            for g, r in enumerate(chunk):
+                st = states[batch[r]]
+                prompts_t[g] = cur_prompts[r]
+                live[g] = True
+                seeks[g] = st.seek
+                ends[g] = st.seek_end
+                keys[g] = window_rng(st.seek, it, 1, per_row=False)
+            _t0 = _time.perf_counter()
+            out = self._decode_rows_beam(prompts_t, kc, vc, live, seeks,
+                                         ends, t_cur, keys, K)
+            self.phase_times["decode"] += _time.perf_counter() - _t0
+            _t0 = _time.perf_counter()
+            for g, r in enumerate(chunk):
+                st = states[batch[r]]
+                best, _ = _rank_window_candidates(
+                    out, K, p, last, ctx.vocab.token_eot, row0=g * K)
+                if best is None:
+                    still_failed.append(r)
+                else:
+                    best["prompt"] = cur_prompts[r]
+                    self._finish_window(st, best)
+            self.phase_times["finish"] += _time.perf_counter() - _t0
+        return still_failed
+
+    def _decode_rows_beam(self, prompts, kc, vc, live, seeks, ends, t_cur,
+                          keys, K):
+        """Batched beam decode: prompts[s] against cross-KV row s, K beams
+        per stream.  Inputs are per-stream (S rows); output arrays are
+        per-beam (S*K rows), stream s at rows [s*K, (s+1)*K)."""
+        ctx = self.ctx
+        p = self.params
+        S = len(prompts)
+        P = self._prompt_bucket([q for s, q in enumerate(prompts)
+                                 if live[s]] or [self.prompt_init])
+        buf = np.zeros((S, P), np.int32)
+        pad_len = np.full((S,), P - 1, np.int32)
+        for row, q in enumerate(prompts):
+            pad_len[row] = P - len(q)
+            buf[row, P - len(q):] = q
+        extra = (ctx._regex_suppress_ids(p.suppress_regex)
+                 if p.suppress_regex else ())
+        fn = ctx._beam_batch_window_fn(
+            S, K, P, self.opts, p.single_segment, self.no_timestamps,
+            p.max_tokens, extra)
+        return fn(ctx.params, kc, vc, buf, pad_len, t_cur, seeks, ends,
+                  keys, live)
+
+    def _encode_slots(self, states, slot_streams, pcm_dev=None):
+        """Batched encode where slot i carries stream slot_streams[i]'s
+        current window (None = dead slot, zeros).  Duplicate entries are
+        how the ladder tiles best_of candidates per stream — the
+        resident-PCM path gathers the same window twice at no extra cost.
+        The encode batch size is len(slot_streams): callers pad to their
+        fixed slot count (self.B for greedy, streams-per-pass for beam) so
+        each geometry compiles exactly once."""
+        ctx = self.ctx
+        n_ctx = ctx.hparams.n_audio_ctx
+        nB = len(slot_streams)
+        if pcm_dev is not None:
+            from ..constants import HOP_LENGTH
+            rows_idx = np.zeros((nB,), np.int32)
+            starts = np.zeros((nB,), np.int32)
+            for row, si in enumerate(slot_streams):
+                if si is None:
+                    continue
+                rows_idx[row] = si
+                starts[row] = states[si].seek * HOP_LENGTH
+            return self._encode_batch_sliced(pcm_dev, rows_idx, starts)
+        if self.device_mel:
+            from ..constants import HOP_LENGTH, N_FFT
+            S = 2 * n_ctx * HOP_LENGTH + N_FFT
+            all_i16 = all(states[si].pcm_padded.dtype == np.int16
+                          for si in slot_streams if si is not None)
+            mel_windows = np.zeros(
+                (nB, S), np.int16 if all_i16 else np.float32)
+            for row, si in enumerate(slot_streams):
+                if si is None:
+                    continue
+                st = states[si]
+                start = st.seek * HOP_LENGTH
+                chunk = st.pcm_padded[start:start + S]
+                if (chunk.dtype == np.int16
+                        and mel_windows.dtype != np.int16):
+                    chunk = chunk.astype(np.float32) / 32768.0
+                mel_windows[row, :len(chunk)] = chunk
+        else:
+            mel_windows = np.zeros((nB, 2 * n_ctx, ctx.hparams.n_mels),
+                                   np.float32)
+            for row, si in enumerate(slot_streams):
+                if si is None:
+                    continue
+                st = states[si]
+                avail = max(0, min(2 * n_ctx, st.mel.shape[0] - st.seek))
+                mel_windows[row, :avail] = st.mel[st.seek:st.seek + avail]
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding
+            from .mesh import batch_spec
+            mel_windows = jax.device_put(
+                jnp.asarray(mel_windows),
+                NamedSharding(self.mesh, batch_spec(self.mesh)))
+        return self._encode_batch(mel_windows)
 
     def _prompt_bucket(self, prompts) -> int:
         """Fixed prompt-buffer size: one small bucket for bare prompts, one
@@ -404,13 +635,19 @@ class BatchTranscriber:
         need = 1 + cap + len(self.prompt_init)   # token_prev + past + init
         return max(8, (need + 7) // 8 * 8)
 
-    def _decode_rows(self, prompts, kc, vc, live, seeks, ends, t_cur):
+    def _decode_rows(self, prompts, kc, vc, live, seeks, ends, t_cur, keys):
         """Decode `prompts[r]` against cross-KV row r for every live row.
 
         Rows stay in their natural batch positions — no cross-KV gather
         (an eager take on the q8 stack would transiently double ~8 GB at
         large-v3 B=48+ and OOM the chip); dead rows decode their own
         (masked, ignored) window.  Output row r corresponds to prompts[r].
+
+        keys: (B, 2) uint32 per-row draw keys (window_rng) — each row's
+        multinomial stream is independent of its slot position, so the
+        ladder's retry draws match the serial path bit-for-bit.  All
+        inputs ride _PackedWindowFn's single blob upload; results come
+        back as numpy in one fetch.
         """
         ctx = self.ctx
         p = self.params
@@ -425,14 +662,9 @@ class BatchTranscriber:
             buf[row, P - len(q):] = q
         fn = ctx._decode_window_fn(
             B, P, self.opts, p.single_segment, self.no_timestamps,
-            p.max_tokens, "greedy")
-        # host-side uint32 key == jax.random.PRNGKey(seed) bit-for-bit for
-        # seeds < 2**32; avoids a device op + fetch per iteration.  All
-        # inputs ride _PackedWindowFn's single blob upload; results come
-        # back as numpy in one fetch.
-        key = np.array([0, int(t_cur * 100)], np.uint32)
+            p.max_tokens, "greedy", per_row_rng=True)
         return fn(ctx.params, kc, vc, buf, pad_len, t_cur, seeks, ends,
-                  key, live)
+                  keys, live)
 
     def warmup(self, pcm_dtype=np.float32) -> None:
         """Pre-compile the encoder and both prompt-bucket decode variants
@@ -460,64 +692,23 @@ class BatchTranscriber:
         live = np.zeros((self.B,), bool)
         live[0] = True
         zeros = np.zeros((self.B,), np.int32)
+        keys = np.zeros((self.B, 2), np.uint32)
         for prompt in (bare, carried):
             out = self._decode_rows([prompt] * self.B, kc, vc, live,
-                                    zeros, zeros, 0.0)
+                                    zeros, zeros, 0.0, keys)
             del out
 
-    def _row_success(self, out, j, t_cur, last: bool) -> bool:
-        """Per-stream fallback criteria (reference: whisper.cpp:6169-6230)."""
-        p = self.params
-        if last:
-            return True
-        if bool(out["failed"][j]):
-            return False
-        rl = int(out["result_len"][j])
-        plogs = out["plog"][j][:rl]
-        avg_lp = float(plogs.sum()) / max(rl, 1) if rl else -np.inf
-        if rl > 32:
-            ids, counts = np.unique(out["tokens"][j][max(0, rl - 32):rl],
-                                    return_counts=True)
-            ps = counts / counts.sum()
-            entropy = float(-(ps * np.log(ps)).sum())
-            if entropy < p.entropy_thold:
-                return False
-        nsp = float(out["no_speech_prob"][j])
-        if avg_lp < p.logprob_thold and nsp < p.no_speech_thold:
-            return False
-        return True
-
-    def _finish_window(self, st: StreamState, out, row: int,
-                       n_sampled: int, prompt: list) -> None:
+    def _finish_window(self, st: StreamState, best: dict) -> None:
+        """Emit one window's winning candidate into the stream's session
+        state and advance its seek (best: _rank_window_candidates output
+        plus "prompt") — identical emission to the serial path."""
         ctx = self.ctx
         p = self.params
-        failed = bool(out["failed"][row])
-        result_len = int(out["result_len"][row])
-        seek_delta = int(out["seek_delta"][row])
-        st.no_speech_prob = float(out["no_speech_prob"][row])
+        st.no_speech_prob = best["no_speech_prob"]
 
         if ctx.n_loaded == 0:
             st.seek += TICKS_PER_SECOND * CHUNK_SIZE
         else:
-            # emission truncates to result_len (whisper.cpp:6180); a
-            # loop-failed row reaching the final temperature keeps its OWN
-            # full sampled sequence (not the batch-global step count — the
-            # EOT-initialized tail would pollute segment tokens), exactly
-            # like the serial path
-            from ..api import _own_sampled_len
-            best = {
-                "tokens": out["tokens"][row], "p": out["p"][row],
-                "plog": out["plog"][row], "tid": out["tid"][row],
-                "pt": out["pt"][row], "ptsum": out["ptsum"][row],
-                "result_len": result_len,
-                "n_emit": (_own_sampled_len(out["tokens"][row], n_sampled,
-                                            ctx.vocab.token_eot)
-                           if failed else result_len),
-                "seek_delta": seek_delta,
-                "avg_logprobs": (float(out["plog"][row][:result_len].sum())
-                                 / max(result_len, 1)),
-                "prompt": prompt,
-            }
             with ctx.use_state(st):
                 ctx.no_speech_prob = st.no_speech_prob
                 st.seek = ctx._emit_segments(best, st.seek, st.seek_end, p,
@@ -528,6 +719,193 @@ class BatchTranscriber:
             st.done = True
         if st.seek > 0 and st.seek + 500 >= st.seek_end:
             st.prompt_past = []
+
+
+class _Job:
+    """One submitted stream riding the continuous batch."""
+
+    __slots__ = ("pcm", "st", "done", "error", "t_submit", "t_first_segment",
+                 "t_done", "iter_joined", "iter_done", "_had_segment")
+
+    def __init__(self, pcm):
+        import threading
+        import time
+        self.pcm = pcm
+        self.st: StreamState | None = None
+        self.done = threading.Event()
+        self.error: str | None = None
+        self.t_submit = time.perf_counter()
+        self.t_first_segment: float | None = None
+        self.t_done: float | None = None
+        self.iter_joined: int | None = None
+        self.iter_done: int | None = None
+        self._had_segment = False
+
+
+class ContinuousBatcher:
+    """Continuous batching: a persistent device batch whose rows are
+    REFILLED between window iterations.
+
+    The plain BatchTranscriber (and the reference server, which runs one
+    request at a time against one whisper_context,
+    reference: examples/server/server.cpp:694) admits work only at batch
+    boundaries: a long stream head-of-line-blocks every later request
+    until the whole group drains.  Here the scheduler re-picks the batch
+    BEFORE EVERY window iteration — finished streams free their slot
+    immediately and queued/new requests join mid-flight, so a request
+    arriving while a long batch is decoding produces its first segment
+    within about one window iteration.
+
+    Scheduling is FIFO over live streams: slots go to the oldest
+    not-yet-finished admissions, which bounds every request's wait by
+    (queue position / batch_size) iterations rather than by the longest
+    stream in front of it.
+    """
+
+    def __init__(self, ctx: WhisperContext, batch_size: int = 8,
+                 params: FullParams | None = None, device_mel: bool = False,
+                 max_active: int | None = None, warmup: bool = False):
+        import queue
+        import threading
+
+        self.bt = BatchTranscriber(ctx, batch_size=batch_size, params=params,
+                                   device_mel=device_mel)
+        if warmup:
+            self.bt.warmup()
+        self.B = batch_size
+        # admission cap: streams beyond it wait in the queue un-prepped
+        # (each admitted stream holds its mel spectrogram in host memory)
+        self.max_active = max_active or 2 * batch_size
+        self.queue: "queue.Queue[_Job]" = queue.Queue()
+        self.active: list[_Job] = []
+        self.n_iterations = 0
+        # instrumentation: called as iteration_hook(n_iterations) at the
+        # top of every scheduler cycle, BEFORE admission — lets tests and
+        # metrics collectors observe (or deterministically pause) the
+        # engine between iterations
+        self.iteration_hook = None
+        self._closed = False
+        self._lock = threading.Lock()
+        self.thread = threading.Thread(target=self._run, daemon=True)
+        self.thread.start()
+
+    # -- client side -------------------------------------------------------
+
+    def submit(self, pcm) -> list[Segment]:
+        """Blocks until this stream finishes; returns its segments.
+        Thread-safe; any number of callers may submit concurrently."""
+        if self._closed:
+            raise RuntimeError("ContinuousBatcher is closed")
+        job = _Job(pcm)
+        self.queue.put(job)
+        job.done.wait()
+        if job.error is not None:
+            raise RuntimeError(job.error)
+        return job.st.result_all
+
+    def submit_async(self, pcm) -> _Job:
+        """Non-blocking submit; wait on job.done, read job.st.result_all.
+        The job also records time-to-first-segment (t_first_segment) and
+        the iteration indices it joined/finished at."""
+        job = _Job(pcm)
+        self.queue.put(job)
+        return job
+
+    def close(self) -> None:
+        self._closed = True
+        self.queue.put(None)   # wake the engine
+        self.thread.join(timeout=30)
+
+    # -- engine ------------------------------------------------------------
+
+    def _admit(self, job: "_Job | None") -> None:
+        import time
+        if job is None:
+            return
+        try:
+            job.st = self.bt._make_stream(job.pcm)
+            job.pcm = None          # the mel/padded-pcm is what's needed now
+            job.iter_joined = self.n_iterations
+        except Exception as e:  # noqa: BLE001 — fail this job, not the engine
+            job.error = f"stream prep failed: {e}"
+            job.done.set()
+            return
+        if job.st.done:             # too short to decode: resolve instantly
+            job.t_done = time.perf_counter()
+            job.iter_done = self.n_iterations
+            job.done.set()
+            return
+        self.active.append(job)
+
+    def _run(self):
+        import queue as _q
+        import time
+
+        while True:
+            hook = self.iteration_hook
+            if hook is not None:
+                hook(self.n_iterations)
+            # admit new work: block when idle, drain when busy
+            if not self.active:
+                try:
+                    job = self.queue.get(timeout=0.25)
+                except _q.Empty:
+                    if self._closed:
+                        break
+                    continue
+                if job is None and self._closed:
+                    break
+                self._admit(job)
+            while len(self.active) < self.max_active:
+                try:
+                    job = self.queue.get_nowait()
+                except _q.Empty:
+                    break
+                if job is None and self._closed:
+                    break
+                self._admit(job)
+            if self._closed and not self.active:
+                break
+            if not self.active:
+                continue
+
+            # FIFO: the oldest B live streams get this iteration's slots
+            batch = list(range(min(len(self.active), self.B)))
+            try:
+                self.bt._iterate([j.st for j in self.active], batch)
+            except Exception as e:  # noqa: BLE001 — a dead engine thread
+                # would leave every submitter blocked on done.wait() forever
+                for j in self.active:
+                    j.error = f"batch iteration failed: {e}"
+                    j.done.set()
+                self.active.clear()
+                continue
+            self.n_iterations += 1
+
+            now = time.perf_counter()
+            still = []
+            for idx, j in enumerate(self.active):
+                if (not j._had_segment and idx in batch
+                        and j.st.result_all):
+                    j._had_segment = True
+                    j.t_first_segment = now
+                if j.st.done:
+                    j.t_done = now
+                    j.iter_done = self.n_iterations
+                    j.done.set()
+                else:
+                    still.append(j)
+            self.active = still
+
+        # drain anything still queued after close
+        while True:
+            try:
+                job = self.queue.get_nowait()
+            except _q.Empty:
+                break
+            if job is not None:
+                job.error = "ContinuousBatcher closed"
+                job.done.set()
 
 
 

@@ -42,35 +42,42 @@ STATE = _State()
 
 
 class _BatchWorker:
-    """Cross-request batching: concurrent /inference requests with
-    compatible parameters ride one device batch (BatchTranscriber) instead
-    of queueing serially — the TPU-native answer to the reference's
-    one-context-one-request server.
+    """Cross-request CONTINUOUS batching: concurrent /inference requests
+    with compatible decode parameters ride one persistent device batch
+    whose rows are refilled between window iterations
+    (parallel/batch.ContinuousBatcher) — the TPU-native answer to the
+    reference's one-context-one-request server (server.cpp:694).
 
-    Requests are collected for up to `window_ms` (or until `batch_size`
-    accumulate), grouped by a parameter signature, and transcribed
-    together; incompatible ones fall back to serial ctx.full.
+    A long stream never head-of-line-blocks later requests: a request
+    arriving mid-batch joins at the next window iteration and finished
+    streams free their slot immediately (the round-3 scheduler collected
+    requests for window_ms, then ran each group to completion).
+
+    Engines are keyed by the decode-parameter signature; at most
+    MAX_ENGINES live at once (each holds compiled loops + a scheduler
+    thread), further signatures fall back to serial ctx.full under a
+    lock.  window_ms is kept for CLI compatibility; continuous admission
+    makes a collection window unnecessary.
     """
+
+    MAX_ENGINES = 4
 
     def __init__(self, ctx: WhisperContext, batch_size: int = 8,
                  window_ms: int = 50, warmup: bool = True):
-        import queue
-
         self.ctx = ctx
         self.batch_size = batch_size
         self.window_s = window_ms / 1000.0
-        self.queue: "queue.Queue" = queue.Queue()
+        self._elock = threading.Lock()   # engine registry
+        self._slock = threading.Lock()   # serial-fallback requests
+        self.engines: dict = {}
         if warmup and ctx.n_loaded > 0:
-            # pre-compile the encoder + both decode prompt buckets so no
-            # live request ever waits on jit
-            from .parallel.batch import BatchTranscriber
+            # pre-build the default-signature engine and compile the
+            # encoder + both decode prompt buckets so no live request on
+            # the default configuration ever waits on jit
             t0 = time.perf_counter()
-            BatchTranscriber(ctx, batch_size=batch_size,
-                             params=self._default_params()).warmup()
+            self._engine_for(self._default_params(), warmup=True)
             print(f"server: warmed jit caches in "
                   f"{time.perf_counter() - t0:.1f}s", file=sys.stderr)
-        self.thread = threading.Thread(target=self._run, daemon=True)
-        self.thread.start()
 
     @staticmethod
     def _default_params():
@@ -85,8 +92,8 @@ class _BatchWorker:
     @staticmethod
     def _signature(p) -> tuple:
         """Requests may share one device batch ONLY if every decode-
-        affecting parameter matches — _process_group applies items[0]'s
-        params to the whole group, so anything missing here silently
+        affecting parameter matches — the engine applies its own params
+        to every stream it carries, so anything missing here silently
         leaks settings between requests."""
         return (p.language, p.translate, p.no_timestamps, p.single_segment,
                 p.no_context,
@@ -101,78 +108,58 @@ class _BatchWorker:
                 p.n_max_text_ctx, p.audio_ctx, p.tdrz_enable,
                 p.detect_language, p.max_initial_ts, p.length_penalty)
 
+    @staticmethod
+    def _batchable(p) -> bool:
+        """Configs the batched engine carries.  Since round 4 that is the
+        full quality surface — best_of ladder diversity, token
+        timestamps, AND beam search (S streams x K beams in one device
+        batch); only auto-language and host-looped grammar/logit-filter
+        decoding go serial."""
+        return (p.language not in (None, "", "auto")
+                and not p.detect_language
+                and p.strategy in (SamplingStrategy.GREEDY,
+                                   SamplingStrategy.BEAM_SEARCH)
+                and p.grammar_rules is None
+                and p.logits_filter_callback is None)
+
+    def _engine_for(self, params, warmup: bool = False):
+        from .parallel.batch import ContinuousBatcher
+        sig = self._signature(params)
+        with self._elock:
+            eng = self.engines.get(sig)
+            if eng is None:
+                if len(self.engines) >= self.MAX_ENGINES:
+                    return None
+                import copy
+                eng = ContinuousBatcher(
+                    self.ctx, batch_size=self.batch_size,
+                    params=copy.deepcopy(params), warmup=warmup)
+                self.engines[sig] = eng
+        return eng
+
     def submit(self, pcm, params):
         """Blocks until this request's segments are ready; returns them."""
-        done = threading.Event()
-        slot: dict = {}
-        self.queue.put((pcm, params, done, slot))
-        done.wait()
-        if "error" in slot:
-            raise RuntimeError(slot["error"])
-        return slot["segments"]
+        if self._batchable(params):
+            eng = self._engine_for(params)
+            if eng is not None:
+                return eng.submit(pcm)
+        with self._slock:
+            state = self.ctx.init_state()
+            if self.ctx.full(params, pcm, state=state) != 0:
+                raise RuntimeError("failed to process audio")
+            return list(state.result_all)
 
-    def _run(self):
-        import queue as _q
+    def rebind(self, ctx: WhisperContext) -> None:
+        """Swap the model (POST /load): drain and drop every engine —
+        they hold compiled state for the old weights."""
+        with self._elock:
+            engines, self.engines = self.engines, {}
+            self.ctx = ctx
+        for eng in engines.values():
+            eng.close()
 
-        while True:
-            first = self.queue.get()
-            batch = [first]
-            deadline = time.monotonic() + self.window_s
-            while len(batch) < self.batch_size:
-                timeout = deadline - time.monotonic()
-                if timeout <= 0:
-                    break
-                try:
-                    batch.append(self.queue.get(timeout=timeout))
-                except _q.Empty:
-                    break
-
-            # the worker is a singleton daemon: ANY escaped exception here
-            # would kill it and leave every future submit() blocked on
-            # done.wait() forever — fail the batch, never the thread
-            try:
-                groups: dict = {}
-                for item in batch:
-                    groups.setdefault(self._signature(item[1]), []).append(item)
-                for items in groups.values():
-                    self._process_group(items)
-            except Exception as e:  # noqa: BLE001
-                for _, _, done, slot in batch:
-                    if not done.is_set():
-                        slot["error"] = f"batch worker error: {e}"
-                        done.set()
-
-    def _process_group(self, items):
-        from .parallel.batch import BatchTranscriber
-
-        params = items[0][1]
-        try:
-            if (len(items) > 1
-                    and params.language not in (None, "", "auto")
-                    and params.strategy == SamplingStrategy.GREEDY
-                    and not params.detect_language):
-                # fixed batch size: partial groups are padded inside the
-                # transcriber, so every group reuses one compiled loop
-                bt = BatchTranscriber(self.ctx,
-                                      batch_size=self.batch_size,
-                                      params=params)
-                results = bt.transcribe([pcm for pcm, *_ in items])
-                for (_, _, done, slot), segs in zip(items, results):
-                    slot["segments"] = segs
-                    done.set()
-                return
-            for pcm, p, done, slot in items:
-                state = self.ctx.init_state()
-                if self.ctx.full(p, pcm, state=state) != 0:
-                    slot["error"] = "failed to process audio"
-                else:
-                    slot["segments"] = list(state.result_all)
-                done.set()
-        except Exception as e:  # noqa: BLE001 — propagate per request
-            for _, _, done, slot in items:
-                if not done.is_set():
-                    slot["error"] = str(e)
-                    done.set()
+    def close(self) -> None:
+        self.rebind(self.ctx)
 
 
 class _SegmentsView:
@@ -387,9 +374,9 @@ class Handler(BaseHTTPRequestHandler):
                     STATE.ctx = WhisperContext.from_file(req["model"])
                     STATE.model_path = req["model"]
                     if STATE.batcher is not None:
-                        # the worker holds its own ctx reference; rebind so
-                        # batched requests use the newly loaded model too
-                        STATE.batcher.ctx = STATE.ctx
+                        # engines hold compiled state for the old weights;
+                        # drain them and rebind to the new model
+                        STATE.batcher.rebind(STATE.ctx)
                 self._send(200, "application/json", '{"status": "ok"}')
             except Exception as e:
                 self._send(400, "application/json",
