@@ -121,3 +121,34 @@ def make_random_model(tmp_path, seed=0, n_vocab=None, ftype=0, qtype=None,
     path = str(tmp_path / f"random-{seed}.bin")
     write_ggml(path, hp, stub.filters, tokens, tensors, ftype=ftype, qtype=qtype)
     return path
+
+
+REF_BUILD = "/tmp/wtpu_refbuild"
+
+
+def build_reference_binary(target: str):
+    """Build (CPU-only, cached in /tmp) a binary from the reference tree —
+    the REAL reference engine, used by the differential fuzzer and the
+    server byte-goldens.  Returns the executable path, or None when the
+    toolchain/source is unavailable (callers skip)."""
+    import shutil
+    import subprocess
+
+    exe = os.path.join(REF_BUILD, "bin", target)
+    if os.path.exists(exe):
+        return exe
+    if shutil.which("cmake") is None or not os.path.isdir("/root/reference"):
+        return None
+    try:
+        subprocess.run(
+            ["cmake", "-S", "/root/reference", "-B", REF_BUILD,
+             "-DGGML_NATIVE=OFF", "-DGGML_OPENMP=OFF",
+             "-DCMAKE_BUILD_TYPE=Release", "-DWHISPER_BUILD_TESTS=OFF"],
+            check=True, capture_output=True, timeout=600)
+        subprocess.run(
+            ["cmake", "--build", REF_BUILD, "-j", str(os.cpu_count() or 4),
+             "--target", target],
+            check=True, capture_output=True, timeout=1800)
+    except (subprocess.SubprocessError, OSError):
+        return None
+    return exe if os.path.exists(exe) else None

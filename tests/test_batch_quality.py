@@ -166,6 +166,64 @@ def test_beam_ladder_retry_matches_serial(ctx):
     assert serial == batch
 
 
+def _segs_with_token_times(segments):
+    return [(s.t0, s.t1, s.text,
+             tuple((t.id, t.t0, t.t1, t.t_dtw) for t in s.tokens))
+            for s in segments]
+
+
+def test_energy_token_timestamps_match_serial(ctx):
+    """params.token_timestamps (+max_len wrapping) on the batch path: the
+    per-stream signal-energy pass stamps identical t0/t1 on every token."""
+    def mkparams():
+        p = wt.full_default_params()
+        p.print_progress = False
+        p.token_timestamps = True
+        p.max_len = 10
+        p.temperature_inc = 0.0
+        return p
+
+    streams = [_noise(d, seed=120 + d) for d in (2, 3)]
+    serial = []
+    for pcm in streams:
+        state = ctx.init_state()
+        assert ctx.full(mkparams(), pcm, state=state) == 0
+        serial.append(_segs_with_token_times(state.result_all))
+    bt = BatchTranscriber(ctx, batch_size=4, params=mkparams())
+    batch = [_segs_with_token_times(s) for s in bt.transcribe(streams)]
+    assert serial == batch
+
+
+def test_dtw_token_timestamps_match_serial(tmp_path):
+    """DTW timestamps on the batch path: this iteration's finished windows
+    share ONE batched teacher-forced cross-QK re-decode, and every token's
+    t_dtw equals the serial per-window pass exactly."""
+    path = make_random_model(tmp_path)
+    dtw_kw = dict(dtw_token_timestamps=True, dtw_aheads_preset="n_top_most",
+                  dtw_n_top=2)
+    ctx = wt.WhisperContext.from_file(path, **dtw_kw)
+
+    def mkparams():
+        p = wt.full_default_params()
+        p.print_progress = False
+        p.temperature_inc = 0.0
+        return p
+
+    streams = [_noise(d, seed=130 + d) for d in (2, 3, 4)]
+    serial = []
+    for pcm in streams:
+        state = ctx.init_state()
+        assert ctx.full(mkparams(), pcm, state=state) == 0
+        serial.append(_segs_with_token_times(state.result_all))
+
+    bt = BatchTranscriber(ctx, batch_size=4, params=mkparams())
+    batch = [_segs_with_token_times(s) for s in bt.transcribe(streams)]
+    assert serial == batch
+    # DTW actually stamped something (not vacuous parity)
+    stamped = [tok[3] for segs in batch for s in segs for tok in s[3]]
+    assert any(t >= 0 for t in stamped)
+
+
 def test_window_rng_derivation():
     """Keys are (seek, attempt<<8 | candidate) uint32 pairs; the beam form
     is a single (2,) key."""

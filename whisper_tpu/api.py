@@ -368,19 +368,25 @@ class WhisperContext:
     @classmethod
     def from_random(cls, size: str = "large-v3", seed: int = 0,
                     compute_dtype=jnp.bfloat16,
-                    cross_mode: str = "einsum") -> "WhisperContext":
+                    cross_mode: str = "einsum",
+                    dims: tuple | None = None) -> "WhisperContext":
         """Random-weight context at exact named dims with a synthetic vocab.
 
         The timing-faithful bench/serving-test fixture: every tensor shape,
         special-token id and filter constant matches the real model, only
         the weight values (and token strings) are synthetic.  Used by
         bench.py's serving mode, which has no model files available.
+
+        dims: optional MODEL_DIMS-shaped tuple overriding `size` — the
+        multichip dryrun uses micro dims so the whole orchestrator runs in
+        seconds on the virtual CPU mesh.
         """
         from .models.whisper import MODEL_DIMS, WhisperConfig
         from .weights.convert import random_params
         from .weights.ggml_reader import Hparams, synthetic_vocab
 
-        dims = MODEL_DIMS[size]
+        if dims is None:
+            dims = MODEL_DIMS[size]
         cfg = WhisperConfig(*dims, model_type=size)
         # special ids come from the one shared derivation
         # (weights/ggml_reader.special_token_ids)

@@ -135,19 +135,12 @@ def dtw_backtrace(cost_matrix: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return np.asarray(ti[::-1]), np.asarray(tj[::-1])
 
 
-def compute_token_level_timestamps_dtw(ctx, params, i_segment: int,
-                                       n_segments: int, seek: int,
-                                       n_frames: int,
-                                       medfilt_width: int = 7) -> None:
-    """Fill tokens[].t_dtw for segments [i_segment, i_segment+n_segments)."""
+def dtw_token_sequence(ctx, params, segments) -> tuple[list, int]:
+    """Teacher-forcing token sequence for a window's new segments:
+    sot + [lang] + <not> + text + eot.  Returns (tokens, sot_len)."""
     from .languages import lang_id as _lang_id
-    from .models import whisper as wm
 
     vocab = ctx.vocab
-    n_audio_ctx = ctx.exp_n_audio_ctx or ctx.hparams.n_audio_ctx
-    n_frames = min(n_frames, 2 * n_audio_ctx)
-
-    # token sequence: sot + [lang] + <not> + text + eot
     tokens = [vocab.token_sot]
     if vocab.is_multilingual:
         # params.language is the resolved language here (full() writes the
@@ -158,43 +151,37 @@ def compute_token_level_timestamps_dtw(ctx, params, i_segment: int,
         tokens.append(vocab.token_lang(_lang_id(lang)))
     sot_len = len(tokens)
     tokens.append(vocab.token_not)
-    for i in range(i_segment, i_segment + n_segments):
-        for t in ctx.result_all[i].tokens:
+    for seg in segments:
+        for t in seg.tokens:
             if t.id < vocab.token_eot:
                 tokens.append(t.id)
     tokens.append(vocab.token_eot)
+    return tokens, sot_len
 
+
+def dtw_aheads_select(ctx):
+    """-> (aheads, sel) for the loaded model's alignment-head preset
+    (None, None when the preset yields nothing)."""
     aheads = aheads_for(ctx.dtw_aheads_preset, ctx.hparams.n_text_layer,
                         ctx.hparams.n_text_head, ctx.dtw_n_top,
                         ctx.dtw_aheads)
     if not aheads:
-        return
+        return None, None
     sel = head_select_matrix(aheads, ctx.hparams.n_text_layer,
                              ctx.hparams.n_text_head)
+    return aheads, sel
 
-    # teacher-forced decode of the window at `seek`; pad the token count to
-    # a bucket so the jit cache is reused across segments
-    _, kc, vc = ctx.encode_window(seek)
-    T = len(tokens)
-    T_pad = min(((T + 63) // 64) * 64, ctx.hparams.n_text_ctx)
-    padded = tokens + [vocab.token_eot] * (T_pad - T)
 
-    key = ("dtw_qk", T_pad, sel.shape)
-    if key not in ctx._jit_cache:
-        nh = ctx.hparams.n_text_head
-        cd = ctx.compute_dtype
+def dtw_stamp_segments(ctx, qk_row, aheads, T: int, sot_len: int, seek: int,
+                       n_frames: int, segments,
+                       medfilt_width: int = 7) -> None:
+    """Normalize/filter one row's captured cross-attention and stamp
+    t_dtw into `segments`' tokens (reference: src/whisper.cpp:7440-7502).
 
-        @jax.jit
-        def run(params, toks, kc, vc, sel):
-            mask = wm.make_causal_mask(toks.shape[1])
-            return wm.decode_prompt_cross_qk(
-                params, toks, jnp.arange(toks.shape[1]), kc, vc, n_head=nh,
-                head_select=sel, self_mask=mask, compute_dtype=cd)[1]
-
-        ctx._jit_cache[key] = run
-    qk = np.asarray(ctx._jit_cache[key](
-        ctx.params, jnp.asarray([padded], jnp.int32), kc, vc,
-        jnp.asarray(sel)))[:, :, :, :T]       # (L, 1, S, T, Ta)
+    qk_row: (L, S_slots, T_pad, Ta) float32 numpy for ONE window."""
+    vocab = ctx.vocab
+    n_audio_ctx = ctx.exp_n_audio_ctx or ctx.hparams.n_audio_ctx
+    n_frames = min(n_frames, 2 * n_audio_ctx)
 
     # gather the real (layer, slot) pairs in preset order
     per_layer_count: dict[int, int] = {}
@@ -202,8 +189,8 @@ def compute_token_level_timestamps_dtw(ctx, params, i_segment: int,
     for l, h in aheads:
         s = per_layer_count.get(l, 0)
         per_layer_count[l] = s + 1
-        maps.append(qk[l, 0, s])              # (T, Ta)
-    w = np.stack(maps)                        # (n_heads, T, Ta)
+        maps.append(qk_row[l, s, :T])          # (T, Ta)
+    w = np.stack(maps)                         # (n_heads, T, Ta)
 
     n_audio_tokens = n_frames // 2
     w = w[:, :, :n_audio_tokens]
@@ -224,9 +211,7 @@ def compute_token_level_timestamps_dtw(ctx, params, i_segment: int,
 
     # place timestamps (reference: src/whisper.cpp:7477-7502): each time the
     # DTW path advances to a new token row, stamp the next text token
-    text_toks = [t
-                 for i in range(i_segment, i_segment + n_segments)
-                 for t in ctx.result_all[i].tokens
+    text_toks = [t for seg in segments for t in seg.tokens
                  if t.id < vocab.token_eot]
     p = 0
     last_v = 0
@@ -237,3 +222,53 @@ def compute_token_level_timestamps_dtw(ctx, params, i_segment: int,
                 break
             text_toks[p].t_dtw = int(tix) * 2 + seek
             p += 1
+
+
+def _dtw_qk_fn(ctx, B: int, T_pad: int, sel_shape):
+    """Jitted teacher-forced cross-QK capture for a (B, T_pad) batch."""
+    from .models import whisper as wm
+    key = ("dtw_qk", B, T_pad, sel_shape, ctx.cross_mode)
+    if key not in ctx._jit_cache:
+        nh = ctx.hparams.n_text_head
+        cd = ctx.compute_dtype
+
+        @jax.jit
+        def run(params, toks, kc, vc, sel):
+            mask = wm.make_causal_mask(toks.shape[1])
+            return wm.decode_prompt_cross_qk(
+                params, toks, jnp.arange(toks.shape[1]), kc, vc, n_head=nh,
+                head_select=sel, self_mask=mask, compute_dtype=cd)[1]
+
+        ctx._jit_cache[key] = run
+    return ctx._jit_cache[key]
+
+
+def dtw_pad_tokens(ctx, tokens: list, T_pad: int | None = None):
+    """Pad a teacher-forcing sequence to a 64-token bucket (shared jit)."""
+    T = len(tokens)
+    if T_pad is None:
+        T_pad = min(((T + 63) // 64) * 64, ctx.hparams.n_text_ctx)
+    return tokens + [ctx.vocab.token_eot] * (T_pad - T), T_pad
+
+
+def compute_token_level_timestamps_dtw(ctx, params, i_segment: int,
+                                       n_segments: int, seek: int,
+                                       n_frames: int,
+                                       medfilt_width: int = 7) -> None:
+    """Fill tokens[].t_dtw for segments [i_segment, i_segment+n_segments)."""
+    segments = ctx.result_all[i_segment:i_segment + n_segments]
+    tokens, sot_len = dtw_token_sequence(ctx, params, segments)
+    aheads, sel = dtw_aheads_select(ctx)
+    if aheads is None:
+        return
+
+    # teacher-forced decode of the window at `seek`; pad the token count to
+    # a bucket so the jit cache is reused across segments
+    _, kc, vc = ctx.encode_window(seek)
+    T = len(tokens)
+    padded, T_pad = dtw_pad_tokens(ctx, tokens)
+    run = _dtw_qk_fn(ctx, 1, T_pad, sel.shape)
+    qk = np.asarray(run(ctx.params, jnp.asarray([padded], jnp.int32),
+                        kc, vc, jnp.asarray(sel)))   # (L, 1, S, T_pad, Ta)
+    dtw_stamp_segments(ctx, qk[:, 0], aheads, T, sot_len, seek, n_frames,
+                       segments, medfilt_width)

@@ -659,10 +659,16 @@ def decode_prompt_cross_qk(params, tokens, positions, k_cross, v_cross,
     head_select: (L, S, H) float32 one-hot rows selecting <=S heads per
     layer (zero rows = unused slot) — keeps the captured tensor small for
     deep models instead of materializing all L*H attention maps.
+    k_cross/v_cross: (L, B, H, Dh, Ta) arrays, or the tagged quantized
+    forms ("q8"/"q4", codes, scales) from cross_kv_q8/_q4 — the serving
+    path keeps its cross-KV packed, so the DTW re-decode dequantizes per
+    layer exactly like decode_prompt.
     Returns (logits (B, T, V), qk_sel (L, B, S, T, Ta) float32).
     """
     dec = params["decoder"]
     nh = n_head
+    tagged = isinstance(k_cross, tuple)
+    qtag = k_cross[0] if tagged else None
 
     x = dec["tok_emb"][tokens] + dec["pos"][positions]
     x = x.astype(jnp.float32)
@@ -670,6 +676,15 @@ def decode_prompt_cross_qk(params, tokens, positions, k_cross, v_cross,
     def body(carry, scanned):
         blk, kc, vc, sel = scanned
         x = carry
+        if tagged:
+            kq, ksc = kc
+            vq, vsc = vc
+            if qtag in ("q4", "q4e"):
+                from ..ops.cross_attention import unpack_q4_bhdt
+                kq = unpack_q4_bhdt(kq, compute_dtype)
+                vq = unpack_q4_bhdt(vq, compute_dtype)
+            kc = kq.astype(compute_dtype) * ksc[:, :, None, :].astype(compute_dtype)
+            vc = vq.astype(compute_dtype) * vsc[:, :, None, :].astype(compute_dtype)
 
         ln = _layernorm(x, blk["attn_ln_w"], blk["attn_ln_b"])
         q = _split_heads(_linear(ln, blk["q_w"], blk["q_b"], compute_dtype), nh)
@@ -700,8 +715,10 @@ def decode_prompt_cross_qk(params, tokens, positions, k_cross, v_cross,
         x = x + _linear(h, blk["mlp2_w"], blk["mlp2_b"], compute_dtype)
         return x, qk_sel
 
+    xs_kc = tuple(k_cross[1:]) if tagged else k_cross
+    xs_vc = tuple(v_cross[1:]) if tagged else v_cross
     x, qk_all = jax.lax.scan(
-        body, x, (dec["blocks"], k_cross, v_cross, head_select))
+        body, x, (dec["blocks"], xs_kc, xs_vc, head_select))
 
     x = _layernorm(x, dec["ln_w"], dec["ln_b"])
     logits = jnp.dot(x.astype(compute_dtype),

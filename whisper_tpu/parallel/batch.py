@@ -107,6 +107,13 @@ class BatchTranscriber:
             "upload": 0.0, "prep": 0.0, "encode": 0.0, "decode": 0.0,
             "finish": 0.0}
         self.window_times: list[tuple[int, float]] = []
+        # ladder telemetry: windows decoded / windows that needed >=1 retry
+        # rung (bench.py reports the retry rate next to quality-config RTF)
+        self.n_windows = 0
+        self.n_retried_windows = 0
+        # finished windows awaiting the batched DTW cross-QK pass
+        # (ctx.dtw_token_timestamps): (si, st, i_seg, n_new, seek, n_frames)
+        self._dtw_jobs: list[tuple] = []
         self.prompt_init = [ctx.vocab.token_sot]
         if ctx.vocab.is_multilingual:
             lid = _lang_id(p.language)
@@ -337,10 +344,13 @@ class BatchTranscriber:
                 t += p.temperature_inc
 
         kc = vc = None
+        self.n_windows += B
         pending = list(range(B))   # row indices into the original batch
         for it, t_cur in enumerate(temps):
             if not pending:
                 break
+            if it == 1:
+                self.n_retried_windows += len(pending)
             last = it == len(temps) - 1
             cur_prompts = prompts if t_cur < 0.5 else prompts_bare
             # candidate count per window at this rung — the reference
@@ -391,7 +401,7 @@ class BatchTranscriber:
                         still_failed.append(r)
                     else:
                         best["prompt"] = cur_prompts[r]
-                        self._finish_window(st, best)
+                        self._finish_window(st, best, si=batch[r])
                 pending = still_failed
                 self.phase_times["finish"] += _time.perf_counter() - _t0
             else:
@@ -406,6 +416,8 @@ class BatchTranscriber:
                 pending = self._ladder_retry_tiled(
                     states, batch, pending, cur_prompts, t_cur, it, last,
                     n_cand, pcm_dev)
+        if self._dtw_jobs:
+            self._run_dtw_jobs(states, pcm_dev)
         self.window_times.append((B, _time.perf_counter() - _t_iter))
 
     def _ladder_retry_tiled(self, states, batch, pending, cur_prompts,
@@ -461,7 +473,7 @@ class BatchTranscriber:
                     still_failed.append(r)
                 else:
                     best["prompt"] = cur_prompts[r]
-                    self._finish_window(st, best)
+                    self._finish_window(st, best, si=batch[r])
             self.phase_times["finish"] += _time.perf_counter() - _t0
         return still_failed
 
@@ -483,10 +495,13 @@ class BatchTranscriber:
                 temps.append(t)
                 t += p.temperature_inc
 
+        self.n_windows += B
         pending = list(range(B))
         for it, t_cur in enumerate(temps):
             if not pending:
                 break
+            if it == 1:
+                self.n_retried_windows += len(pending)
             last = it == len(temps) - 1
             cur_prompts = prompts if t_cur < 0.5 else prompts_bare
             # slot count per stream at this rung (serial: api._full_impl)
@@ -495,6 +510,8 @@ class BatchTranscriber:
             K = max(1, min(K, self.B))
             pending = self._beam_rung(states, batch, pending, cur_prompts,
                                       t_cur, it, last, K, pcm_dev)
+        if self._dtw_jobs:
+            self._run_dtw_jobs(states, pcm_dev)
         self.window_times.append((B, _time.perf_counter() - _t_iter))
 
     def _beam_rung(self, states, batch, pending, cur_prompts, t_cur, it,
@@ -542,7 +559,7 @@ class BatchTranscriber:
                     still_failed.append(r)
                 else:
                     best["prompt"] = cur_prompts[r]
-                    self._finish_window(st, best)
+                    self._finish_window(st, best, si=batch[r])
             self.phase_times["finish"] += _time.perf_counter() - _t0
         return still_failed
 
@@ -569,7 +586,60 @@ class BatchTranscriber:
         return fn(ctx.params, kc, vc, buf, pad_len, t_cur, seeks, ends,
                   keys, live)
 
-    def _encode_slots(self, states, slot_streams, pcm_dev=None):
+    # rows per DTW cross-QK pass: the captured (L, B, S, T, Ta) f32 tensor
+    # is the constraint (~100 MB/row at large-v3), not the decode itself
+    DTW_QK_ROWS = 8
+
+    def _run_dtw_jobs(self, states, pcm_dev=None) -> None:
+        """Batched DTW token-timestamp pass over this iteration's finished
+        windows: ONE teacher-forced cross-QK re-decode per chunk of rows
+        (the serial path re-decodes per window,
+        reference: whisper.cpp:6364-6378), then per-row host DTW."""
+        jobs, self._dtw_jobs = self._dtw_jobs, []
+        ctx = self.ctx
+        p = self.params
+        from ..dtw import (_dtw_qk_fn, dtw_aheads_select, dtw_pad_tokens,
+                           dtw_stamp_segments, dtw_token_sequence)
+        aheads, sel = dtw_aheads_select(ctx)
+        if aheads is None:
+            return
+        sel_dev = jnp.asarray(sel)
+        nB = max(1, min(self.B, self.DTW_QK_ROWS))
+        for c0 in range(0, len(jobs), nB):
+            chunk = jobs[c0:c0 + nB]
+            seqs = []
+            for (si, st, i_seg, n_new, seek_old, n_frames) in chunk:
+                segs = st.result_all[i_seg:i_seg + n_new]
+                toks, sot_len = dtw_token_sequence(ctx, p, segs)
+                seqs.append((toks, sot_len, segs))
+            # one shared token bucket per chunk -> one compiled fn
+            T_pad = max(dtw_pad_tokens(ctx, toks)[1] for toks, _, _ in seqs)
+            toks_arr = np.full((nB, T_pad), ctx.vocab.token_eot, np.int32)
+            for r, (toks, _, _) in enumerate(seqs):
+                toks_arr[r, :min(len(toks), T_pad)] = toks[:T_pad]
+
+            slot_streams = [si for (si, *_rest) in chunk]
+            slot_streams += [None] * (nB - len(slot_streams))
+            seeks = np.zeros((nB,), np.int64)
+            for r, (_, _, _, _, seek_old, _) in enumerate(chunk):
+                seeks[r] = seek_old
+            kc, vc = self._encode_slots(states, slot_streams, pcm_dev,
+                                        seeks=seeks)
+            if not hasattr(kc, "shape"):   # pre-quantized (codes, scales)
+                tag = "q4" if ctx.cross_mode == "einsum_q4" else "q8"
+                kc = (tag,) + tuple(kc)
+                vc = (tag,) + tuple(vc)
+            run = _dtw_qk_fn(ctx, nB, T_pad, sel.shape)
+            qk = np.asarray(run(ctx.params, jnp.asarray(toks_arr), kc, vc,
+                                sel_dev))      # (L, nB, S, T_pad, Ta)
+            for r, ((_, _, _, _, seek_old, n_frames),
+                    (toks, sot_len, segs)) in enumerate(zip(chunk, seqs)):
+                dtw_stamp_segments(ctx, qk[:, r], aheads,
+                                   min(len(toks), T_pad), sot_len,
+                                   seek_old, n_frames, segs)
+
+    def _encode_slots(self, states, slot_streams, pcm_dev=None,
+                      seeks=None):
         """Batched encode where slot i carries stream slot_streams[i]'s
         current window (None = dead slot, zeros).  Duplicate entries are
         how the ladder tiles best_of candidates per stream — the
@@ -588,7 +658,8 @@ class BatchTranscriber:
                 if si is None:
                     continue
                 rows_idx[row] = si
-                starts[row] = states[si].seek * HOP_LENGTH
+                starts[row] = (seeks[row] if seeks is not None
+                               else states[si].seek) * HOP_LENGTH
             return self._encode_batch_sliced(pcm_dev, rows_idx, starts)
         if self.device_mel:
             from ..constants import HOP_LENGTH, N_FFT
@@ -601,7 +672,8 @@ class BatchTranscriber:
                 if si is None:
                     continue
                 st = states[si]
-                start = st.seek * HOP_LENGTH
+                start = (seeks[row] if seeks is not None
+                         else st.seek) * HOP_LENGTH
                 chunk = st.pcm_padded[start:start + S]
                 if (chunk.dtype == np.int16
                         and mel_windows.dtype != np.int16):
@@ -614,8 +686,9 @@ class BatchTranscriber:
                 if si is None:
                     continue
                 st = states[si]
-                avail = max(0, min(2 * n_ctx, st.mel.shape[0] - st.seek))
-                mel_windows[row, :avail] = st.mel[st.seek:st.seek + avail]
+                sk = seeks[row] if seeks is not None else st.seek
+                avail = max(0, min(2 * n_ctx, st.mel.shape[0] - sk))
+                mel_windows[row, :avail] = st.mel[sk:sk + avail]
         if self.mesh is not None:
             from jax.sharding import NamedSharding
             from .mesh import batch_spec
@@ -698,22 +771,38 @@ class BatchTranscriber:
                                     zeros, zeros, 0.0, keys)
             del out
 
-    def _finish_window(self, st: StreamState, best: dict) -> None:
+    def _finish_window(self, st: StreamState, best: dict,
+                       si: int | None = None) -> None:
         """Emit one window's winning candidate into the stream's session
         state and advance its seek (best: _rank_window_candidates output
-        plus "prompt") — identical emission to the serial path."""
+        plus "prompt") — identical emission to the serial path.
+
+        si: the stream's index into this iteration's `states` list — used
+        to queue the window for the batched DTW pass when the context has
+        dtw_token_timestamps on."""
         ctx = self.ctx
         p = self.params
         st.no_speech_prob = best["no_speech_prob"]
+        seek_old = st.seek
 
         if ctx.n_loaded == 0:
             st.seek += TICKS_PER_SECOND * CHUNK_SIZE
         else:
+            n_seg_before = len(st.result_all)
             with ctx.use_state(st):
                 ctx.no_speech_prob = st.no_speech_prob
                 st.seek = ctx._emit_segments(best, st.seek, st.seek_end, p,
                                              self.prompt_init,
                                              self.no_timestamps)
+            n_new = len(st.result_all) - n_seg_before
+            if ctx.dtw_token_timestamps and n_new and si is not None:
+                # deferred: the iteration's finished windows share one
+                # batched cross-QK re-decode (reference per-window pass:
+                # whisper.cpp:6364-6378)
+                n_frames = min(TICKS_PER_SECOND * CHUNK_SIZE,
+                               best["seek_delta"], st.seek_end - seek_old)
+                self._dtw_jobs.append(
+                    (si, st, n_seg_before, n_new, seek_old, n_frames))
 
         if st.seek + DELTA_MIN >= st.seek_end:
             st.done = True

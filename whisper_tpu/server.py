@@ -263,20 +263,36 @@ def _apply_request_params(params, form: dict):
     v = get("suppress_regex")
     if v:
         params.suppress_regex = v
-    return get("response_format") or "json"
+    # srt numbering offset (server.cpp srt branch: i + 1 + params.offset_n)
+    offset_n = get("offset_n", int) or 0
+    return get("response_format") or "json", offset_n
+
+
+def _output_str(ctx) -> str:
+    """Reference output_str (server.cpp:384-399): every segment's text
+    followed by ONE newline — the "text" body and the json "text" field
+    are byte-compatible with the reference server."""
+    return "".join(ctx.full_get_segment_text(i) + "\n"
+                   for i in range(ctx.full_n_segments()))
 
 
 def _format_response(ctx, fmt: str, params=None,
-                     duration_s: float | None = None) -> tuple[str, str]:
-    """-> (content_type, body)."""
+                     duration_s: float | None = None,
+                     offset_n: int = 0) -> tuple[str, str]:
+    """-> (content_type, body).  Bodies are byte-identical to the
+    reference whisper-server's (server.cpp:879-993): per-segment newlines
+    in text, nlohmann-compact json, srt numbering honoring offset_n.
+    (verbose_json is structurally identical; float formatting differs —
+    nlohmann shortest-round-trip f32 vs Python double repr.)"""
     n = ctx.full_n_segments()
     if fmt == "text":
-        return "text/plain", "".join(
-            ctx.full_get_segment_text(i) for i in range(n)) + "\n"
+        # the reference serves text as text/html (server.cpp:882)
+        return "text/html; charset=utf-8", _output_str(ctx)
     if fmt == "srt":
         out = io.StringIO()
         for i in range(n):
-            out.write(f"{i + 1}\n{to_timestamp(ctx.full_get_segment_t0(i), True)}"
+            out.write(f"{i + 1 + offset_n}\n"
+                      f"{to_timestamp(ctx.full_get_segment_t0(i), True)}"
                       f" --> {to_timestamp(ctx.full_get_segment_t1(i), True)}\n"
                       f"{ctx.full_get_segment_text(i)}\n\n")
         return "application/x-subrip", out.getvalue()
@@ -334,14 +350,15 @@ def _format_response(ctx, fmt: str, params=None,
             "duration": (duration_s if duration_s is not None
                          else (ctx.full_get_segment_t1(n - 1) / 100.0
                                if n else 0.0)),
-            "text": "".join(ctx.full_get_segment_text(i) for i in range(n)),
+            "text": _output_str(ctx),
             "segments": segments,
         }
-        return "application/json", json.dumps(doc, ensure_ascii=False)
-    # default: simple json
+        return "application/json", json.dumps(doc, ensure_ascii=False,
+                                              separators=(",", ":"))
+    # default: simple json — nlohmann-compact, output_str text
     return "application/json", json.dumps(
-        {"text": "".join(ctx.full_get_segment_text(i) for i in range(n))},
-        ensure_ascii=False)
+        {"text": _output_str(ctx)}, ensure_ascii=False,
+        separators=(",", ":"))
 
 
 class Handler(BaseHTTPRequestHandler):
@@ -359,7 +376,8 @@ class Handler(BaseHTTPRequestHandler):
 
     def do_GET(self):
         if self.path == "/health":
-            self._send(200, "application/json", '{"status": "ok"}')
+            # byte-identical to the reference (server.cpp:1036)
+            self._send(200, "application/json", '{"status":"ok"}')
         else:
             self._send(404, "application/json", '{"error": "not found"}')
 
@@ -377,7 +395,8 @@ class Handler(BaseHTTPRequestHandler):
                         # engines hold compiled state for the old weights;
                         # drain them and rebind to the new model
                         STATE.batcher.rebind(STATE.ctx)
-                self._send(200, "application/json", '{"status": "ok"}')
+                # reference responds with this exact text (server.cpp:1029)
+                self._send(200, "application/text", "Load was successful!")
             except Exception as e:
                 self._send(400, "application/json",
                            json.dumps({"error": str(e)}))
@@ -403,7 +422,7 @@ class Handler(BaseHTTPRequestHandler):
             # IS carried across windows within a request
             params.greedy.best_of = 2
             params.no_context = False
-            fmt = _apply_request_params(params, form)
+            fmt, offset_n = _apply_request_params(params, form)
             # post-parse rules (server.cpp:808, 833): max_len defaults to
             # 60, token timestamps only for verbose_json responses
             if params.max_len == 0:
@@ -420,13 +439,14 @@ class Handler(BaseHTTPRequestHandler):
                 lid = (_lang_id(params.language)
                        if params.language not in (None, "", "auto") else 0)
                 view = _SegmentsView(segs, max(lid, 0), ctx=STATE.ctx)
-                ctype, out = _format_response(view, fmt, params, duration_s)
+                ctype, out = _format_response(view, fmt, params, duration_s,
+                                              offset_n)
             else:
                 with STATE.lock:
                     if STATE.ctx.full(params, pcm) != 0:
                         raise RuntimeError("failed to process audio")
                     ctype, out = _format_response(STATE.ctx, fmt, params,
-                                                  duration_s)
+                                                  duration_s, offset_n)
             self._send(200, ctype, out)
         except Exception as e:
             self._send(500, "application/json", json.dumps({"error": str(e)}))
