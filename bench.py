@@ -215,6 +215,44 @@ def bench_serving(size: str, B: int, kv: str, stream_s: int = 150,
     }
 
 
+def bench_continuous(size: str, B: int, kv: str, stream_s: int = 90,
+                     n_streams: int | None = None) -> dict:
+    """Continuous-batching serving: 2B streams submitted at once drain
+    through a B-slot engine whose rows refill between window iterations.
+    Reports time-to-first-segment percentiles (what a request actually
+    waits before its first text) and end-to-end throughput."""
+    import whisper_tpu as wt
+    from whisper_tpu.parallel.batch import ContinuousBatcher
+
+    n_streams = n_streams or 2 * B
+    ctx = wt.WhisperContext.from_random(
+        size, seed=0,
+        cross_mode={"bf16": "einsum", "q4": "einsum_q4"}.get(kv, "einsum_q8"))
+    eng = ContinuousBatcher(ctx, batch_size=B,
+                            params=_serving_params("greedy"),
+                            device_mel=True, max_active=n_streams)
+    try:
+        eng.bt.warmup(pcm_dtype=np.int16)
+        rng = np.random.RandomState(11)
+        streams = [(rng.randn(16000 * stream_s) * 0.1 * 32768).clip(
+            -32768, 32767).astype(np.int16) for _ in range(n_streams)]
+        t0 = time.perf_counter()
+        jobs = [eng.submit_async(pcm) for pcm in streams]
+        for j in jobs:
+            assert j.done.wait(timeout=3600) and j.error is None, j.error
+        wall = time.perf_counter() - t0
+        ttfs = sorted((j.t_first_segment - j.t_submit) * 1000
+                      for j in jobs if j.t_first_segment is not None)
+        assert ttfs, "no stream produced a first segment"
+        return {
+            "rtf": n_streams * stream_s / wall,
+            "ttfs_p50_ms": ttfs[len(ttfs) // 2],
+            "ttfs_p99_ms": ttfs[min(len(ttfs) - 1, int(len(ttfs) * 0.99))],
+        }
+    finally:
+        eng.close()
+
+
 def bench_ttfr_child(size: str, B: int, kv: str) -> None:
     """--mode ttfr: everything a fresh serving process pays before its
     first result — ctx init (weights), warmup compile (or persistent-cache
@@ -427,6 +465,16 @@ def main():
                 except Exception as e:  # noqa: BLE001 — never sink the headline
                     record[f"serving_{tag}_error"] = (
                         f"{type(e).__name__}: {e}"[:200])
+
+            # continuous batching: what a request WAITS for its first
+            # segment under a full 2B-stream load (verdict r3 #2)
+            try:
+                cb = bench_continuous(args.size, args.serving_batch, args.kv)
+                record["serving_cb_rtf"] = round(cb["rtf"], 2)
+                record["serving_ttfs_p50_ms"] = round(cb["ttfs_p50_ms"], 1)
+                record["serving_ttfs_p99_ms"] = round(cb["ttfs_p99_ms"], 1)
+            except Exception as e:  # noqa: BLE001 — never sink the headline
+                record["serving_cb_error"] = f"{type(e).__name__}: {e}"[:200]
 
         if args.latency:
             record.update({f"latency_{k}": v

@@ -344,6 +344,7 @@ class BatchTranscriber:
                 t += p.temperature_inc
 
         kc = vc = None
+        tiled_cache: dict = {}   # cross-KV reuse across retry rungs
         self.n_windows += B
         pending = list(range(B))   # row indices into the original batch
         for it, t_cur in enumerate(temps):
@@ -411,45 +412,75 @@ class BatchTranscriber:
                 # tiles for free; otherwise the window is duplicated
                 # host-side).  The previous rung's cross-KV is dropped
                 # first — finished rows no longer need it, and holding two
-                # full stacks is the q8 OOM hazard
+                # full stacks is the q8 OOM hazard.  tiled_cache lets every
+                # subsequent rung reuse the first retry rung's encoded
+                # cross-KV (single-chunk layouts only — one stack alive)
                 kc = vc = None
                 pending = self._ladder_retry_tiled(
                     states, batch, pending, cur_prompts, t_cur, it, last,
-                    n_cand, pcm_dev)
+                    n_cand, pcm_dev, tiled_cache)
         if self._dtw_jobs:
             self._run_dtw_jobs(states, pcm_dev)
         self.window_times.append((B, _time.perf_counter() - _t_iter))
 
     def _ladder_retry_tiled(self, states, batch, pending, cur_prompts,
-                            t_cur, it, last, n_cand, pcm_dev) -> list[int]:
+                            t_cur, it, last, n_cand, pcm_dev,
+                            tiled_cache: dict | None = None) -> list[int]:
         """Ladder rung with best_of > 1: decode n_cand multinomial
         candidates per pending stream inside the fixed-B batch and keep
         the best by sequence score — the reference's GREEDY best_of
         semantics (whisper.cpp:5718-5724) on the serving path.  Draw keys
         come from (seek, attempt, candidate), so results are bit-identical
-        to the serial full() ladder.  Returns rows still failed."""
+        to the serial full() ladder.
+
+        tiled_cache: single-chunk layouts are remembered across rungs —
+        a stream that fails several temperatures keeps its slot group and
+        the tiled cross-KV is encoded ONCE per window, not once per rung
+        (groups whose stream already succeeded are simply masked dead).
+        Draw keys are slot-position-independent, so reuse cannot change
+        results.  Returns rows still failed."""
         import time as _time
         ctx = self.ctx
         p = self.params
         groups_per_pass = max(1, self.B // n_cand)
-        still_failed: list[int] = []
-        for c0 in range(0, len(pending), groups_per_pass):
-            chunk = pending[c0:c0 + groups_per_pass]
-            slot_streams: list = []
-            for r in chunk:
-                slot_streams.extend([batch[r]] * n_cand)
-            slot_streams.extend([None] * (self.B - len(slot_streams)))
 
-            _t0 = _time.perf_counter()
-            kc, vc = self._encode_slots(states, slot_streams, pcm_dev)
-            self.phase_times["encode"] += _time.perf_counter() - _t0
+        reuse = (tiled_cache is not None
+                 and tiled_cache.get("n_cand") == n_cand
+                 and set(pending) <= set(tiled_cache["layout"]))
+        if reuse:
+            chunks = [tiled_cache["layout"]]
+        else:
+            chunks = [pending[c0:c0 + groups_per_pass]
+                      for c0 in range(0, len(pending), groups_per_pass)]
+
+        still_failed: list[int] = []
+        for chunk in chunks:
+            if reuse:
+                kc, vc = tiled_cache["kv"]
+            else:
+                slot_streams: list = []
+                for r in chunk:
+                    slot_streams.extend([batch[r]] * n_cand)
+                slot_streams.extend([None] * (self.B - len(slot_streams)))
+                _t0 = _time.perf_counter()
+                kc, vc = self._encode_slots(states, slot_streams, pcm_dev)
+                self.phase_times["encode"] += _time.perf_counter() - _t0
+                if tiled_cache is not None and len(chunks) == 1:
+                    # cache only single-chunk layouts: multiple cached
+                    # stacks would multiply the q8 cross-KV footprint
+                    tiled_cache.update(n_cand=n_cand, layout=list(chunk),
+                                       kv=(kc, vc))
 
             prompts_t = [list(self.prompt_init) for _ in range(self.B)]
             live = np.zeros((self.B,), bool)
             seeks = np.zeros((self.B,), np.int32)
             ends = np.zeros((self.B,), np.int32)
             keys = np.zeros((self.B, 2), np.uint32)
+            group_rows = []   # (group index, row) still pending this rung
             for g, r in enumerate(chunk):
+                if r not in pending:
+                    continue   # succeeded at an earlier rung: slots stay dead
+                group_rows.append((g, r))
                 st = states[batch[r]]
                 s0 = g * n_cand
                 group_keys = window_rng(st.seek, it, n_cand)
@@ -464,7 +495,7 @@ class BatchTranscriber:
                                     t_cur, keys)
             self.phase_times["decode"] += _time.perf_counter() - _t0
             _t0 = _time.perf_counter()
-            for g, r in enumerate(chunk):
+            for g, r in group_rows:
                 st = states[batch[r]]
                 best, _ = _rank_window_candidates(
                     out, n_cand, p, last, ctx.vocab.token_eot,
