@@ -46,6 +46,18 @@ static void ensure_python() {
     std::call_once(once, [] {
         const bool own = !Py_IsInitialized();
         if (own) {
+            // When this library itself arrives via dlopen(RTLD_LOCAL) —
+            // a perl/node/java FFI client, not an exe linked against us —
+            // its libpython dependency gets LOCAL symbol scope, and every
+            // CPython extension module (math, numpy, ...) fails with
+            // "undefined symbol: PyFloat_Type".  Re-open libpython with
+            // RTLD_GLOBAL to promote its symbols before initializing.
+            char pylib[64];
+            snprintf(pylib, sizeof(pylib), "libpython%d.%d.so.1.0",
+                     PY_MAJOR_VERSION, PY_MINOR_VERSION);
+            if (!dlopen(pylib, RTLD_NOW | RTLD_GLOBAL | RTLD_NOLOAD)) {
+                dlopen(pylib, RTLD_NOW | RTLD_GLOBAL);
+            }
             Py_InitializeEx(0);
         }
         PyGILState_STATE g = PyGILState_Ensure();
