@@ -339,6 +339,23 @@ def test_server_batched_mode(model_path, jfk_wav_path):
         with ThreadPoolExecutor(4) as ex:
             results = list(ex.map(post, range(3)))
         assert all("text" in r for r in results)
+
+        # beam request rides the batch engine too (round 4: the quality
+        # surface is batchable — a beam signature spins its own engine)
+        beam_body = body.replace(
+            f"--{boundary}--".encode(),
+            (f"--{boundary}\r\nContent-Disposition: form-data; "
+             f'name="beam_size"\r\n\r\n2'
+             f"\r\n--{boundary}--").encode())
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/inference", data=beam_body,
+            headers={"Content-Type":
+                     f'multipart/form-data; boundary="{boundary}"'})
+        with urllib.request.urlopen(req, timeout=300) as r:
+            assert "text" in json.load(r)
+        assert any(sig[8] == wt.SamplingStrategy.BEAM_SEARCH
+                   for sig in srv_mod.STATE.batcher.engines), \
+            "beam request did not reach a batch engine"
         httpd.shutdown()
     finally:
         srv_mod.STATE.batcher = None

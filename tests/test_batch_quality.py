@@ -166,6 +166,28 @@ def test_beam_ladder_retry_matches_serial(ctx):
     assert serial == batch
 
 
+def test_multiwindow_carried_prompts_match_serial(ctx):
+    """Multi-window streams (seek advances 30 s per window) with
+    prompt-past carried between windows: the batch path's carried-prompt
+    assembly and bucket sizing must reproduce serial exactly, including
+    when retries interleave with the carry."""
+    def mkparams():
+        p = wt.full_default_params()
+        p.print_progress = False
+        p.greedy.best_of = 2
+        p.logprob_thold = 5.0     # force retries on top of the carry
+        p.no_speech_thold = 2.0
+        p.temperature_inc = 0.5
+        return p
+
+    streams = [_noise(s, seed=200 + s) for s in (35, 62)]   # 2 and 3 windows
+    serial = _serial(ctx, mkparams(), streams)
+    assert any(len(s) > 1 for s in serial), "expected multi-window output"
+    bt = BatchTranscriber(ctx, batch_size=2, params=mkparams())
+    batch = [_segs(segs) for segs in bt.transcribe(streams)]
+    assert serial == batch
+
+
 def _segs_with_token_times(segments):
     return [(s.t0, s.t1, s.text,
              tuple((t.id, t.t0, t.t1, t.t_dtw) for t in s.tokens))

@@ -141,6 +141,31 @@ def test_slot_refill_from_queue(ctx):
         eng.close()
 
 
+def test_beam_strategy_rides_continuous_engine(ctx):
+    """Beam-search params flow through the continuous engine's iterations
+    (batched beam kernel) and match the serial beam exactly."""
+    p = wt.full_default_params(wt.SamplingStrategy.BEAM_SEARCH)
+    p.print_progress = False
+    p.beam_search.beam_size = 2
+    p.temperature_inc = 0.0
+
+    streams = [_noise(d, seed=20 + d) for d in (2, 3)]
+    serial = []
+    for pcm in streams:
+        state = ctx.init_state()
+        assert ctx.full(p, pcm, state=state) == 0
+        serial.append(_segs(state.result_all))
+
+    eng = ContinuousBatcher(ctx, batch_size=4, params=p)
+    try:
+        jobs = [eng.submit_async(pcm) for pcm in streams]
+        for j in jobs:
+            assert j.done.wait(timeout=300) and j.error is None
+        assert [_segs(j.st.result_all) for j in jobs] == serial
+    finally:
+        eng.close()
+
+
 def test_too_short_stream_resolves_immediately(ctx):
     eng = ContinuousBatcher(ctx, batch_size=2, params=_params())
     try:
