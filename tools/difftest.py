@@ -51,6 +51,15 @@ def write_wav(path, pcm_f32):
         w.writeframes(pcm16.tobytes())
 
 
+def write_flac(path, pcm_f32):
+    """Same s16 samples as write_wav, FLAC container: the reference decodes
+    it with vendored dr_flac, we decode with the from-scratch decoder —
+    lossless on both sides, so segments must match the wav-container run."""
+    from tools.flacgen import encode_flac
+    pcm16 = (np.clip(pcm_f32, -1, 1) * 32767).astype(np.int64)
+    path.write_bytes(encode_flac(pcm16, 16000, bits=16))
+
+
 def run_ref(cli, model, wav, out, flags):
     subprocess.run([cli, "-m", str(model), "-f", str(wav), "-nf",
                     "-bs", "1", "-bo", "1", "-ojf", "-of", str(out),
@@ -145,8 +154,12 @@ def run_difftest(cli, n_cases: int = 20, seed: int = 0) -> dict:
         pcm = arng.randn(16000 * secs) * amp
         if rng.random() < 0.3:   # silent tail
             pcm[-16000:] = 0.0
-        wav = tmp / f"case{case}.wav"
-        write_wav(wav, pcm)
+        if rng.random() < 0.25:   # FLAC container: dr_flac vs our decoder
+            wav = tmp / f"case{case}.flac"
+            write_flac(wav, pcm)
+        else:
+            wav = tmp / f"case{case}.wav"
+            write_wav(wav, pcm)
 
         n_flags = rng.choice([0, 1, 1, 2])
         flags = []

@@ -1,9 +1,12 @@
 """Audio loading utilities.
 
 The reference decodes wav/mp3/flac/ogg via vendored miniaudio
-(reference: examples/common-whisper.cpp:46).  Here we read WAV with the
-stdlib, resample to 16 kHz when needed, and shell out to ffmpeg for other
-containers when it is available (same fallback the reference server uses,
+(reference: examples/common-whisper.cpp:46).  Here WAV is read with the
+stdlib, FLAC through the framework's own from-scratch decoder
+(native/wtpu_flac.cpp fast path, audio/flac.py fallback — both pinned
+bit-exact against the reference's vendored dr_flac in
+tests/test_flac_golden.py), and other containers (mp3/ogg) shell out to
+ffmpeg when it is available (same fallback the reference server uses,
 reference: examples/server/server.cpp:248).
 """
 
@@ -74,14 +77,46 @@ def load_wav(path: str, stereo: bool = False) -> tuple[np.ndarray, np.ndarray | 
     return mono.astype(np.float32), st
 
 
+def load_flac(path: str, stereo: bool = False) -> tuple[np.ndarray, np.ndarray | None]:
+    """Read a FLAC file -> (mono f32 @16 kHz, optional (n, 2) stereo f32),
+    same contract as load_wav.  Uses the native decoder when built, the
+    pure-Python one otherwise; sample conversion matches dr_flac exactly
+    (see audio.flac.pcm_to_f32)."""
+    from .flac import decode_flac, pcm_to_f32
+    from .native import decode_flac_native
+
+    with open(path, "rb") as f:
+        raw = f.read()
+    decoded = decode_flac_native(raw)
+    if decoded is None:
+        decoded = decode_flac(raw)
+    pcm, sr, bits = decoded
+    data = pcm_to_f32(pcm, bits)
+    n_ch = data.shape[1]
+    if n_ch == 1:
+        mono = data[:, 0]
+        st = np.stack([mono, mono], axis=1) if stereo else None
+    else:
+        mono = data.mean(axis=1).astype(np.float32)
+        st = data[:, :2] if stereo else None
+    mono = resample_linear(mono, sr, SAMPLE_RATE)
+    if st is not None:
+        st = resample_linear(st, sr, SAMPLE_RATE)
+    return mono.astype(np.float32), st
+
+
 def load_audio(path: str, stereo: bool = False) -> tuple[np.ndarray, np.ndarray | None]:
-    """Load any audio file; non-wav goes through ffmpeg when available."""
+    """Load any audio file; mp3/ogg go through ffmpeg when available."""
     ext = os.path.splitext(path)[1].lower()
     if ext == ".wav":
         try:
             return load_wav(path, stereo=stereo)
         except wave.Error:
-            pass  # mislabeled container; try ffmpeg below
+            pass  # mislabeled container; try content sniffing below
+    with open(path, "rb") as f:
+        magic = f.read(4)
+    if magic == b"fLaC":
+        return load_flac(path, stereo=stereo)
     if shutil.which("ffmpeg") is None:
         raise RuntimeError(
             f"cannot decode '{path}': not a PCM wav and ffmpeg is not installed")

@@ -48,6 +48,20 @@ def _load():
     lib.wtpu_resample_linear.argtypes = [f32p, ctypes.c_int, ctypes.c_int,
                                          f32p, ctypes.c_int, ctypes.c_int]
     lib.wtpu_resample_linear.restype = ctypes.c_int
+    try:  # a stale .so built before the FLAC decoder degrades gracefully
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        i32pp = ctypes.POINTER(ctypes.POINTER(ctypes.c_int32))
+        u64p = ctypes.POINTER(ctypes.c_uint64)
+        u32p = ctypes.POINTER(ctypes.c_uint32)
+        lib.wtpu_flac_probe.argtypes = [u8p, ctypes.c_uint64]
+        lib.wtpu_flac_probe.restype = ctypes.c_int
+        lib.wtpu_flac_decode.argtypes = [u8p, ctypes.c_uint64, i32pp, u64p,
+                                         u32p, u32p, u32p, ctypes.c_int]
+        lib.wtpu_flac_decode.restype = ctypes.c_int
+        lib.wtpu_flac_free.argtypes = [ctypes.POINTER(ctypes.c_int32)]
+        lib._has_flac = True
+    except AttributeError:
+        lib._has_flac = False
     _LIB = lib
     return lib
 
@@ -90,3 +104,31 @@ def signal_energy_native(signal: np.ndarray, half_window: int):
     out = np.empty(len(signal), dtype=np.float32)
     lib.wtpu_signal_energy(_fptr(signal), len(signal), half_window, _fptr(out))
     return out
+
+
+def decode_flac_native(data: bytes, verify_crc: bool = True):
+    """Native FLAC decode -> ((n, ch) int32, rate, bits), or None when the
+    library is unavailable.  Raises ValueError on malformed streams (same
+    contract as audio.flac.decode_flac)."""
+    lib = _load()
+    if lib is None or not lib._has_flac:
+        return None
+    buf = np.frombuffer(data, dtype=np.uint8)
+    pcm_ptr = ctypes.POINTER(ctypes.c_int32)()
+    frames = ctypes.c_uint64()
+    channels = ctypes.c_uint32()
+    rate = ctypes.c_uint32()
+    bits = ctypes.c_uint32()
+    rc = lib.wtpu_flac_decode(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(data),
+        ctypes.byref(pcm_ptr), ctypes.byref(frames), ctypes.byref(channels),
+        ctypes.byref(rate), ctypes.byref(bits), int(verify_crc))
+    if rc != 0:
+        raise ValueError(f"FLAC decode failed (native rc={rc})")
+    try:
+        n = frames.value * channels.value
+        pcm = np.ctypeslib.as_array(pcm_ptr, shape=(n,)).reshape(
+            frames.value, channels.value).copy()
+    finally:
+        lib.wtpu_flac_free(pcm_ptr)
+    return pcm, rate.value, bits.value
