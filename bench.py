@@ -25,6 +25,12 @@ import numpy as np
 
 import jax
 
+# the container's sitecustomize force-registers the TPU plugin, which
+# overrides the JAX_PLATFORMS env var — honor an explicit pin (ci/run.sh
+# exports cpu so the bench smoke is deterministic on machines without a chip)
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 # persistent compilation cache: the batched large-v3 pipeline takes minutes
 # to compile cold; cached it loads in seconds
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/wtpu_jax_cache")
@@ -356,6 +362,97 @@ def bench_latency(size: str, Bs=(1, 2, 4), audio_ctx: int = 512,
     return out
 
 
+def bench_kernel(args) -> dict:
+    """Jitted mel+encode+fixed-token-decode upper bound (one process)."""
+    cfg = CONFIGS[args.size]
+    B, T = args.batch, args.tokens
+    params = random_params(cfg, seed=0, dtype=jnp.bfloat16,
+                           quantized_decoder=(args.weights == "q8_0"))
+    # fresh random audio per iteration AND per run: the runtime memoizes
+    # results of identical computations across processes.  Length chosen so
+    # the mel covers a full encoder window.
+    n_samples = 2 * cfg.n_audio_ctx * HOP_LENGTH + N_FFT
+    rng = np.random.RandomState()
+    mels = [jnp.asarray(
+        (rng.rand(B, n_samples) - 0.5).astype(np.float32) * 0.1)
+        for i in range(args.iters + 1)]
+    sot = 50258 if cfg.n_vocab >= 51865 else 50257
+    prompt = jnp.tile(jnp.asarray(
+        [[sot, sot + 1, sot + 100, sot + 105]], jnp.int32), (B, 1))
+
+    run = build_pipeline(cfg, B, T, kv=args.kv)
+
+    # warmup / compile.  NOTE: results are materialized to host numpy —
+    # under remote-execution runtimes block_until_ready returns before the
+    # computation actually finishes, so np.asarray is the only true fence.
+    t0 = time.perf_counter()
+    np.asarray(run(params, mels[0], prompt))
+    compile_s = time.perf_counter() - t0
+
+    times = []
+    for i in range(args.iters):
+        t0 = time.perf_counter()
+        np.asarray(run(params, mels[i + 1], prompt))
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+
+    audio_s = B * 30.0
+    return {
+        "kernel_rtf": round(audio_s / dt, 2),
+        "tokens_per_window": T,
+        "kernel_window_ms": round(dt / B * 1000, 2),
+        "compile_s": round(compile_s, 1),
+        "device": str(jax.devices()[0]),
+    }
+
+
+def run_phase(args) -> None:
+    """--phase child: run ONE device phase, print one JSON line."""
+    phase = args.phase
+    if phase == "serving":
+        d = bench_serving(args.size, args.serving_batch, args.kv)
+        d["phase_s"] = {k: round(v, 3) for k, v in d["phase_s"].items()}
+        d["device"] = str(jax.devices()[0])
+    elif phase in ("bo5", "beam5"):
+        d = bench_serving(args.size, args.serving_batch, args.kv,
+                          stream_s=90, quality=phase)
+        d.pop("phase_s", None)
+    elif phase == "cb":
+        d = bench_continuous(args.size, args.serving_batch, args.kv)
+    elif phase == "kernel":
+        d = bench_kernel(args)
+    elif phase == "latency":
+        d = bench_latency(args.size)
+    else:
+        raise SystemExit(f"unknown phase {phase}")
+    print(json.dumps(d))
+
+
+def _spawn_phase(phase: str, args, timeout: int = 2400) -> dict:
+    """Run one bench phase in a fresh child process and parse its JSON.
+
+    The TPU runtime holds the device exclusively per process, and a
+    single process running every phase accumulates per-phase weights and
+    compiled executables in HBM — the round-4 quality tiers (bo5/beam5/cb,
+    each with its own large-v3 context) pushed that sequence past 16 GB.
+    Sequential children each get the whole chip and release it on exit.
+    """
+    import subprocess
+    import sys
+
+    cmd = [sys.executable, os.path.abspath(__file__), "--phase", phase,
+           "--size", args.size, "--batch", str(args.batch),
+           "--tokens", str(args.tokens), "--iters", str(args.iters),
+           "--serving-batch", str(args.serving_batch),
+           "--kv", args.kv, "--weights", args.weights]
+    r = subprocess.run(cmd, capture_output=True, text=True, timeout=timeout,
+                       cwd=os.path.dirname(os.path.abspath(__file__)))
+    if r.returncode != 0:
+        tail = (r.stderr or r.stdout or "").strip().splitlines()[-6:]
+        raise RuntimeError(f"phase {phase} failed: " + " | ".join(tail))
+    return json.loads(r.stdout.strip().splitlines()[-1])
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--size", default="large-v3", choices=list(CONFIGS))
@@ -392,10 +489,16 @@ def main():
     ap.add_argument("--weights", default="bf16", choices=["bf16", "q8_0"],
                     help="decoder block weights: bf16 or block-q8 codes "
                          "via the Pallas dequant-matmul kernel")
+    ap.add_argument("--phase", default=None,
+                    help="(internal) child mode: run one device phase "
+                         "(serving/bo5/beam5/cb/kernel/latency) and print "
+                         "its JSON — used by --mode both so each phase "
+                         "gets the whole chip")
     args = ap.parse_args()
 
-    cfg = CONFIGS[args.size]
-    B, T = args.batch, args.tokens
+    if args.phase:
+        run_phase(args)
+        return
 
     if args.mode == "ttfr":
         bench_ttfr_child(args.size, args.serving_batch, args.kv)
@@ -404,19 +507,13 @@ def main():
     record = {
         "metric": f"rtf_{args.size.replace('-', '_')}",
         "unit": "x_realtime",
-        "batch": B,
+        "batch": args.batch,
         "kv": args.kv,
         "weights": args.weights,
     }
 
-    # time-to-first-result runs FIRST: the children need the device to
-    # themselves before this process initializes its backend
-    if args.mode == "both" and not args.no_ttfr:
-        record.update(measure_ttfr(args.size, args.serving_batch, args.kv))
-
-    record["device"] = str(jax.devices()[0])
-
     if args.mode == "latency":
+        record["device"] = str(jax.devices()[0])
         lat = bench_latency(args.size)
         record.update(lat)
         record["value"] = lat["b1_step_ms"]
@@ -425,108 +522,110 @@ def main():
         print(json.dumps(record))
         return
 
-    if args.mode in ("serving", "both"):
+    if args.mode == "serving":
+        record["device"] = str(jax.devices()[0])
         s = bench_serving(args.size, args.serving_batch, args.kv)
-        record.update({
-            "serving_rtf": round(s["rtf"], 2),
-            "serving_rtf_steady": round(s["rtf_steady"], 2),
-            "serving_window_p50_ms": round(s["p50_ms"], 2),
-            "serving_window_p99_ms": round(s["p99_ms"], 2),
-            "serving_window_p99_steady_ms": round(s["p99_steady_ms"], 2),
-            "serving_audio_s": s["audio_s"],
-            "serving_wall_s": round(s["wall_s"], 2),
-            "serving_phase_s": s["phase_s"],
-        })
-        # the SERVING number is the headline (VERDICT r2 Next #1): `value`
-        # is what BatchTranscriber.transcribe delivers in steady state.
-        # serving_rtf (e2e incl. the first window) is reported alongside:
-        # the difference is ONE bulk PCM h2d transfer, which on this
-        # environment's tunneled chip runs at a measured, time-varying
-        # 20-100 MB/s (see serving_window_p99_ms vs the steady p99) —
-        # on a real TPU VM host DMA moves the same bytes in ~30 ms.
-        record["value"] = round(s["rtf_steady"], 2)
-        record["vs_baseline"] = round(s["rtf_steady"] / BASELINE_RTF, 3)
+        record.update(_serving_record(s))
+        print(json.dumps(record))
+        return
 
-        if not args.no_quality:
-            # the QUALITY operating points (round-3 verdict #1): the
-            # reference's default best_of=5 greedy ladder and beam-5, both
-            # riding the same batched device loop.  90 s streams bound the
-            # added bench time; steady-state excludes the upload window.
-            for tag, quality in (("bo5", "bo5"), ("beam5", "beam5")):
-                try:
-                    q = bench_serving(args.size, args.serving_batch,
-                                      args.kv, stream_s=90, quality=quality)
-                    record[f"serving_{tag}_rtf_steady"] = round(
-                        q["rtf_steady"], 2)
-                    record[f"serving_{tag}_p99_steady_ms"] = round(
-                        q["p99_steady_ms"], 2)
-                    record[f"serving_{tag}_retry_rate"] = round(
-                        q["retry_rate"], 3)
-                except Exception as e:  # noqa: BLE001 — never sink the headline
-                    record[f"serving_{tag}_error"] = (
-                        f"{type(e).__name__}: {e}"[:200])
+    if args.mode == "kernel":
+        record["device"] = str(jax.devices()[0])
+        k = bench_kernel(args)
+        k.pop("device")
+        record.update(k)
+        record["value"] = k["kernel_rtf"]
+        record["vs_baseline"] = round(k["kernel_rtf"] / BASELINE_RTF, 3)
+        print(json.dumps(record))
+        return
 
-            # continuous batching: what a request WAITS for its first
-            # segment under a full 2B-stream load (verdict r3 #2)
+    # --mode both (the driver's invocation): EVERY device phase runs in
+    # its own child process — see _spawn_phase.  The parent never
+    # initializes the TPU backend, so phases sequentially get the whole
+    # chip's HBM and one phase's failure can't sink the rest.
+    assert args.mode == "both"
+    if not args.no_ttfr:
+        record.update(measure_ttfr(args.size, args.serving_batch, args.kv))
+
+    try:
+        s = _spawn_phase("serving", args)
+        record["device"] = s.pop("device")
+        record.update(_serving_record(s))
+    except Exception as e:  # noqa: BLE001 — kernel below still gives a value
+        record["serving_error"] = f"{type(e).__name__}: {e}"[:300]
+
+    if not args.no_quality:
+        # the QUALITY operating points (round-3 verdict #1): the
+        # reference's default best_of=5 greedy ladder and beam-5, both
+        # riding the same batched device loop.  90 s streams bound the
+        # added bench time; steady-state excludes the upload window.
+        for tag in ("bo5", "beam5"):
             try:
-                cb = bench_continuous(args.size, args.serving_batch, args.kv)
-                record["serving_cb_rtf"] = round(cb["rtf"], 2)
-                record["serving_ttfs_p50_ms"] = round(cb["ttfs_p50_ms"], 1)
-                record["serving_ttfs_p99_ms"] = round(cb["ttfs_p99_ms"], 1)
+                q = _spawn_phase(tag, args)
+                record[f"serving_{tag}_rtf_steady"] = round(
+                    q["rtf_steady"], 2)
+                record[f"serving_{tag}_p99_steady_ms"] = round(
+                    q["p99_steady_ms"], 2)
+                record[f"serving_{tag}_retry_rate"] = round(
+                    q["retry_rate"], 3)
             except Exception as e:  # noqa: BLE001 — never sink the headline
-                record["serving_cb_error"] = f"{type(e).__name__}: {e}"[:200]
+                record[f"serving_{tag}_error"] = (
+                    f"{type(e).__name__}: {e}"[:300])
 
-        if args.latency:
-            record.update({f"latency_{k}": v
-                           for k, v in bench_latency(args.size).items()})
-        if args.mode == "serving":
-            print(json.dumps(record))
-            return
+        # continuous batching: what a request WAITS for its first
+        # segment under a full 2B-stream load (verdict r3 #2)
+        try:
+            cb = _spawn_phase("cb", args)
+            record["serving_cb_rtf"] = round(cb["rtf"], 2)
+            record["serving_ttfs_p50_ms"] = round(cb["ttfs_p50_ms"], 1)
+            record["serving_ttfs_p99_ms"] = round(cb["ttfs_p99_ms"], 1)
+        except Exception as e:  # noqa: BLE001 — never sink the headline
+            record["serving_cb_error"] = f"{type(e).__name__}: {e}"[:300]
 
-    params = random_params(cfg, seed=0, dtype=jnp.bfloat16,
-                           quantized_decoder=(args.weights == "q8_0"))
-    # fresh random audio per iteration AND per run: the runtime memoizes
-    # results of identical computations across processes.  Length chosen so
-    # the mel covers a full encoder window.
-    n_samples = 2 * cfg.n_audio_ctx * HOP_LENGTH + N_FFT
-    rng = np.random.RandomState()
-    mels = [jnp.asarray(
-        (rng.rand(B, n_samples) - 0.5).astype(np.float32) * 0.1)
-        for i in range(args.iters + 1)]
-    sot = 50258 if cfg.n_vocab >= 51865 else 50257
-    prompt = jnp.tile(jnp.asarray(
-        [[sot, sot + 1, sot + 100, sot + 105]], jnp.int32), (B, 1))
+    if args.latency:
+        try:
+            record.update({f"latency_{k}": v for k, v in
+                           _spawn_phase("latency", args).items()})
+        except Exception as e:  # noqa: BLE001
+            record["latency_error"] = f"{type(e).__name__}: {e}"[:300]
 
-    run = build_pipeline(cfg, B, T, kv=args.kv)
-
-    # warmup / compile.  NOTE: results are materialized to host numpy —
-    # under remote-execution runtimes block_until_ready returns before the
-    # computation actually finishes, so np.asarray is the only true fence.
-    t0 = time.perf_counter()
-    np.asarray(run(params, mels[0], prompt))
-    compile_s = time.perf_counter() - t0
-
-    times = []
-    for i in range(args.iters):
-        t0 = time.perf_counter()
-        np.asarray(run(params, mels[i + 1], prompt))
-        times.append(time.perf_counter() - t0)
-    dt = min(times)
-
-    audio_s = B * 30.0
-    rtf = audio_s / dt
-    ms_per_window = dt / B * 1000
-
-    record.update({
-        "kernel_rtf": round(rtf, 2),
-        "tokens_per_window": T,
-        "kernel_window_ms": round(ms_per_window, 2),
-        "compile_s": round(compile_s, 1),
-    })
-    if "value" not in record:     # kernel-only mode keeps the old headline
-        record["value"] = round(rtf, 2)
-        record["vs_baseline"] = round(rtf / BASELINE_RTF, 3)
+    try:
+        k = _spawn_phase("kernel", args)
+        record.setdefault("device", k.pop("device", None))
+        k.pop("device", None)
+        record.update(k)
+    except Exception as e:  # noqa: BLE001
+        record["kernel_error"] = f"{type(e).__name__}: {e}"[:300]
+    if "value" not in record and "kernel_rtf" in record:
+        # serving failed: fall back to the kernel upper bound as the value
+        record["value"] = record["kernel_rtf"]
+        record["vs_baseline"] = round(record["kernel_rtf"] / BASELINE_RTF, 3)
     print(json.dumps(record))
+
+
+def _serving_record(s: dict) -> dict:
+    """Map a bench_serving dict onto the record's serving_* keys.
+
+    The SERVING number is the headline (VERDICT r2 Next #1): `value` is
+    what BatchTranscriber.transcribe delivers in steady state.
+    serving_rtf (e2e incl. the first window) is reported alongside: the
+    difference is ONE bulk PCM h2d transfer, which on this environment's
+    tunneled chip runs at a measured, time-varying 20-100 MB/s (see
+    serving_window_p99_ms vs the steady p99) — on a real TPU VM host DMA
+    moves the same bytes in ~30 ms.
+    """
+    return {
+        "serving_rtf": round(s["rtf"], 2),
+        "serving_rtf_steady": round(s["rtf_steady"], 2),
+        "serving_window_p50_ms": round(s["p50_ms"], 2),
+        "serving_window_p99_ms": round(s["p99_ms"], 2),
+        "serving_window_p99_steady_ms": round(s["p99_steady_ms"], 2),
+        "serving_audio_s": s["audio_s"],
+        "serving_wall_s": round(s["wall_s"], 2),
+        "serving_phase_s": s["phase_s"],
+        "value": round(s["rtf_steady"], 2),
+        "vs_baseline": round(s["rtf_steady"] / BASELINE_RTF, 3),
+    }
 
 
 if __name__ == "__main__":
