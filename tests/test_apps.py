@@ -440,3 +440,84 @@ def test_bench_tool_full(tmp_path):
     r = bench_full(params, cfg, fast=True)
     assert set(r) == {"enc_ms", "dec_ms", "bch5_ms", "pp_ms_per_tok"}
     assert all(v > 0 for v in r.values())
+
+
+def test_server_sse_stream(model_path, tmp_path):
+    """POST /stream responds text/event-stream with one data: event per
+    segment (produced progressively) and a terminating data: [DONE] —
+    segments equal what /inference returns for the same audio.  Covers
+    the serial path (no batcher) and the continuous-batching path."""
+    import socket
+    import wave as _wave
+    from http.server import ThreadingHTTPServer
+
+    from whisper_tpu import server as srv_mod
+
+    srv_mod.STATE.ctx = wt.WhisperContext.from_file(model_path)
+
+    # multi-window audio so the stream has >= 2 segments to deliver
+    pcm16 = (np.random.RandomState(5).randn(16000 * 35) * 3000).clip(
+        -32768, 32767).astype("<i2")
+    wav_path = tmp_path / "s.wav"
+    with _wave.open(str(wav_path), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes(pcm16.tobytes())
+    wav = wav_path.read_bytes()
+
+    # no_context=true: the server default carries prompt_past across
+    # requests on one state (the reference server behaves the same), so
+    # back-to-back /stream and /inference on identical audio would
+    # legitimately decode differently without it
+    boundary = "sse"
+    body = (f"--{boundary}\r\nContent-Disposition: form-data; "
+            f'name="file"; filename="a.wav"\r\n\r\n').encode() + wav + \
+        (f"\r\n--{boundary}\r\nContent-Disposition: form-data; "
+         f'name="temperature_inc"\r\n\r\n0.0'
+         f"\r\n--{boundary}\r\nContent-Disposition: form-data; "
+         f'name="no_context"\r\n\r\ntrue'
+         f"\r\n--{boundary}--\r\n").encode()
+    headers = {"Content-Type":
+               f'multipart/form-data; boundary="{boundary}"'}
+
+    def run_case():
+        with socket.socket() as s:
+            s.bind(("127.0.0.1", 0))
+            port = s.getsockname()[1]
+        httpd = ThreadingHTTPServer(("127.0.0.1", port), srv_mod.Handler)
+        threading.Thread(target=httpd.serve_forever, daemon=True).start()
+        try:
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/stream", data=body,
+                headers=headers)
+            with urllib.request.urlopen(req, timeout=600) as r:
+                assert r.headers["Content-Type"] == "text/event-stream"
+                events = [ln.decode("utf-8")[6:] for ln in r.read().split(
+                    b"\n\n") if ln.startswith(b"data: ")]
+            assert events and events[-1] == "[DONE]"
+            segs = [json.loads(e) for e in events[:-1]]
+            assert len(segs) >= 2
+            for seg in segs:
+                assert set(seg) == {"start", "end", "text"}
+
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/inference", data=body,
+                headers=headers)
+            with urllib.request.urlopen(req, timeout=600) as r:
+                full_text = json.load(r)["text"]
+            assert "".join(s["text"] + "\n" for s in segs) == full_text
+            return segs
+        finally:
+            httpd.shutdown()
+
+    try:
+        serial_segs = run_case()                       # no batcher
+        srv_mod.STATE.batcher = srv_mod._BatchWorker(  # continuous engine
+            srv_mod.STATE.ctx, batch_size=2, warmup=False)
+        batched_segs = run_case()
+        assert batched_segs == serial_segs
+    finally:
+        if srv_mod.STATE.batcher is not None:
+            srv_mod.STATE.batcher.close()
+            srv_mod.STATE.batcher = None

@@ -256,3 +256,49 @@ def test_window_rng_derivation():
     assert list(k[:, 1]) == [512, 513, 514]
     kb = window_rng(99, 1, 4, per_row=False)
     assert kb.shape == (2,) and list(kb) == [99, 1]
+
+
+def test_best_of_exceeding_batch_matches_serial(ctx):
+    """best_of > batch_size: a stream's ladder candidates span several
+    passes of the fixed-B loop (_ladder_retry_multipass) and are ranked
+    across the merged results — previously n_cand was silently capped at
+    the batch size, so any batch smaller than the reference's default
+    best_of=5 diverged from serial on every retried window."""
+    def mkparams():
+        p = wt.full_default_params()
+        p.print_progress = False
+        p.greedy.best_of = 5
+        p.logprob_thold = 5.0     # force the ladder on every window
+        p.no_speech_thold = 2.0
+        return p
+
+    streams = [_noise(d, seed=300 + d) for d in (3, 2)]
+    serial = _serial(ctx, mkparams(), streams)
+    for B in (2, 3):              # B < best_of: multipass merging engages
+        bt = BatchTranscriber(ctx, batch_size=B, params=mkparams())
+        batch = [_segs(segs) for segs in bt.transcribe(streams)]
+        assert batch == serial, f"batch_size={B}"
+
+
+def test_beam_wider_than_batch_is_refused(ctx):
+    """Beam rows are coupled within a decode step, so beam_size (and the
+    ladder's best_of when temperature_inc > 0) cannot exceed the batch;
+    the engine must refuse loudly, never silently decode fewer beams."""
+    p = wt.full_default_params(wt.SamplingStrategy.BEAM_SEARCH)
+    p.print_progress = False
+    p.beam_search.beam_size = 5
+    with pytest.raises(ValueError, match="beam"):
+        BatchTranscriber(ctx, batch_size=2, params=p)
+
+    # ladder off: a wide best_of is irrelevant, beam_size <= B is enough
+    p2 = wt.full_default_params(wt.SamplingStrategy.BEAM_SEARCH)
+    p2.print_progress = False
+    p2.beam_search.beam_size = 2
+    p2.greedy.best_of = 8
+    p2.temperature_inc = 0.0
+    BatchTranscriber(ctx, batch_size=2, params=p2)
+
+    # ladder on: best_of bounds the t>0 rung slots and must fit too
+    p2.temperature_inc = 0.2
+    with pytest.raises(ValueError, match="best_of"):
+        BatchTranscriber(ctx, batch_size=2, params=p2)

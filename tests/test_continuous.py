@@ -181,3 +181,36 @@ def test_close_rejects_new_and_drains(ctx):
     eng.close()
     with pytest.raises(RuntimeError):
         eng.submit(_noise(2))
+
+
+def test_on_segment_streams_progressively(ctx):
+    """submit_async(on_segment=...) delivers each finalized segment as the
+    engine produces it: every segment arrives BEFORE the job resolves,
+    in order, and the full set equals result_all (the server's SSE
+    /stream endpoint rides this hook)."""
+    pcm = _noise(65, seed=42)  # 3 windows at single_segment=True
+
+    state = ctx.init_state()
+    assert ctx.full(_params(), pcm, state=state) == 0
+    serial = _segs(state.result_all)
+    assert len(serial) >= 2, "need a multi-segment stream for this test"
+
+    eng = ContinuousBatcher(ctx, batch_size=2, params=_params())
+    try:
+        got = []
+        order_ok = []
+
+        def on_segment(seg):
+            got.append((seg.t0, seg.t1, seg.text))
+            order_ok.append(len(got))
+
+        job = eng.submit_async(pcm, on_segment=on_segment)
+        assert job.done.wait(timeout=300) and job.error is None
+        assert got == serial == _segs(job.st.result_all)
+        assert order_ok == sorted(order_ok)
+        # a raising callback must not kill the engine or the job
+        job2 = eng.submit_async(pcm, on_segment=lambda s: 1 / 0)
+        assert job2.done.wait(timeout=300) and job2.error is None
+        assert _segs(job2.st.result_all) == serial
+    finally:
+        eng.close()

@@ -29,6 +29,28 @@ from ..languages import lang_id as _lang_id
 DELTA_MIN = 10
 
 
+def _merge_candidate_rows(outs):
+    """Merge decode-window results from several passes into one result
+    whose rows are the union of each pass's live candidate rows — so
+    _rank_window_candidates sees best_of > batch_size candidates exactly
+    as if they had decoded in one call.
+
+    outs: [(result_dict, n_live_rows), ...].  Per-row arrays concatenate;
+    the batch-global step count n_tokens takes the max (it is only an
+    upper bound for _own_sampled_len, which trims each row's OWN
+    EOT-initialized tail, so a larger cap cannot change any row's
+    emitted length)."""
+    merged = {}
+    first = outs[0][0]
+    for key in first:
+        if key == "n_tokens":
+            merged[key] = max(int(o[key]) for o, _ in outs)
+        else:
+            merged[key] = np.concatenate(
+                [np.asarray(o[key])[:cc] for o, cc in outs], axis=0)
+    return merged
+
+
 def _cross_fn_for(cross_mode: str):
     """Which cross-KV producer the batched encode uses for a cross_mode."""
     from ..models import whisper as wm
@@ -92,6 +114,24 @@ class BatchTranscriber:
                 "grammar / logits-filter decoding is host-looped — use the "
                 "serial ctx.full() path (the server routes this "
                 "automatically)")
+        from ..api import SamplingStrategy as _SS
+        if p.strategy == _SS.BEAM_SEARCH:
+            # beams are coupled within every decode step (the per-stream
+            # top-k spans K rows of one device call), so unlike greedy
+            # best_of they cannot span passes; refuse rather than
+            # silently decode fewer beams than the serial path would.
+            # best_of bounds the t>0 retry rungs' slot count the same way
+            # (whisper.cpp:5718-5724) but only matters when the fallback
+            # ladder is live (temperature_inc > 0).
+            need = p.beam_search.beam_size
+            if p.temperature_inc > 0.0:
+                need = max(need, p.greedy.best_of)
+            if need > batch_size:
+                raise ValueError(
+                    f"beam search needs batch_size >= "
+                    f"max(beam_size, ladder best_of) = {need} (got "
+                    f"{batch_size}) — beam/candidate rows decode as "
+                    f"coupled rows of one device batch")
         self.no_timestamps = p.no_timestamps
         self.opts = FilterOptions(
             suppress_blank=p.suppress_blank,
@@ -356,9 +396,12 @@ class BatchTranscriber:
             cur_prompts = prompts if t_cur < 0.5 else prompts_bare
             # candidate count per window at this rung — the reference
             # samples best_of decoders whenever t > 0 and keeps the best
-            # (whisper.cpp:5718-5724); at t == 0 greedy argmax needs one
+            # (whisper.cpp:5718-5724); at t == 0 greedy argmax needs one.
+            # NOT capped at the batch size: when best_of > B a stream's
+            # candidates span multiple passes (_ladder_retry_tiled merges
+            # them before ranking), keeping batch == serial bit-identical
+            # at any batch size
             n_cand = max(1, p.greedy.best_of) if t_cur > 0.0 else 1
-            n_cand = min(n_cand, self.B)
 
             if n_cand == 1:
                 # natural layout: one candidate per stream, rows stay in
@@ -442,6 +485,12 @@ class BatchTranscriber:
         import time as _time
         ctx = self.ctx
         p = self.params
+        if n_cand > self.B:
+            # best_of exceeds the batch: a stream's candidates span
+            # several passes of the fixed-B loop (merged before ranking)
+            return self._ladder_retry_multipass(
+                states, batch, pending, cur_prompts, t_cur, it, last,
+                n_cand, pcm_dev)
         groups_per_pass = max(1, self.B // n_cand)
 
         reuse = (tiled_cache is not None
@@ -454,6 +503,7 @@ class BatchTranscriber:
                       for c0 in range(0, len(pending), groups_per_pass)]
 
         still_failed: list[int] = []
+        kc = vc = None
         for chunk in chunks:
             if reuse:
                 kc, vc = tiled_cache["kv"]
@@ -463,6 +513,11 @@ class BatchTranscriber:
                     slot_streams.extend([batch[r]] * n_cand)
                 slot_streams.extend([None] * (self.B - len(slot_streams)))
                 _t0 = _time.perf_counter()
+                # drop the previous chunk's stack BEFORE encoding the next
+                # one: two full q8 cross-KV stacks alive at once is the
+                # 16 GB OOM transient (same hazard the round-2 iteration
+                # fix closed for the greedy path)
+                kc = vc = None
                 kc, vc = self._encode_slots(states, slot_streams, pcm_dev)
                 self.phase_times["encode"] += _time.perf_counter() - _t0
                 if tiled_cache is not None and len(chunks) == 1:
@@ -505,6 +560,58 @@ class BatchTranscriber:
                 else:
                     best["prompt"] = cur_prompts[r]
                     self._finish_window(st, best, si=batch[r])
+            self.phase_times["finish"] += _time.perf_counter() - _t0
+        return still_failed
+
+    def _ladder_retry_multipass(self, states, batch, pending, cur_prompts,
+                                t_cur, it, last, n_cand,
+                                pcm_dev) -> list[int]:
+        """Ladder rung for best_of > batch_size: one stream at a time, its
+        n_cand candidates decoded B per pass (same draw keys the single-
+        pass tiling would use — window_rng is keyed by candidate INDEX,
+        not slot), then ranked across the merged pass results.  Keeps
+        batch == serial bit-identical even when the batch is smaller than
+        the reference's default best_of=5 (whisper.cpp:5718-5724)."""
+        import time as _time
+        ctx = self.ctx
+        p = self.params
+        still_failed: list[int] = []
+        for r in pending:
+            st = states[batch[r]]
+            # every slot carries THIS stream's window; encoded once and
+            # reused by every pass (all rows identical)
+            _t0 = _time.perf_counter()
+            kc, vc = self._encode_slots(
+                states, [batch[r]] * self.B, pcm_dev)
+            self.phase_times["encode"] += _time.perf_counter() - _t0
+            group_keys = window_rng(st.seek, it, n_cand)
+            outs = []
+            for c0 in range(0, n_cand, self.B):
+                cc = min(self.B, n_cand - c0)
+                prompts_t = [cur_prompts[r] if c < cc
+                             else list(self.prompt_init)
+                             for c in range(self.B)]
+                live = np.zeros((self.B,), bool)
+                live[:cc] = True
+                seeks = np.full((self.B,), st.seek, np.int32)
+                ends = np.full((self.B,), st.seek_end, np.int32)
+                keys = np.zeros((self.B, 2), np.uint32)
+                keys[:cc] = group_keys[c0:c0 + cc]
+                _t0 = _time.perf_counter()
+                out = self._decode_rows(prompts_t, kc, vc, live, seeks,
+                                        ends, t_cur, keys)
+                self.phase_times["decode"] += _time.perf_counter() - _t0
+                outs.append((out, cc))
+            kc = vc = None
+            _t0 = _time.perf_counter()
+            merged = _merge_candidate_rows(outs)
+            best, _ = _rank_window_candidates(
+                merged, n_cand, p, last, ctx.vocab.token_eot, row0=0)
+            if best is None:
+                still_failed.append(r)
+            else:
+                best["prompt"] = cur_prompts[r]
+                self._finish_window(st, best, si=batch[r])
             self.phase_times["finish"] += _time.perf_counter() - _t0
         return still_failed
 
@@ -845,9 +952,10 @@ class _Job:
     """One submitted stream riding the continuous batch."""
 
     __slots__ = ("pcm", "st", "done", "error", "t_submit", "t_first_segment",
-                 "t_done", "iter_joined", "iter_done", "_had_segment")
+                 "t_done", "iter_joined", "iter_done", "_had_segment",
+                 "on_segment", "_n_emitted")
 
-    def __init__(self, pcm):
+    def __init__(self, pcm, on_segment=None):
         import threading
         import time
         self.pcm = pcm
@@ -860,6 +968,11 @@ class _Job:
         self.iter_joined: int | None = None
         self.iter_done: int | None = None
         self._had_segment = False
+        # streaming: called with each finalized Segment as the engine
+        # produces it (between window iterations) — from the SCHEDULER
+        # thread, so callbacks must be quick and must not raise
+        self.on_segment = on_segment
+        self._n_emitted = 0
 
 
 class ContinuousBatcher:
@@ -923,11 +1036,15 @@ class ContinuousBatcher:
             raise RuntimeError(job.error)
         return job.st.result_all
 
-    def submit_async(self, pcm) -> _Job:
+    def submit_async(self, pcm, on_segment=None) -> _Job:
         """Non-blocking submit; wait on job.done, read job.st.result_all.
         The job also records time-to-first-segment (t_first_segment) and
-        the iteration indices it joined/finished at."""
-        job = _Job(pcm)
+        the iteration indices it joined/finished at.
+
+        on_segment: optional callable(Segment) invoked for each finalized
+        segment as the engine produces it (the server's SSE /stream
+        endpoint rides this); called from the scheduler thread."""
+        job = _Job(pcm, on_segment=on_segment)
         self.queue.put(job)
         return job
 
@@ -1009,6 +1126,14 @@ class ContinuousBatcher:
                         and j.st.result_all):
                     j._had_segment = True
                     j.t_first_segment = now
+                if j.on_segment is not None:
+                    segs = j.st.result_all
+                    while j._n_emitted < len(segs):
+                        try:
+                            j.on_segment(segs[j._n_emitted])
+                        except Exception:  # noqa: BLE001 — a client's
+                            pass           # callback must not kill the engine
+                        j._n_emitted += 1
                 if j.st.done:
                     j.t_done = now
                     j.iter_done = self.n_iterations

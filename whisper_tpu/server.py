@@ -108,13 +108,19 @@ class _BatchWorker:
                 p.n_max_text_ctx, p.audio_ctx, p.tdrz_enable,
                 p.detect_language, p.max_initial_ts, p.length_penalty)
 
-    @staticmethod
-    def _batchable(p) -> bool:
+    def _batchable(self, p) -> bool:
         """Configs the batched engine carries.  Since round 4 that is the
         full quality surface — best_of ladder diversity, token
         timestamps, AND beam search (S streams x K beams in one device
-        batch); only auto-language and host-looped grammar/logit-filter
-        decoding go serial."""
+        batch); only auto-language, host-looped grammar/logit-filter
+        decoding, and beam requests wider than the device batch (beam
+        rows are coupled within a step) go serial."""
+        if p.strategy == SamplingStrategy.BEAM_SEARCH:
+            need = p.beam_search.beam_size
+            if p.temperature_inc > 0.0:
+                need = max(need, p.greedy.best_of)
+            if need > self.batch_size:
+                return False
         return (p.language not in (None, "", "auto")
                 and not p.detect_language
                 and p.strategy in (SamplingStrategy.GREEDY,
@@ -147,6 +153,39 @@ class _BatchWorker:
             state = self.ctx.init_state()
             if self.ctx.full(params, pcm, state=state) != 0:
                 raise RuntimeError("failed to process audio")
+            return list(state.result_all)
+
+    def submit_stream(self, pcm, params, on_segment):
+        """Like submit, but invokes on_segment(Segment) for each segment
+        AS THE ENGINE PRODUCES IT (between window iterations on the
+        batched path, per emission on the serial path) — the transport
+        behind the server's SSE /stream endpoint."""
+        if self._batchable(params):
+            eng = self._engine_for(params)
+            if eng is not None:
+                job = eng.submit_async(pcm, on_segment=on_segment)
+                job.done.wait()
+                if job.error is not None:
+                    raise RuntimeError(job.error)
+                return job.st.result_all
+        with self._slock:
+            state = self.ctx.init_state()
+            n_seen = 0
+
+            def _cb(st, n_new, _=None):
+                nonlocal n_seen
+                segs = st.result_all
+                while n_seen < len(segs):
+                    on_segment(segs[n_seen])
+                    n_seen += 1
+
+            params.new_segment_callback = _cb
+            try:
+                if self.ctx.full(params, pcm, state=state) != 0:
+                    raise RuntimeError("failed to process audio")
+            finally:
+                params.new_segment_callback = None
+            _cb(state, 0)   # anything emitted without a callback pass
             return list(state.result_all)
 
     def rebind(self, ctx: WhisperContext) -> None:
@@ -402,6 +441,10 @@ class Handler(BaseHTTPRequestHandler):
                            json.dumps({"error": str(e)}))
             return
 
+        if self.path == "/stream":
+            self._do_stream(body)
+            return
+
         if self.path != "/inference":
             self._send(404, "application/json", '{"error": "not found"}')
             return
@@ -450,6 +493,106 @@ class Handler(BaseHTTPRequestHandler):
             self._send(200, ctype, out)
         except Exception as e:
             self._send(500, "application/json", json.dumps({"error": str(e)}))
+
+    def _do_stream(self, body: bytes):
+        """POST /stream — Server-Sent Events transcription: one `data:`
+        event per segment AS IT IS PRODUCED (the continuous-batching
+        engine finalizes segments between window iterations; a long file
+        streams its text progressively instead of landing all at once).
+        This endpoint has no reference-server counterpart — the reference
+        returns only complete responses (server.cpp:694) — it is the
+        serving-shaped answer to whisper-stream's incremental printing
+        (reference: examples/stream/stream.cpp:118-260).
+
+        Events:  data: {"start": s, "end": s, "text": "..."}\n\n  per
+        segment, then  data: [DONE]\n\n.  Errors before the first byte
+        are normal HTTP 500s; later ones become an `event: error` frame.
+        """
+        import queue as _q
+
+        try:
+            form = _parse_multipart(body, self.headers.get("Content-Type", ""))
+            if "file" not in form:
+                raise ValueError("no 'file' field in the request")
+            with tempfile.NamedTemporaryFile(suffix=".wav") as tmp:
+                tmp.write(form["file"])
+                tmp.flush()
+                pcm, _ = load_audio(tmp.name)
+            params = full_default_params()
+            params.print_progress = False
+            params.greedy.best_of = 2
+            params.no_context = False
+            _apply_request_params(params, form)
+            if params.max_len == 0:
+                params.max_len = 60
+            if STATE.ctx is None:
+                raise RuntimeError("no model loaded")
+        except Exception as e:
+            self._send(500, "application/json", json.dumps({"error": str(e)}))
+            return
+
+        self.send_response(200)
+        self.send_header("Content-Type", "text/event-stream")
+        self.send_header("Cache-Control", "no-cache")
+        self.send_header("Access-Control-Allow-Origin", "*")
+        self.send_header("Connection", "close")
+        self.end_headers()
+
+        def _event(seg) -> bytes:
+            return ("data: " + json.dumps(
+                {"start": seg.t0 / 100.0, "end": seg.t1 / 100.0,
+                 "text": seg.text}, ensure_ascii=False,
+                separators=(",", ":")) + "\n\n").encode("utf-8")
+
+        try:
+            if STATE.batcher is not None:
+                # segments arrive from the engine's scheduler thread;
+                # hand them to this handler thread through a queue
+                chan: "_q.Queue" = _q.Queue()
+                done = object()
+
+                def _pump():
+                    try:
+                        STATE.batcher.submit_stream(pcm, params, chan.put)
+                        chan.put(done)
+                    except Exception as e:  # noqa: BLE001
+                        chan.put(RuntimeError(str(e)))
+
+                t = threading.Thread(target=_pump, daemon=True)
+                t.start()
+                while True:
+                    item = chan.get()
+                    if item is done:
+                        break
+                    if isinstance(item, Exception):
+                        raise item
+                    self.wfile.write(_event(item))
+                    self.wfile.flush()
+            else:
+                with STATE.lock:
+                    n_seen = 0
+
+                    def _cb(st, n_new, _=None):
+                        nonlocal n_seen
+                        segs = st.result_all
+                        while n_seen < len(segs):
+                            self.wfile.write(_event(segs[n_seen]))
+                            n_seen += 1
+                        self.wfile.flush()
+
+                    params.new_segment_callback = _cb
+                    if STATE.ctx.full(params, pcm) != 0:
+                        raise RuntimeError("failed to process audio")
+            self.wfile.write(b"data: [DONE]\n\n")
+            self.wfile.flush()
+        except Exception as e:  # headers already sent: emit an error frame
+            try:
+                self.wfile.write(
+                    b"event: error\ndata: " +
+                    json.dumps({"error": str(e)}).encode() + b"\n\n")
+                self.wfile.flush()
+            except OSError:
+                pass
 
 
 def main(argv=None) -> int:
