@@ -114,7 +114,14 @@ class BatchTranscriber:
                 "grammar / logits-filter decoding is host-looped — use the "
                 "serial ctx.full() path (the server routes this "
                 "automatically)")
-        from ..api import SamplingStrategy as _SS
+        from ..api import MAX_DECODERS, SamplingStrategy as _SS
+        if max(1, p.greedy.best_of,
+               p.beam_search.beam_size if p.strategy == _SS.BEAM_SEARCH
+               else 0) > MAX_DECODERS:
+            # same contract as the serial path (reference: whisper.cpp
+            # "too many decoders requested", WHISPER_MAX_DECODERS = 8)
+            raise ValueError(
+                f"too many decoders requested, max = {MAX_DECODERS}")
         if p.strategy == _SS.BEAM_SEARCH:
             # beams are coupled within every decode step (the per-stream
             # top-k spans K rows of one device call), so unlike greedy
