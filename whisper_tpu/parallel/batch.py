@@ -470,6 +470,10 @@ class BatchTranscriber:
                     states, batch, pending, cur_prompts, t_cur, it, last,
                     n_cand, pcm_dev, tiled_cache)
         if self._dtw_jobs:
+            # drop the ladder's cached cross-KV stack before the DTW pass
+            # allocates its own re-decode buffers (two-stack OOM hazard)
+            kc = vc = None
+            tiled_cache.clear()
             self._run_dtw_jobs(states, pcm_dev)
         self.window_times.append((B, _time.perf_counter() - _t_iter))
 
