@@ -137,14 +137,25 @@ def make_beam_decode_window(*, consts: FilterConsts, options: FilterOptions,
             # t > 0: each expanding beam draws B multinomial candidates
             # (reference: whisper.cpp:5357-5430); only drawn (beam, token)
             # cells keep their score, so duplicates collapse and the global
-            # top-k picks among the drawn set.  t == 0: deterministic top-k.
-            rng, sub = jax.random.split(s["rng"])
-            drawn = jax.random.categorical(
-                sub, s["logprobs"], axis=-1, shape=(B, B)).T   # (B beams, B)
-            drawn_mask = jnp.zeros((B, V), bool).at[
-                jnp.arange(B)[:, None], drawn].set(True)
-            scores_t = jnp.where(drawn_mask, scores, NEG_INF)
-            scores = jnp.where(temperature < 1e-6, scores, scores_t)
+            # top-k picks among the drawn set.  t == 0: deterministic top-k
+            # — gated by lax.cond so the (B, B, V) threefry draw is SKIPPED
+            # entirely at t == 0 (it was discarded by the select anyway;
+            # rung keys are fresh per call, so not advancing rng at t == 0
+            # cannot affect any t > 0 rung)
+            def _deterministic(_):
+                return scores, s["rng"]
+
+            def _multinomial(_):
+                rng2, sub = jax.random.split(s["rng"])
+                drawn = jax.random.categorical(
+                    sub, s["logprobs"], axis=-1,
+                    shape=(B, B)).T                           # (B beams, B)
+                drawn_mask = jnp.zeros((B, V), bool).at[
+                    jnp.arange(B)[:, None], drawn].set(True)
+                return jnp.where(drawn_mask, scores, NEG_INF), rng2
+
+            scores, rng = jax.lax.cond(
+                temperature < 1e-6, _deterministic, _multinomial, None)
 
             flat = scores.reshape(-1)
             top_vals, top_idx = jax.lax.top_k(flat, B)
@@ -160,29 +171,26 @@ def make_beam_decode_window(*, consts: FilterConsts, options: FilterOptions,
             new_cum = jnp.where(live, top_vals[slot_rank], s["cum"])
 
             # ---- gather parent state for live slots ---------------------
+            # parent_b falls back to the identity index for non-live rows,
+            # so a plain gather IS the select — no post-gather where (which
+            # would read both copies and cost ~1.5x the traffic on the KV)
             def g(x):
-                return jnp.where(
-                    _bshape(live, x), x[parent_b], x)
-
-            def _bshape(mask, x):
-                return mask.reshape((B,) + (1,) * (x.ndim - 1))
+                return x[parent_b]
 
             tokens = g(s["tokens"])
             p_arr = g(s["p"]); plog_arr = g(s["plog"])
             tid_arr = g(s["tid"]); pt_arr = g(s["pt"]); ptsum_arr = g(s["ptsum"])
-            has_ts = jnp.where(live, s["has_ts"][parent_b], s["has_ts"])
-            seek_delta = jnp.where(live, s["seek_delta"][parent_b], s["seek_delta"])
-            result_len = jnp.where(live, s["result_len"][parent_b], s["result_len"])
-            last_was_ts_p = jnp.where(live, s["last_was_ts"][parent_b], s["last_was_ts"])
+            has_ts = s["has_ts"][parent_b]
+            seek_delta = s["seek_delta"][parent_b]
+            result_len = s["result_len"][parent_b]
+            last_was_ts_p = s["last_was_ts"][parent_b]
             probs_g = s["probs"][parent_b]
             logprobs_g = s["logprobs"][parent_b]
 
             # KV reorder: one gather on the beam axis (a collective over
             # the data axis when the mesh shards beams)
-            kv_k = constrain_kv(jnp.where(live.reshape(1, B, 1, 1, 1),
-                                          s["kv_k"][:, parent_b], s["kv_k"]))
-            kv_v = constrain_kv(jnp.where(live.reshape(1, B, 1, 1, 1),
-                                          s["kv_v"][:, parent_b], s["kv_v"]))
+            kv_k = constrain_kv(s["kv_k"][:, parent_b])
+            kv_v = constrain_kv(s["kv_v"][:, parent_b])
 
             # ---- record token + metadata --------------------------------
             b = jnp.arange(B)
@@ -416,18 +424,28 @@ def make_batched_beam_decode_window(*, consts: FilterConsts,
             scores = jnp.where(expand[:, None], scores, NEG_INF)
 
             # t > 0: each expanding beam draws K candidates from ITS
-            # stream's key (whisper.cpp:5357-5430); duplicates collapse
-            pairs = jax.vmap(jax.random.split)(s["rng"])     # (S, 2, 2)
-            rng, subs = pairs[:, 0], pairs[:, 1]
-            drawn = jax.vmap(
-                lambda key, lp_s: jax.random.categorical(
-                    key, lp_s, axis=-1, shape=(K, K)).T
-            )(subs, s["logprobs"].reshape(S, K, V))          # (S, K, K)
-            drawn_flat = drawn.reshape(R, K)
-            drawn_mask = jnp.zeros((R, V), bool).at[
-                jnp.arange(R)[:, None], drawn_flat].set(True)
-            scores_t = jnp.where(drawn_mask, scores, NEG_INF)
-            scores = jnp.where(temperature < 1e-6, scores, scores_t)
+            # stream's key (whisper.cpp:5357-5430); duplicates collapse.
+            # lax.cond skips the (S, K, K, V) threefry draw entirely at
+            # t == 0 (deterministic rung: the draws were discarded by the
+            # select anyway, and rung keys are fresh per call) — at
+            # S x K = 12 x 5 that draw is ~15M threefry samples per STEP
+            def _deterministic(_):
+                return scores, s["rng"]
+
+            def _multinomial(_):
+                pairs = jax.vmap(jax.random.split)(s["rng"])  # (S, 2, 2)
+                rng2, subs = pairs[:, 0], pairs[:, 1]
+                drawn = jax.vmap(
+                    lambda key, lp_s: jax.random.categorical(
+                        key, lp_s, axis=-1, shape=(K, K)).T
+                )(subs, s["logprobs"].reshape(S, K, V))       # (S, K, K)
+                drawn_flat = drawn.reshape(R, K)
+                drawn_mask = jnp.zeros((R, V), bool).at[
+                    jnp.arange(R)[:, None], drawn_flat].set(True)
+                return jnp.where(drawn_mask, scores, NEG_INF), rng2
+
+            scores, rng = jax.lax.cond(
+                temperature < 1e-6, _deterministic, _multinomial, None)
 
             # per-stream global top-k over (K * V) continuations
             flat = scores.reshape(S, K * V)
@@ -451,32 +469,27 @@ def make_batched_beam_decode_window(*, consts: FilterConsts,
             new_cum = jnp.where(live, cand_val[rank_glob], s["cum"])
 
             # ---- gather parent state for live slots ----------------------
-            def _bshape(mask, x):
-                return mask.reshape((R,) + (1,) * (x.ndim - 1))
-
+            # parent_b falls back to the identity index for non-live rows,
+            # so a plain gather IS the select — no post-gather where (which
+            # would read both copies and cost ~1.5x the traffic on the KV)
             def g(x):
-                return jnp.where(_bshape(live, x), x[parent_b], x)
+                return x[parent_b]
 
             tokens = g(s["tokens"])
             p_arr = g(s["p"]); plog_arr = g(s["plog"])
             tid_arr = g(s["tid"]); pt_arr = g(s["pt"])
             ptsum_arr = g(s["ptsum"])
-            has_ts = jnp.where(live, s["has_ts"][parent_b], s["has_ts"])
-            seek_delta = jnp.where(live, s["seek_delta"][parent_b],
-                                   s["seek_delta"])
-            result_len = jnp.where(live, s["result_len"][parent_b],
-                                   s["result_len"])
-            last_was_ts_p = jnp.where(live, s["last_was_ts"][parent_b],
-                                      s["last_was_ts"])
+            has_ts = s["has_ts"][parent_b]
+            seek_delta = s["seek_delta"][parent_b]
+            result_len = s["result_len"][parent_b]
+            last_was_ts_p = s["last_was_ts"][parent_b]
             probs_g = s["probs"][parent_b]
             logprobs_g = s["logprobs"][parent_b]
 
             # KV reorder: one gather on the row axis (parents never cross
             # streams by construction — parent ids are stream-local + base)
-            kv_k = jnp.where(live.reshape(1, R, 1, 1, 1),
-                             s["kv_k"][:, parent_b], s["kv_k"])
-            kv_v = jnp.where(live.reshape(1, R, 1, 1, 1),
-                             s["kv_v"][:, parent_b], s["kv_v"])
+            kv_k = s["kv_k"][:, parent_b]
+            kv_v = s["kv_v"][:, parent_b]
 
             # ---- record token + metadata ----------------------------------
             b = jnp.arange(R)
