@@ -46,6 +46,25 @@ def _parse_array(text: str, name: str) -> list[int]:
     return [int(tok) for tok in re.findall(r"-?\d+", body)]
 
 
+def _parse_array_2d(text: str, name: str) -> list[list[int]]:
+    """Parse a 2-D initializer row-aware: C zero-pads rows whose initializer
+    is shorter than the declared column count (the mixed scalefactor-band
+    rows rely on this), so a flat number scan would misalign the rows."""
+    m = re.search(re.escape(name) + r"\s*\[\s*(\d+)\s*\]\s*\[\s*(\d+)\s*\]\s*=\s*\{(.*?)\};",
+                  text, re.S)
+    if not m:
+        raise SystemExit(f"2-D array {name} not found")
+    n_rows, n_cols = int(m.group(1)), int(m.group(2))
+    body = re.sub(r"/\*.*?\*/", "", m.group(3))
+    rows = []
+    for rm in re.finditer(r"\{([^{}]*)\}", body):
+        vals = [int(tok) for tok in re.findall(r"-?\d+", rm.group(1))]
+        assert len(vals) <= n_cols, (name, len(vals))
+        rows.append(vals + [0] * (n_cols - len(vals)))
+    assert len(rows) == n_rows, (name, len(rows))
+    return rows
+
+
 def _walk_bigvalue(codebook: list[int], base: int, width: int, prefix: str, out: dict):
     """Enumerate the reference's chunked-lookup huffman structure into
     canonical (code, length, x, y), deduping the short-code replicas."""
@@ -118,10 +137,10 @@ def main() -> None:
     tab33 = _parse_array(text, "tab33")
     tabindex = _parse_array(text, "tabindex")
     linbits = _parse_array(text, "g_linbits")
-    scf_long = _parse_array(text, "g_scf_long")
-    scf_short = _parse_array(text, "g_scf_short")
-    scf_mixed = _parse_array(text, "g_scf_mixed")
-    scf_partitions = _parse_array(text, "g_scf_partitions")
+    scf_long = [v for row in _parse_array_2d(text, "g_scf_long") for v in row]
+    scf_short = [v for row in _parse_array_2d(text, "g_scf_short") for v in row]
+    scf_mixed = [v for row in _parse_array_2d(text, "g_scf_mixed") for v in row]
+    scf_partitions = [v for row in _parse_array_2d(text, "g_scf_partitions") for v in row]
     scfc_decode = _parse_array(text, "g_scfc_decode")
     lsf_mod = _parse_array(text, "g_mod")
     preamp = _parse_array(text, "g_preamp")

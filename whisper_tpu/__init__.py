@@ -33,6 +33,17 @@ if _os.environ.get("WTPU_NO_COMPILE_CACHE") != "1":
     except Exception:  # pragma: no cover - ancient jax
         pass
 
+# Honor an explicit JAX_PLATFORMS pin even on containers whose
+# sitecustomize force-registers a TPU plugin after env processing (same
+# handling as bench.py / tests/conftest.py — without this, surfaces
+# launched with JAX_PLATFORMS=cpu would silently grab the TPU).
+if _os.environ.get("JAX_PLATFORMS"):
+    try:
+        import jax as _jax
+        _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+    except Exception:  # pragma: no cover
+        pass
+
 from .api import (
     BeamSearchParams,
     FullParams,

@@ -5,9 +5,12 @@ The reference decodes wav/mp3/flac/ogg via vendored miniaudio
 stdlib, FLAC through the framework's own from-scratch decoder
 (native/wtpu_flac.cpp fast path, audio/flac.py fallback — both pinned
 bit-exact against the reference's vendored dr_flac in
-tests/test_flac_golden.py), and other containers (mp3/ogg) shell out to
-ffmpeg when it is available (same fallback the reference server uses,
-reference: examples/server/server.cpp:248).
+tests/test_flac_golden.py), MPEG audio (mp3/mp2/mp1) through the
+framework's own from-scratch decoder (audio/mp3.py, pinned within 1 s16
+LSB of the reference's vendored dr_mp3 in tests/test_mp3_golden.py), and
+any remaining container (ogg) shells out to ffmpeg when available (same
+fallback the reference server uses, reference:
+examples/server/server.cpp:248).
 """
 
 from __future__ import annotations
@@ -105,8 +108,28 @@ def load_flac(path: str, stereo: bool = False) -> tuple[np.ndarray, np.ndarray |
     return mono.astype(np.float32), st
 
 
+def load_mpeg(path: str, stereo: bool = False) -> tuple[np.ndarray, np.ndarray | None]:
+    """Read an MPEG audio (mp3/mp2/mp1) file, same contract as load_wav."""
+    from .mp3 import decode_mp3
+
+    with open(path, "rb") as f:
+        raw = f.read()
+    data, sr = decode_mp3(raw)
+    n_ch = data.shape[1]
+    if n_ch == 1:
+        mono = data[:, 0]
+        st = np.stack([mono, mono], axis=1) if stereo else None
+    else:
+        mono = data.mean(axis=1).astype(np.float32)
+        st = data[:, :2] if stereo else None
+    mono = resample_linear(mono, sr, SAMPLE_RATE)
+    if st is not None:
+        st = resample_linear(st, sr, SAMPLE_RATE)
+    return mono.astype(np.float32), st
+
+
 def load_audio(path: str, stereo: bool = False) -> tuple[np.ndarray, np.ndarray | None]:
-    """Load any audio file; mp3/ogg go through ffmpeg when available."""
+    """Load any audio file; unknown containers go through ffmpeg when available."""
     ext = os.path.splitext(path)[1].lower()
     if ext == ".wav":
         try:
@@ -117,6 +140,12 @@ def load_audio(path: str, stereo: bool = False) -> tuple[np.ndarray, np.ndarray 
         magic = f.read(4)
     if magic == b"fLaC":
         return load_flac(path, stereo=stereo)
+    from .mp3 import is_mpeg_audio
+
+    with open(path, "rb") as f:
+        head = f.read(64 * 1024)
+    if ext in (".mp3", ".mp2", ".mp1") or is_mpeg_audio(head):
+        return load_mpeg(path, stereo=stereo)
     if shutil.which("ffmpeg") is None:
         raise RuntimeError(
             f"cannot decode '{path}': not a PCM wav and ffmpeg is not installed")

@@ -534,23 +534,36 @@ def _antialias(grbuf, nbands):
         grbuf[base - 8:base] = (u * _AA_CA + d * _AA_CS)[::-1]
 
 
+_W2_LONG = _WIN_NORMAL[18:]     # consumption window, long-type consumer
+_W2_SHORT = _WIN_START[18:]     # consumption window, short/stop consumer
+_W2_SHORT_INV = np.where(_W2_SHORT > 0, 1.0 / np.where(_W2_SHORT > 0, _W2_SHORT, 1.0), 0.0)
+
+
 def _imdct_bands(grbuf, overlap, block_type, n_long_bands):
     """IMDCT + window + overlap-add, in place over the (32, 18) grid.
 
-    Textbook: out[n] = overlap_prev[n] + z[n]*w[n] (n<18);
-    overlap_new[n] = z[18+n]*w[18+n]."""
+    Overlap convention (mirrors the reference decoder's): the stored tail is
+    UNWINDOWED; the consuming granule applies the previous block's tail
+    window by assumption — the normal tail when the consuming band is
+    long-windowed (block types 0/1, and the long bands of a mixed block),
+    the start-block tail when it is short-windowed or a stop block.  For
+    spec-valid window sequences this equals the textbook
+    `out[n] = ovl[n] + z[n]*w[n]` overlap-add exactly; on invalid
+    transitions it reproduces the reference's behavior bit-for-bit instead
+    of the textbook's.  Short blocks store their (windowed, overlap-added)
+    tail pre-divided by the start tail so the same consumption rule holds."""
     X = grbuf.reshape(32, 18)
 
-    def imdct36(rows, win):
-        z = (_M36 @ X[rows].T) * win[:, None]       # (36, n)
-        buf = overlap[rows] + z[:18].T
+    def imdct36(rows, win, w2):
+        z = _M36 @ X[rows].T                        # (36, n), unwindowed
+        buf = overlap[rows] * w2[None, :] + (z[:18] * win[:18, None]).T
         overlap[rows] = z[18:].T
         X[rows] = buf
 
-    if n_long_bands:
-        imdct36(slice(0, n_long_bands), _WIN_NORMAL)
-    rest = slice(n_long_bands, 32)
     if block_type == SHORT_BLOCK:
+        if n_long_bands:
+            imdct36(slice(0, n_long_bands), _WIN_NORMAL, _W2_LONG)
+        rest = slice(n_long_bands, 32)
         nb = 32 - n_long_bands
         Xs = X[rest].reshape(nb, 6, 3)              # (band, coeff, window)
         z = np.einsum("nk,bkw->bwn", _M12, Xs) * _WIN12[None, None, :]
@@ -558,11 +571,17 @@ def _imdct_bands(grbuf, overlap, block_type, n_long_bands):
         out[:, 6:18] += z[:, 0]
         out[:, 12:24] += z[:, 1]
         out[:, 18:30] += z[:, 2]
-        buf = overlap[rest] + out[:, :18]
-        overlap[rest] = out[:, 18:]
+        buf = overlap[rest] * _W2_SHORT[None, :] + out[:, :18]
+        overlap[rest] = out[:, 18:] * _W2_SHORT_INV[None, :]
         X[rest] = buf
     else:
-        imdct36(rest, _WINDOWS[block_type])
+        win = _WINDOWS[block_type]
+        w2 = _W2_LONG if block_type in (0, 1) else _W2_SHORT
+        if n_long_bands:
+            imdct36(slice(0, n_long_bands), _WIN_NORMAL, _W2_LONG)
+            imdct36(slice(n_long_bands, 32), win, w2)
+        else:
+            imdct36(slice(0, 32), win, w2)
 
 
 def _freq_inversion(grbuf):
@@ -663,7 +682,11 @@ def _l12_read_scale_info(h, bits: _Bits):
             if mask & m:
                 b = bits.get(6)
                 levels = ((1 << ba) - 1) if ba < 17 else (3, 5, 9)[ba - 17]
-                s = _L12_DEQ_BASE[b % 3] / levels * float(1 << 21 >> (b // 3))
+                # x2: this decoder's synthesis stage carries the plain ISO-D
+                # gain, half the reference's window-folded gain; Layer III
+                # compensates in _requantize (gg-210 vs the reference's
+                # gg-214), Layer I/II compensate here.
+                s = 2.0 * _L12_DEQ_BASE[b % 3] / levels * float(1 << 21 >> (b // 3))
             scf[3 * i + j] = s
             m >>= 1
     bitalloc[2 * np.arange(stereo_bands, total_bands) + 1] = 0
