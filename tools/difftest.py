@@ -154,9 +154,28 @@ def run_difftest(cli, n_cases: int = 20, seed: int = 0) -> dict:
         pcm = arng.randn(16000 * secs) * amp
         if rng.random() < 0.3:   # silent tail
             pcm[-16000:] = 0.0
-        if rng.random() < 0.25:   # FLAC container: dr_flac vs our decoder
+        container = rng.random()
+        if container < 0.2:      # FLAC container: dr_flac vs our decoder
             wav = tmp / f"case{case}.flac"
             write_flac(wav, pcm)
+        elif container < 0.4:    # MP3 container: dr_mp3 vs our decoder.
+            # mp3gen streams are spec-valid random spectra at 16 kHz — both
+            # CLIs decode the SAME lossy file (within 1 s16 LSB of each
+            # other), so the audio content comes from the stream, not pcm.
+            from tools.mp3gen import gen_l3
+            wav = tmp / f"case{case}.mp3"
+            plan = None
+            if rng.random() < 0.5:
+                # valid window-sequence random walk
+                nxt = {0: (0, 0, 1), 1: (2, 2.5), 2: (2, 3), 2.5: (2, 3),
+                       3: (0, 0, 1)}
+                plan = [0]
+                for _ in range(31):
+                    plan.append(rng.choice(nxt[plan[-1]]))
+            wav.write_bytes(gen_l3(
+                seed=seed * 1000 + case, n_frames=int(secs * 1000 / 36),
+                mpeg=2, sr_idx=2, bitrate_idx=rng.choice([6, 8, 10]),
+                mode=3, use_reservoir=rng.random() < 0.5, block_plan=plan))
         else:
             wav = tmp / f"case{case}.wav"
             write_wav(wav, pcm)

@@ -240,6 +240,67 @@ def main() -> None:
     print(f"wrote {OUT}: {len(huff)} huffman tables ({n} codes), "
           f"{len(count1[0])}+{len(count1[1])} count1 codes")
 
+    # C header for the native decoder (native/wtpu_mp3.cpp)
+    hdr = os.path.join(os.path.dirname(__file__), "..", "native",
+                       "wtpu_mp3_tables.h")
+
+    def carr(vals, per=16):
+        lines = []
+        for i in range(0, len(vals), per):
+            lines.append("    " + ",".join(str(v) for v in vals[i:i + per]) + ",")
+        return "\n".join(lines)
+
+    with open(os.path.abspath(hdr), "w") as f:
+        f.write("/* GENERATED by tools/mp3_tables.py - do not edit.\n"
+                " * Canonical ISO/IEC 11172-3 / 13818-3 MP3 constant tables;\n"
+                " * see the tool's docstring for provenance. */\n"
+                "#pragma once\n#include <stdint.h>\n\n")
+        # huffman: flattened entries + per-table (offset, count)
+        flat = []
+        offs = [0] * 32
+        cnts = [0] * 32
+        for t, entries in huff.items():
+            offs[t] = len(flat)
+            cnts[t] = len(entries)
+            flat.extend(entries)
+        f.write("typedef struct { uint32_t code; uint8_t len, x, y; } wtpu_mp3_hcode;\n")
+        f.write(f"static const wtpu_mp3_hcode WTPU_MP3_HUFF[{len(flat)}] = {{\n")
+        for i in range(0, len(flat), 4):
+            f.write("    " + "".join("{%d,%d,%d,%d}," % e for e in flat[i:i + 4]) + "\n")
+        f.write("};\n")
+        f.write(f"static const int WTPU_MP3_HUFF_OFF[32] = {{{','.join(map(str, offs))}}};\n")
+        f.write(f"static const int WTPU_MP3_HUFF_CNT[32] = {{{','.join(map(str, cnts))}}};\n\n")
+        for nm, d in (("A", count1[0]), ("B", count1[1])):
+            f.write(f"static const wtpu_mp3_hcode WTPU_MP3_COUNT1_{nm}[{len(d)}] = {{"
+                    + "".join("{%d,%d,%d,0}," % (c, l, fl) for c, l, fl in d)
+                    + "};\n")
+        f.write(f"\nstatic const uint8_t WTPU_MP3_LINBITS[32] = {{{','.join(map(str, linbits))}}};\n\n")
+        f.write(f"static const uint8_t WTPU_MP3_SFB_LONG[8][23] = {{\n"
+                + "".join("  {" + ",".join(map(str, scf_long[i*23:(i+1)*23])) + "},\n" for i in range(8))
+                + "};\n")
+        f.write(f"static const uint8_t WTPU_MP3_SFB_SHORT[8][40] = {{\n"
+                + "".join("  {" + ",".join(map(str, scf_short[i*40:(i+1)*40])) + "},\n" for i in range(8))
+                + "};\n")
+        f.write(f"static const uint8_t WTPU_MP3_SFB_MIXED[8][40] = {{\n"
+                + "".join("  {" + ",".join(map(str, scf_mixed[i*40:(i+1)*40])) + "},\n" for i in range(8))
+                + "};\n\n")
+        f.write(f"static const uint8_t WTPU_MP3_SCF_PART[3][28] = {{\n"
+                + "".join("  {" + ",".join(map(str, scf_partitions[i*28:(i+1)*28])) + "},\n" for i in range(3))
+                + "};\n")
+        f.write(f"static const uint8_t WTPU_MP3_SCFC_DECODE[16] = {{{','.join(map(str, scfc_decode))}}};\n")
+        f.write(f"static const uint8_t WTPU_MP3_LSF_MOD[24] = {{{','.join(map(str, lsf_mod))}}};\n")
+        f.write(f"static const uint8_t WTPU_MP3_PREAMP[10] = {{{','.join(map(str, preamp))}}};\n\n")
+        f.write(f"static const uint8_t WTPU_MP3_L12_BA_CODES[{len(bitalloc_code_tab)}] = "
+                f"{{{','.join(map(str, bitalloc_code_tab))}}};\n")
+        for nm, arr in (("L1", alloc_l1), ("L2M2", alloc_l2m2),
+                        ("L2M1", alloc_l2m1), ("L2M1_LOW", alloc_l2m1_low)):
+            trip = [tuple(arr[i:i + 3]) for i in range(0, len(arr), 3)]
+            f.write(f"static const uint8_t WTPU_MP3_ALLOC_{nm}[{len(trip)}][3] = {{"
+                    + "".join("{%d,%d,%d}," % t for t in trip) + "};\n")
+        f.write("\n/* ISO 11172-3 Table 3-B.3 synthesis window, D*65536 */\n")
+        f.write("static const int32_t WTPU_MP3_D65536[512] = {\n" + carr(window) + "\n};\n")
+    print(f"wrote {os.path.abspath(hdr)}")
+
 
 if __name__ == "__main__":
     main()

@@ -335,12 +335,14 @@ def gen_l3(seed=0, n_frames=12, mpeg=1, sr_idx=0, bitrate_idx=9, mode=MODE_MONO,
         capacity = frame_bytes - 4 - side_bytes - (2 if crc else 0)
         assert capacity > 0
 
-        # this frame's maindata chunk starts mdb bytes before its payload
-        if use_reservoir and stream_emitted - len(stream) > 400:
+        # this frame's maindata chunk starts mdb bytes before its payload;
+        # the lookback field is 9 bits (MPEG-1) / 8 bits (LSF)
+        max_mdb = min(MAXRES, 511 if mpeg == 1 else 255)
+        if use_reservoir and stream_emitted - len(stream) > max_mdb - 60:
             # bound the lookback: stuff the stream (ancillary bytes)
-            stream += bytes((stream_emitted - len(stream)) - 200)
+            stream += bytes((stream_emitted - len(stream)) - max_mdb // 2)
         mdb = stream_emitted - len(stream)
-        assert 0 <= mdb <= MAXRES, mdb
+        assert 0 <= mdb <= max_mdb, mdb
         # block_plan is per GRANULE (MPEG-1 frames hold two granules); only
         # spec-valid window sequences (normal|stop -> start -> short -> stop)
         # are generated — the reference's overlap factorization is only
