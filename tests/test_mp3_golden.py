@@ -127,6 +127,27 @@ def test_sniffing_and_robustness():
     assert pcm2.shape[0] <= pcm0.shape[0]
 
 
+def test_native_matches_python_bitwise():
+    """The C++ decoder (native/wtpu_mp3.cpp) is a port of the same
+    double-precision pipeline: outputs must be bitwise identical."""
+    from whisper_tpu.audio.native import decode_mp3_native
+
+    blobs = [data for _, data in mp3gen.corpus()]
+    if os.path.exists(JFK_MP3):
+        with open(JFK_MP3, "rb") as f:
+            blobs.append(f.read())
+    ran = 0
+    for blob in blobs:
+        nat = decode_mp3_native(blob)
+        if nat is None:
+            pytest.skip("native audio library unavailable")
+        py_pcm, py_hz = decode_mp3(blob)
+        assert nat[1] == py_hz
+        np.testing.assert_array_equal(nat[0], py_pcm)
+        ran += 1
+    assert ran == len(blobs)
+
+
 def test_loader_integration(tmp_path):
     from whisper_tpu.audio.io import load_audio
 

@@ -109,12 +109,21 @@ def load_flac(path: str, stereo: bool = False) -> tuple[np.ndarray, np.ndarray |
 
 
 def load_mpeg(path: str, stereo: bool = False) -> tuple[np.ndarray, np.ndarray | None]:
-    """Read an MPEG audio (mp3/mp2/mp1) file, same contract as load_wav."""
+    """Read an MPEG audio (mp3/mp2/mp1) file, same contract as load_wav.
+    Uses the native decoder when built, the pure-Python one otherwise
+    (bitwise-identical outputs, tests/test_mp3_golden.py)."""
     from .mp3 import decode_mp3
+    from .native import decode_mp3_native
 
     with open(path, "rb") as f:
         raw = f.read()
-    data, sr = decode_mp3(raw)
+    try:
+        decoded = decode_mp3_native(raw)
+    except ValueError:
+        decoded = None   # let the Python path raise the precise Mp3Error
+    if decoded is None:
+        decoded = decode_mp3(raw)
+    data, sr = decoded
     n_ch = data.shape[1]
     if n_ch == 1:
         mono = data[:, 0]

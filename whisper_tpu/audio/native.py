@@ -62,6 +62,20 @@ def _load():
         lib._has_flac = True
     except AttributeError:
         lib._has_flac = False
+    try:  # a stale .so built before the MP3 decoder degrades gracefully
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        f32pp = ctypes.POINTER(ctypes.POINTER(ctypes.c_float))
+        u64p = ctypes.POINTER(ctypes.c_uint64)
+        u32p = ctypes.POINTER(ctypes.c_uint32)
+        lib.wtpu_mp3_probe.argtypes = [u8p, ctypes.c_uint64]
+        lib.wtpu_mp3_probe.restype = ctypes.c_int
+        lib.wtpu_mp3_decode.argtypes = [u8p, ctypes.c_uint64, f32pp, u64p,
+                                        u32p, u32p]
+        lib.wtpu_mp3_decode.restype = ctypes.c_int
+        lib.wtpu_mp3_free.argtypes = [ctypes.POINTER(ctypes.c_float)]
+        lib._has_mp3 = True
+    except AttributeError:
+        lib._has_mp3 = False
     _LIB = lib
     return lib
 
@@ -132,3 +146,30 @@ def decode_flac_native(data: bytes, verify_crc: bool = True):
     finally:
         lib.wtpu_flac_free(pcm_ptr)
     return pcm, rate.value, bits.value
+
+
+def decode_mp3_native(data: bytes):
+    """Native MPEG audio decode -> ((n, ch) float32 = s16/32768, rate), or
+    None when the library is unavailable.  Raises ValueError on streams with
+    no decodable frames (same contract as audio.mp3.decode_mp3)."""
+    lib = _load()
+    if lib is None or not lib._has_mp3:
+        return None
+    buf = np.frombuffer(data, dtype=np.uint8)
+    pcm_ptr = ctypes.POINTER(ctypes.c_float)()
+    frames = ctypes.c_uint64()
+    channels = ctypes.c_uint32()
+    rate = ctypes.c_uint32()
+    rc = lib.wtpu_mp3_decode(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(data),
+        ctypes.byref(pcm_ptr), ctypes.byref(frames), ctypes.byref(channels),
+        ctypes.byref(rate))
+    if rc != 0:
+        raise ValueError(f"MPEG audio decode failed (native rc={rc})")
+    try:
+        n = frames.value * channels.value
+        pcm = np.ctypeslib.as_array(pcm_ptr, shape=(n,)).reshape(
+            frames.value, channels.value).copy()
+    finally:
+        lib.wtpu_mp3_free(pcm_ptr)
+    return pcm, rate.value
