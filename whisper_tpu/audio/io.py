@@ -24,6 +24,7 @@ import wave
 import numpy as np
 
 from ..constants import SAMPLE_RATE
+from .resample import resample_ma
 
 
 def _decode_pcm(raw: bytes, sampwidth: int, n_channels: int) -> np.ndarray:
@@ -41,7 +42,10 @@ def _decode_pcm(raw: bytes, sampwidth: int, n_channels: int) -> np.ndarray:
 
 
 def resample_linear(x: np.ndarray, sr_in: int, sr_out: int) -> np.ndarray:
-    """Linear-interpolation resampler (mono or (n, ch))."""
+    """Plain linear-interpolation resampler (mono or (n, ch)).  Kept for
+    callers that want interpolation without the reference's low-pass (the
+    loaders use resample_ma, which matches the reference's miniaudio
+    pipeline — see audio/resample.py)."""
     if sr_in == sr_out:
         return x
     n_out = int(round(x.shape[0] * sr_out / sr_in))
@@ -74,9 +78,9 @@ def load_wav(path: str, stereo: bool = False) -> tuple[np.ndarray, np.ndarray | 
         mono = data.mean(axis=1)
         st = data[:, :2] if stereo else None
 
-    mono = resample_linear(mono, sr, SAMPLE_RATE)
+    mono = resample_ma(mono, sr, SAMPLE_RATE)
     if st is not None:
-        st = resample_linear(st, sr, SAMPLE_RATE)
+        st = resample_ma(st, sr, SAMPLE_RATE)
     return mono.astype(np.float32), st
 
 
@@ -102,9 +106,9 @@ def load_flac(path: str, stereo: bool = False) -> tuple[np.ndarray, np.ndarray |
     else:
         mono = data.mean(axis=1).astype(np.float32)
         st = data[:, :2] if stereo else None
-    mono = resample_linear(mono, sr, SAMPLE_RATE)
+    mono = resample_ma(mono, sr, SAMPLE_RATE)
     if st is not None:
-        st = resample_linear(st, sr, SAMPLE_RATE)
+        st = resample_ma(st, sr, SAMPLE_RATE)
     return mono.astype(np.float32), st
 
 
@@ -131,9 +135,9 @@ def load_mpeg(path: str, stereo: bool = False) -> tuple[np.ndarray, np.ndarray |
     else:
         mono = data.mean(axis=1).astype(np.float32)
         st = data[:, :2] if stereo else None
-    mono = resample_linear(mono, sr, SAMPLE_RATE)
+    mono = resample_ma(mono, sr, SAMPLE_RATE)
     if st is not None:
-        st = resample_linear(st, sr, SAMPLE_RATE)
+        st = resample_ma(st, sr, SAMPLE_RATE)
     return mono.astype(np.float32), st
 
 
