@@ -42,12 +42,12 @@ sys.path.insert(0, str(ROOT))
 sys.path.insert(0, str(ROOT / "tests"))
 
 
-def write_wav(path, pcm_f32):
+def write_wav(path, pcm_f32, rate=16000):
     pcm16 = (np.clip(pcm_f32, -1, 1) * 32767).astype("<i2")
     with wave.open(str(path), "wb") as w:
         w.setnchannels(1)
         w.setsampwidth(2)
-        w.setframerate(16000)
+        w.setframerate(rate)
         w.writeframes(pcm16.tobytes())
 
 
@@ -176,6 +176,14 @@ def run_difftest(cli, n_cases: int = 20, seed: int = 0) -> dict:
                 seed=seed * 1000 + case, n_frames=int(secs * 1000 / 36),
                 mpeg=2, sr_idx=2, bitrate_idx=rng.choice([6, 8, 10]),
                 mode=3, use_reservoir=rng.random() < 0.5, block_plan=plan))
+        elif container < 0.55:
+            # non-16k wav: exercises the miniaudio-equivalent resampler
+            # (audio/resample.py) against the reference's resample path
+            rate = rng.choice([44100, 48000, 22050, 8000])
+            n = int(rate * secs)
+            pcm_r = arng.randn(n) * amp
+            wav = tmp / f"case{case}.wav"
+            write_wav(wav, pcm_r, rate=rate)
         else:
             wav = tmp / f"case{case}.wav"
             write_wav(wav, pcm)
