@@ -8,9 +8,11 @@ bit-exact against the reference's vendored dr_flac in
 tests/test_flac_golden.py), MPEG audio (mp3/mp2/mp1) through the
 framework's own from-scratch decoder (audio/mp3.py, pinned within 1 s16
 LSB of the reference's vendored dr_mp3 in tests/test_mp3_golden.py), and
-any remaining container (ogg) shells out to ffmpeg when available (same
-fallback the reference server uses, reference:
-examples/server/server.cpp:248).
+Ogg Vorbis through the framework's own from-scratch decoder
+(audio/vorbis.py, pinned within 2 s16 LSB of the reference's vendored
+stb_vorbis in tests/test_vorbis_golden.py).  Anything else (e.g.
+ogg/opus) shells out to ffmpeg when available (same fallback the
+reference server uses, reference: examples/server/server.cpp:248).
 """
 
 from __future__ import annotations
@@ -141,6 +143,27 @@ def load_mpeg(path: str, stereo: bool = False) -> tuple[np.ndarray, np.ndarray |
     return mono.astype(np.float32), st
 
 
+def load_vorbis(path: str, stereo: bool = False) -> tuple[np.ndarray, np.ndarray | None]:
+    """Read an Ogg Vorbis file, same contract as load_wav (decoder pinned
+    against the reference's vendored stb_vorbis, tests/test_vorbis_golden.py)."""
+    from .vorbis import decode_ogg_vorbis
+
+    with open(path, "rb") as f:
+        raw = f.read()
+    data, sr = decode_ogg_vorbis(raw)
+    n_ch = data.shape[1]
+    if n_ch == 1:
+        mono = data[:, 0]
+        st = np.stack([mono, mono], axis=1) if stereo else None
+    else:
+        mono = data.mean(axis=1).astype(np.float32)
+        st = data[:, :2] if stereo else None
+    mono = resample_ma(mono, sr, SAMPLE_RATE)
+    if st is not None:
+        st = resample_ma(st, sr, SAMPLE_RATE)
+    return mono.astype(np.float32), st
+
+
 def load_audio(path: str, stereo: bool = False) -> tuple[np.ndarray, np.ndarray | None]:
     """Load any audio file; unknown containers go through ffmpeg when available."""
     ext = os.path.splitext(path)[1].lower()
@@ -159,6 +182,12 @@ def load_audio(path: str, stereo: bool = False) -> tuple[np.ndarray, np.ndarray 
         head = f.read(64 * 1024)
     if ext in (".mp3", ".mp2", ".mp1") or is_mpeg_audio(head):
         return load_mpeg(path, stereo=stereo)
+    if magic == b"OggS":
+        from .vorbis import is_ogg_vorbis
+
+        if is_ogg_vorbis(head):
+            return load_vorbis(path, stereo=stereo)
+        # non-vorbis ogg (e.g. opus): fall through to the ffmpeg fallback
     if shutil.which("ffmpeg") is None:
         raise RuntimeError(
             f"cannot decode '{path}': not a PCM wav and ffmpeg is not installed")
