@@ -16,14 +16,25 @@ the fallback ladder sample multinomially, which is implementation-
 defined (libstdc++ discrete_distribution vs JAX PRNG) and can never
 match across implementations.
 
-Known benign DIFF class — greedy near-ties: random weights produce an
-almost-flat distribution over 51k tokens, so two candidates can sit
-within ~1e-7 probability of each other and the argmax flips on f32
-GEMM rounding (ggml vs XLA).  Signature: a single token id differs at
-one position with BOTH sides' top-p within ~2% of each other, identical
-timestamps, and the suffix re-converges.  Such cases are tagged
-"(near-tie?)" in the output; only structural divergence (timestamps,
-segmentation, non-reconverging tokens) is actionable.
+Known benign DIFF classes:
+- greedy near-ties: random weights produce an almost-flat distribution
+  over 51k tokens, so two candidates can sit within ~1e-7 probability of
+  each other and the argmax flips on f32 GEMM rounding (ggml vs XLA).
+  Signature: a single token id differs at one position with BOTH sides'
+  top-p within ~2% of each other, identical timestamps, and the suffix
+  re-converges.  Tagged "(near-tie?)".
+- lossy-rounding: mp3/ogg cases decode through two independent codec
+  implementations that agree only within 1-2 s16 LSB (their f32
+  pow/IMDCT vs our f64) — on random weights' near-flat logits those
+  sub-LSB PCM deltas can flip a token and reshape segmentation.  When a
+  lossy-container case diverges, the PCM itself is re-checked against
+  the reference's compiled decode stack; within the documented LSB
+  envelope the case is tagged "(lossy-rounding)" and is not actionable
+  (real weights have logit margins orders of magnitude wider).  PCM
+  disagreement beyond the envelope stays a structural failure.
+
+Only structural divergence (timestamps, segmentation, non-reconverging
+tokens, PCM past the envelope) is actionable.
 """
 
 import json
@@ -118,6 +129,39 @@ def _near_tie_only(ref, ours):
     return saw_flip
 
 
+def _lossy_pcm_parity(path: pathlib.Path) -> bool:
+    """Decode a lossy-container file with our codec and the reference's own
+    compiled decode stack (miniaudio + dr_mp3/stb_vorbis); True when they
+    agree within 2 s16 LSB — the documented rounding envelope
+    (tests/test_mp3_golden.py, tests/test_vorbis_golden.py)."""
+    import test_vorbis_golden as tvg  # its harness decodes mp3+ogg+flac
+
+    exe = tvg._build_harness()
+    if exe is None:
+        return False
+    try:
+        r = subprocess.run([str(exe), str(path)], capture_output=True,
+                           timeout=300)
+    except subprocess.SubprocessError:
+        return False
+    if r.returncode != 0:
+        return False
+    meta = dict(kv.split("=") for kv in r.stderr.decode().split())
+    ref = np.frombuffer(r.stdout, np.float32).reshape(-1, int(meta["ch"]))
+    blob = path.read_bytes()
+    if path.suffix == ".ogg":
+        from whisper_tpu.audio.vorbis import decode_ogg_vorbis
+        mine, rate = decode_ogg_vorbis(blob)
+    else:
+        from whisper_tpu.audio.mp3 import decode_mp3
+        mine, rate = decode_mp3(blob)
+    if rate != int(meta["rate"]) or mine.shape != ref.shape:
+        return False
+    d = np.abs(np.round(mine.astype(np.float64) * 32768.0)
+               - np.round(ref.astype(np.float64) * 32768.0))
+    return bool(d.max() <= 2)
+
+
 def segments_equal(a, b):
     if len(a) != len(b):
         return False
@@ -146,7 +190,7 @@ def run_difftest(cli, n_cases: int = 20, seed: int = 0) -> dict:
     ml_dir.mkdir()
     model_ml = make_random_model(ml_dir, seed=7, ftype=1, n_vocab=51865)
 
-    n_diff = n_near_tie = n_error = 0
+    n_diff = n_near_tie = n_lossy = n_error = 0
     for case in range(n_cases):
         arng = np.random.RandomState(seed * 1000 + case)
         secs = rng.choice([2, 8, 15, 35])
@@ -155,10 +199,17 @@ def run_difftest(cli, n_cases: int = 20, seed: int = 0) -> dict:
         if rng.random() < 0.3:   # silent tail
             pcm[-16000:] = 0.0
         container = rng.random()
-        if container < 0.2:      # FLAC container: dr_flac vs our decoder
+        if container < 0.18:     # FLAC container: dr_flac vs our decoder
             wav = tmp / f"case{case}.flac"
             write_flac(wav, pcm)
-        elif container < 0.4:    # MP3 container: dr_mp3 vs our decoder.
+        elif container < 0.32:   # OGG container: stb_vorbis vs our decoder.
+            # vorbisgen streams are spec-valid random spectra — both CLIs
+            # decode the SAME file (within 2 s16 LSB of each other), so the
+            # audio content comes from the stream, not pcm.
+            from tools.vorbisgen import gen_stream
+            wav = tmp / f"case{case}.ogg"
+            wav.write_bytes(gen_stream(seed * 1000 + case, secs))
+        elif container < 0.5:    # MP3 container: dr_mp3 vs our decoder.
             # mp3gen streams are spec-valid random spectra at 16 kHz — both
             # CLIs decode the SAME lossy file (within 1 s16 LSB of each
             # other), so the audio content comes from the stream, not pcm.
@@ -176,7 +227,7 @@ def run_difftest(cli, n_cases: int = 20, seed: int = 0) -> dict:
                 seed=seed * 1000 + case, n_frames=int(secs * 1000 / 36),
                 mpeg=2, sr_idx=2, bitrate_idx=rng.choice([6, 8, 10]),
                 mode=3, use_reservoir=rng.random() < 0.5, block_plan=plan))
-        elif container < 0.55:
+        elif container < 0.62:
             # non-16k wav: exercises the miniaudio-equivalent resampler
             # (audio/resample.py) against the reference's resample path
             rate = rng.choice([44100, 48000, 22050, 8000])
@@ -203,25 +254,33 @@ def run_difftest(cli, n_cases: int = 20, seed: int = 0) -> dict:
             n_error += 1
             continue
         if segments_equal(ref, ours):
-            print(f"case {case:3d} PASS  ({secs}s amp={amp} flags={flags})")
+            print(f"case {case:3d} PASS  ({secs}s amp={amp} "
+                  f"{wav.suffix} flags={flags})")
         else:
             benign = _near_tie_only(ref, ours)
+            lossy = (not benign and wav.suffix in (".mp3", ".ogg")
+                     and _lossy_pcm_parity(wav))
             if benign:
                 n_near_tie += 1
+                tag = " (near-tie?)"
+            elif lossy:
+                n_lossy += 1
+                tag = " (lossy-rounding)"
             else:
                 n_diff += 1
-            tag = " (near-tie?)" if benign else ""
+                tag = ""
             print(f"case {case:3d} DIFF{tag}  "
-                  f"({secs}s amp={amp} flags={flags})")
+                  f"({secs}s amp={amp} {wav.suffix} flags={flags})")
             print("  ref :", [(s['offsets']['from'], s['offsets']['to'],
                                s['text']) for s in ref])
             print("  ours:", [(s['offsets']['from'], s['offsets']['to'],
                                s['text']) for s in ours])
-    print(f"{n_cases - n_diff - n_near_tie - n_error}/{n_cases} identical, "
-          f"{n_near_tie} benign near-ties, {n_diff} structural diffs, "
+    print(f"{n_cases - n_diff - n_near_tie - n_lossy - n_error}/{n_cases} "
+          f"identical, {n_near_tie} benign near-ties, "
+          f"{n_lossy} lossy-rounding, {n_diff} structural diffs, "
           f"{n_error} errors")
-    return {"n_cases": n_cases, "n_diff": n_diff,
-            "n_near_tie": n_near_tie, "n_error": n_error}
+    return {"n_cases": n_cases, "n_diff": n_diff, "n_near_tie": n_near_tie,
+            "n_lossy": n_lossy, "n_error": n_error}
 
 
 def main():

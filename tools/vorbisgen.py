@@ -753,6 +753,43 @@ def case_long_stream(seed=11):
                        max_segs_per_page=6, trim=13)
 
 
+def gen_stream(seed: int, secs: float, rate: int = 16000) -> bytes:
+    """Arbitrary-duration stereo-or-mono stream for the differential fuzzer:
+    ~`secs` seconds of decoded audio at `rate`, mixed long/short blocks,
+    occasional unused channels.  Both decoders consume the SAME file, so the
+    audio content comes from the stream itself."""
+    rng = np.random.RandomState(seed)
+    channels = int(rng.randint(1, 3))
+    # small VQ deltas keep the decoded waveform near unit scale (the IMDCT
+    # sums ~512 coefficients), so transcription-level fuzzing sees realistic
+    # mel inputs rather than saturated ones
+    books = _base_books() + [
+        _vq_book_type2(dims=4, delta=1 / 512, minimum=-1 / 64),
+        _vq_book_type1(delta=1 / 256, minimum=-1 / 32),
+    ]
+    fl = _simple_floor(rangebits=9, xs=(64, 320, 180))
+    res = Residue(2, 0, 512, 64, 3, 3,
+                  [[4, -1, -1, -1, -1, -1, -1, -1],
+                   [4, 5, -1, -1, -1, -1, -1, -1],
+                   [5, -1, 4, -1, -1, -1, -1, -1]])
+    coupling = [(0, 1)] if channels == 2 and rng.rand() < 0.7 else []
+    mp = Mapping(1, coupling, [0] * channels, [0], [0])
+    setup = Setup(channels=channels, rate=rate, bs0=512, bs1=1024,
+                  books=books, floors=[fl], residues=[res],
+                  mappings=[mp], modes=[(0, 0), (1, 0)])
+    # ~384 samples per mixed block on average
+    n_blocks = max(4, int(secs * rate / 384))
+    flags = [0] + [int(x) for x in rng.randint(0, 2, n_blocks - 1)]
+    plan = {}
+    for i in sorted(rng.choice(max(2, n_blocks), size=n_blocks // 16,
+                               replace=False)):
+        plan[int(i)] = tuple(
+            c for c in range(channels) if rng.rand() < 0.6) or (0,)
+    return make_stream(setup, flags, seed=seed + 1, unused_plan=plan,
+                       max_segs_per_page=16,
+                       trim=int(rng.randint(0, 100)))
+
+
 def corpus() -> list[tuple[str, bytes]]:
     return [
         ("mono_short", case_mono_short()),
