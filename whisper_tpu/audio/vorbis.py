@@ -122,7 +122,7 @@ class _BitReader:
     stb_vorbis get_bits); huffman walks raise _EndOfPacket instead.
     """
 
-    __slots__ = ("bits", "n", "pos", "eop")
+    __slots__ = ("bits", "n", "pos", "eop", "words")
 
     def __init__(self, packet: bytes):
         self.bits = np.unpackbits(
@@ -130,6 +130,13 @@ class _BitReader:
         self.n = len(self.bits)
         self.pos = 0
         self.eop = False
+        # 32-bit little-endian windows at every byte offset: peek_word(pos)
+        # exposes the next >=25 stream bits in one integer, powering the
+        # accelerated huffman decode (same idea as stb's prep_huffman)
+        b = np.frombuffer(packet + b"\x00\x00\x00\x00", dtype=np.uint8
+                          ).astype(np.uint32)
+        self.words = (b[:-3] | (b[1:-2] << 8) | (b[2:-1] << 16)
+                      | (b[3:] << 24)).tolist()
 
     def read(self, nbits: int) -> int:
         if nbits == 0:
@@ -155,9 +162,13 @@ class _BitReader:
         return b
 
 
+_FAST_BITS = 12      # acceleration-table width (stb: FAST_HUFFMAN_LENGTH=10)
+
+
 class _Codebook:
     __slots__ = ("dims", "entries", "lengths", "table", "lookup_type",
-                 "sequence_p", "minimum", "delta", "vq", "maxlen")
+                 "sequence_p", "minimum", "delta", "vq", "maxlen",
+                 "fast_entry", "fast_len", "fast_mask")
 
     def __init__(self, r: _BitReader):
         if r.read(24) != 0x564342:           # 'BCV'
@@ -198,6 +209,26 @@ class _Codebook:
                 code, ln = cw
                 self.table[(ln, code)] = entry
                 self.maxlen = max(self.maxlen, ln)
+        # acceleration table: stream-order (LSB-first) K-bit peek -> entry
+        k = min(_FAST_BITS, self.maxlen) if self.maxlen else 0
+        size = 1 << k
+        fe = [-1] * size
+        fl = [0] * size
+        for entry, cw in enumerate(codes):
+            if cw is None:
+                continue
+            code, ln = cw
+            if ln > k:
+                continue
+            pat = 0                     # codeword bits as they appear on wire
+            for i in range(ln):
+                pat |= ((code >> (ln - 1 - i)) & 1) << i
+            for v in range(pat, size, 1 << ln):
+                fe[v] = entry
+                fl[v] = ln
+        self.fast_entry = fe
+        self.fast_len = fl
+        self.fast_mask = size - 1
 
         self.lookup_type = r.read(4)
         if self.lookup_type > 2:
@@ -251,6 +282,21 @@ class _Codebook:
             self.delta = np.float32(0)
 
     def decode_scalar(self, r: _BitReader) -> int:
+        pos = r.pos
+        if pos < r.n:
+            v = (r.words[pos >> 3] >> (pos & 7)) & self.fast_mask
+            entry = self.fast_entry[v]
+            if entry >= 0:
+                ln = self.fast_len[v]
+                end = pos + ln
+                if end <= r.n:
+                    r.pos = end
+                    return entry
+                # codeword extends past the packet: EOP (stb: valid_bits<len)
+                r.eop = True
+                r.pos = r.n
+                raise _EndOfPacket
+        # slow path: codewords longer than the acceleration width
         code = 0
         table = self.table
         for ln in range(1, self.maxlen + 1):
@@ -259,6 +305,54 @@ class _Codebook:
             if entry is not None:
                 return entry
         raise VorbisError("invalid codeword (underspecified tree)")
+
+
+def _decode_run(r: _BitReader, book: _Codebook, nsyms: int, fpos: int,
+                limit: int, dims: int):
+    """Decode up to nsyms VQ codewords with the huffman walk inlined
+    (hot path of residue decode).  Returns (entries, advanced fpos); fewer
+    than nsyms entries means end-of-packet (the caller writes the partial
+    run first, mirroring stb's consume-then-stop order)."""
+    words = r.words
+    n = r.n
+    pos = r.pos
+    fe = book.fast_entry
+    fl = book.fast_len
+    mask = book.fast_mask
+    entries = []
+    append = entries.append
+    for _ in range(nsyms):
+        if fpos >= limit:
+            r.pos = pos
+            raise VorbisError("residue write past vector end")
+        if pos < n:
+            v = (words[pos >> 3] >> (pos & 7)) & mask
+            e = fe[v]
+            if e >= 0:
+                end = pos + fl[v]
+                if end <= n:
+                    pos = end
+                    append(e)
+                    fpos += dims if fpos + dims <= limit else limit - fpos
+                    continue
+                r.pos = r.n
+                r.eop = True
+                break
+            # long codeword: fall back to the tree walk
+            r.pos = pos
+            try:
+                e = book.decode_scalar(r)
+            except _EndOfPacket:
+                pos = r.pos
+                break
+            pos = r.pos
+            append(e)
+            fpos += dims if fpos + dims <= limit else limit - fpos
+            continue
+        r.eop = True
+        break
+    r.pos = pos if not r.eop else r.n
+    return entries, fpos
 
 
 _RANGE_LIST = (256, 128, 86, 64)
@@ -589,61 +683,55 @@ class _Residue:
 
     def _decode_interleaved(self, r, codebooks, bufs, ch, n2, dnd, lb,
                             part_read, classwords, cb):
+        """Residue-2 coded vector decoded into one flat interleaved buffer
+        (index = sample*ch + channel, i.e. stb's p_inter*ch + c_inter),
+        deinterleaved into the channel buffers afterwards.  do-not-decode
+        channels receive values here exactly like channels stb leaves NULL
+        consume them — their output is zeroed later by really_zero, so the
+        bitstream walk and the audible result match the oracle."""
         classes = [0] * ((part_read // classwords + 1) * classwords)
         ps = self.part_size
-        for p in range(8):
-            pcount = 0
-            while pcount < part_read:
-                z = lb + pcount * ps
-                c_inter, p_inter = z % ch, z // ch
-                if p == 0:
-                    temp = cb.decode_scalar(r)
-                    classes[pcount:pcount + classwords] = self.classdata[temp]
-                i = 0
-                while i < classwords and pcount < part_read:
-                    z = lb + pcount * ps
-                    c = classes[pcount]
-                    b = self.books[c][p]
-                    if b >= 0:
-                        book = codebooks[b]
-                        c_inter, p_inter = self._deinterleave_repeat(
-                            r, book, bufs, ch, c_inter, p_inter, n2, ps)
-                    else:
-                        z += ps
-                        c_inter, p_inter = z % ch, z // ch
-                    i += 1
-                    pcount += 1
-
-    def _deinterleave_repeat(self, r, book: _Codebook, bufs, ch,
-                             c_inter, p_inter, n2, total):
-        if book.lookup_type == 0:
-            raise VorbisError("scalar book used in VQ context")
-        dims = book.dims
-        while total > 0:
-            vals = self._vq_entry(r, book)
-            effective = dims
-            remaining = n2 * ch - (p_inter * ch + c_inter)
-            if effective > remaining:
-                effective = remaining
-            if book.sequence_p:
-                acc = np.float32(0)
-                for i in range(effective):
-                    v = np.float32(vals[i] + acc)
-                    bufs[c_inter][p_inter] += v
-                    c_inter += 1
-                    if c_inter == ch:
-                        c_inter = 0
-                        p_inter += 1
-                    acc = v
-            else:
-                for i in range(effective):
-                    bufs[c_inter][p_inter] += vals[i]
-                    c_inter += 1
-                    if c_inter == ch:
-                        c_inter = 0
-                        p_inter += 1
-            total -= effective
-        return c_inter, p_inter
+        flat = np.zeros(n2 * ch, dtype=np.float32)
+        limit = n2 * ch
+        try:
+            for p in range(8):
+                pcount = 0
+                while pcount < part_read:
+                    fpos = lb + pcount * ps     # == p_inter*ch + c_inter
+                    if p == 0:
+                        temp = cb.decode_scalar(r)
+                        classes[pcount:pcount + classwords] = \
+                            self.classdata[temp]
+                    i = 0
+                    while i < classwords and pcount < part_read:
+                        b = self.books[classes[pcount]][p]
+                        if b >= 0:
+                            book = codebooks[b]
+                            if book.lookup_type == 0:
+                                raise VorbisError(
+                                    "scalar book used in VQ context")
+                            dims = book.dims
+                            nsyms = -(-ps // dims)
+                            entries, fpos_new = _decode_run(r, book, nsyms,
+                                                            fpos, limit, dims)
+                            if entries:
+                                vals = book.vq[entries]
+                                if book.sequence_p:
+                                    vals = np.cumsum(vals, axis=1,
+                                                     dtype=np.float32)
+                                vals = vals.ravel()
+                                end = min(fpos + vals.size, limit)
+                                flat[fpos:end] += vals[:end - fpos]
+                            fpos = fpos_new
+                            if len(entries) < nsyms:
+                                raise _EndOfPacket
+                        else:
+                            fpos = lb + pcount * ps + ps
+                        i += 1
+                        pcount += 1
+        finally:
+            for j in range(ch):
+                bufs[j][:] = flat[j::ch]
 
 
 class _Mapping:
