@@ -753,6 +753,83 @@ def case_long_stream(seed=11):
                        max_segs_per_page=6, trim=13)
 
 
+def case_deep_codes(seed=13):
+    """Comb-shaped huffman tree with codewords up to 20 bits: exercises the
+    decoder's slow path past the 12-bit acceleration table."""
+    comb = Book(1, [1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16,
+                    17, 18, 19, 20, 20])
+    books = [full_book(6), comb, _vq_book_type2(dims=4),
+             Book(2, [4] * 9)]
+    fl = Floor([0], [3], [2], [0], [[1, 1, 1, 1]], 1, 7, [32, 96, 64])
+    res = Residue(2, 0, 128, 16, 2, 3,
+                  [[2, -1, -1, -1, -1, -1, -1, -1],
+                   [2, 2, -1, -1, -1, -1, -1, -1]])
+    mp = Mapping(1, [], [0], [0], [0])
+    setup = Setup(channels=1, rate=16000, bs0=256, bs1=512,
+                  books=books, floors=[fl], residues=[res],
+                  mappings=[mp], modes=[(0, 0)])
+    return make_stream(setup, [0] * 10, seed=seed)
+
+
+def case_big_blocks(seed=14):
+    """Maximum legal block sizes (2048/8192): big IMDCTs and window slopes."""
+    books = _base_books() + [_vq_book_type2(dims=8, nbits=4)]
+    fl = _simple_floor(rangebits=12, xs=(512, 2560, 1500))
+    res = Residue(2, 0, 4096, 128, 2, 3,
+                  [[4, -1, -1, -1, -1, -1, -1, -1],
+                   [4, 4, -1, -1, -1, -1, -1, -1]])
+    mp = Mapping(1, [], [0], [0], [0])
+    setup = Setup(channels=1, rate=48000, bs0=2048, bs1=8192,
+                  books=books, floors=[fl], residues=[res],
+                  mappings=[mp], modes=[(0, 0), (1, 0)])
+    return make_stream(setup, [0, 1, 1, 0, 1, 0, 0, 1], seed=seed)
+
+
+def case_many_floor_partitions(seed=15):
+    """Wide floor: 8 partitions over 4 classes, 30 posts, 3 subclass bits."""
+    rng = np.random.RandomState(77)
+    part_classes = [0, 1, 2, 3, 1, 0, 3, 2]
+    class_dims = [3, 4, 2, 5]
+    class_subclasses = [2, 3, 0, 1]
+    masterbooks = [0, 4, -1, 0]   # book 4: 12-bit master (4 dims x 3 subbits)
+    subclass_books = [[1, 1, 1, 1], [1, 1, 1, 1, 1, 1, 1, 1], [1], [1, 1]]
+    need = sum(class_dims[c] for c in part_classes)
+    xs = list(rng.choice(np.arange(1, 255), size=need, replace=False))
+    xs = [int(x) for x in xs]
+    fl = Floor(part_classes, class_dims, class_subclasses, masterbooks,
+               subclass_books, 2, 8, xs)
+    books = [full_book(6), Book(1, [1, 2, 3, 4, 5, 6, 7, 8, 8]),
+             Book(1, [None, 3, None, 3, 2, None, 2, 2], sparse=True),
+             Book(2, [4] * 9), full_book(12),
+             _vq_book_type2(dims=4)]
+    res = Residue(2, 0, 128, 16, 2, 3,
+                  [[5, -1, -1, -1, -1, -1, -1, -1],
+                   [5, 5, -1, -1, -1, -1, -1, -1]])
+    mp = Mapping(1, [], [0], [0], [0])
+    setup = Setup(channels=1, rate=16000, bs0=512, bs1=1024,
+                  books=books, floors=[fl], residues=[res],
+                  mappings=[mp], modes=[(0, 0)])
+    return make_stream(setup, [0] * 8, seed=seed)
+
+
+def case_lookup1_odd(seed=16):
+    """Type-1 VQ book whose entry count is not a perfect power of its
+    dimensions (entries=20, dims=3 -> lookup1_values=2)."""
+    rng = np.random.RandomState(5)
+    odd = Book(3, [5] * 20, lookup=1, minimum=-0.5, delta=0.125,
+               value_bits=4, mults=list(rng.randint(0, 16, 2)))
+    books = _base_books() + [odd]
+    fl = _simple_floor()
+    res = Residue(1, 0, 126, 18, 2, 3,
+                  [[4, -1, -1, -1, -1, -1, -1, -1],
+                   [4, 4, -1, -1, -1, -1, -1, -1]])
+    mp = Mapping(1, [], [0], [0], [0])
+    setup = Setup(channels=1, rate=16000, bs0=256, bs1=512,
+                  books=books, floors=[fl], residues=[res],
+                  mappings=[mp], modes=[(0, 0)])
+    return make_stream(setup, [0] * 8, seed=seed)
+
+
 def gen_stream(seed: int, secs: float, rate: int = 16000) -> bytes:
     """Arbitrary-duration stereo-or-mono stream for the differential fuzzer:
     ~`secs` seconds of decoded audio at `rate`, mixed long/short blocks,
@@ -803,6 +880,10 @@ def corpus() -> list[tuple[str, bytes]]:
         ("multiplier3", case_multiplier3()),
         ("ordered_books", case_ordered_books()),
         ("discard_swallow", case_discard_swallow()),
+        ("deep_codes", case_deep_codes()),
+        ("big_blocks", case_big_blocks()),
+        ("many_floor_partitions", case_many_floor_partitions()),
+        ("lookup1_odd", case_lookup1_odd()),
         ("long_stream", case_long_stream()),
     ]
 
