@@ -139,6 +139,25 @@ def test_corpus_matches_reference(name):
     assert rel < 1e-5, rel
 
 
+# a real libvorbis-encoded file that happens to ship in this image —
+# real-world codebooks/floor configs/residues, independent of our generator
+_REAL_OGG = "/opt/venv/lib/python3.12/site-packages/pygame/examples/data/house_lo.ogg"
+
+
+def test_real_libvorbis_file_matches_reference():
+    if not os.path.exists(_REAL_OGG):
+        pytest.skip("no real-world ogg sample in this image")
+    blob = open(_REAL_OGG, "rb").read()
+    ref, ref_rate = _ref_decode(blob)
+    mine, rate = decode_ogg_vorbis(blob)
+    assert rate == ref_rate
+    assert mine.shape == ref.shape
+    d = np.abs(np.round(mine.astype(np.float64) * 32768.0)
+               - np.round(ref.astype(np.float64) * 32768.0))
+    assert d.max() <= 1
+    assert float(np.mean(d == 0)) >= 0.99
+
+
 # ---------------------------------------------------------------------------
 # structural pins
 
