@@ -27,7 +27,8 @@ import tempfile
 import numpy as np
 import pytest
 
-from whisper_tpu.audio.ogg import crc32_ogg, is_ogg, iter_packets, pack_pages
+from whisper_tpu.audio.ogg import (build_page, crc32_ogg, is_ogg,
+                                   iter_packets, pack_pages)
 from whisper_tpu.audio.vorbis import (VorbisError, assign_codewords,
                                       decode_ogg_vorbis, ilog, imdct,
                                       is_ogg_vorbis)
@@ -201,11 +202,39 @@ def test_ogg_crc_and_paging_roundtrip():
     assert [p for p, _ in out] == [p for p, _ in payloads]
     assert out[-1][1].granule == 1234
     assert out[-1][1].page_is_last
-    # CRC detects corruption
+    # CRC detects corruption when verification is requested; the default
+    # read path matches stb_vorbis (reads and discards the CRC field)
     bad = bytearray(blob)
     bad[40] ^= 0xFF
     with pytest.raises(Exception):
-        list(iter_packets(bytes(bad)))
+        list(iter_packets(bytes(bad), verify_crc=True))
+
+
+def test_orphan_continuation_resync():
+    """A continuation whose starting page was lost must be discarded up to
+    the next packet boundary (stb's resync), not yielded as a bogus packet."""
+    big = bytes(range(256)) * 3          # 768 bytes -> lacing 255,255,255,3
+    tail = b"next-packet"
+    blob = pack_pages([(big, 0), (tail, 7)], max_segs_per_page=1,
+                      flush_after=(), bos_first=False)
+    # locate page boundaries and drop the FIRST page (the packet's start)
+    offs = []
+    off = 0
+    while off < len(blob):
+        nsegs = blob[off + 26]
+        offs.append(off)
+        off += 27 + nsegs + sum(blob[off + 27:off + 27 + nsegs])
+    dropped = blob[offs[1]:]
+    got = [p for p, _ in iter_packets(dropped)]
+    assert got == [tail]                 # orphan middle+end pages skipped
+    # orphan terminating mid-page with another packet on the SAME page:
+    # page0 = start of a 300-byte packet, page1 = its 45-byte tail + `tail`
+    p0 = build_page([bytes(255)], granule=(1 << 64) - 1, serial=1, seq=0)
+    p1 = build_page([bytes(45), tail], granule=9, serial=1, seq=1,
+                    continued=True)
+    got3 = [p for p, _ in iter_packets(p1)]   # p0 lost
+    assert got3 == [tail]
+    assert [p for p, _ in iter_packets(p0 + p1)] == [bytes(300), tail]
 
 
 def test_crc32_vector():
@@ -261,3 +290,40 @@ def test_loader_mislabeled_extension(tmp_path):
     path.write_bytes(_CORPUS["mono_short"])
     mono, _ = load_audio(str(path))
     assert mono.shape[0] > 0
+
+
+def test_loader_vorbis_named_mp3(tmp_path):
+    """Container magic must win over the extension: a vorbis file named .mp3
+    (common in scraped datasets) reaches the vorbis decoder, not load_mpeg."""
+    from whisper_tpu.audio.io import load_audio
+
+    path = tmp_path / "scraped.mp3"
+    path.write_bytes(_CORPUS["mono_short"])
+    mono, _ = load_audio(str(path))
+    assert mono.shape[0] > 0
+
+
+def test_loader_tolerates_stale_page_crc(tmp_path):
+    """stb_vorbis reads and discards page CRCs (stb_vorbis.c:1465); files
+    with stale CRCs (re-muxed streams, stream rips) must still decode."""
+    from whisper_tpu.audio.io import load_audio
+
+    blob = bytearray(_CORPUS["mono_short"])
+    # corrupt the CRC field of the LAST page (payload untouched)
+    offs, off = [], 0
+    while off < len(blob) and blob[off:off + 4] == b"OggS":
+        nsegs = blob[off + 26]
+        offs.append(off)
+        off += 27 + nsegs + sum(blob[off + 27:off + 27 + nsegs])
+    blob[offs[-1] + 22] ^= 0xFF
+    path = tmp_path / "stale_crc.ogg"
+    path.write_bytes(bytes(blob))
+    mono, _ = load_audio(str(path))
+    clean, rate = decode_ogg_vorbis(_CORPUS["mono_short"])
+    assert mono.shape[0] > 0
+    np.testing.assert_array_equal(
+        mono, load_audio(str(tmp_path / "stale_crc.ogg"))[0])
+    # and byte-identical to the clean file's load
+    path2 = tmp_path / "clean.ogg"
+    path2.write_bytes(_CORPUS["mono_short"])
+    np.testing.assert_array_equal(mono, load_audio(str(path2))[0])

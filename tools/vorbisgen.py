@@ -658,9 +658,25 @@ def case_begin_end(seed=6):
     return make_stream(setup, [0] * 8, seed=seed)
 
 
+def _count_continued_pages(blob: bytes) -> int:
+    """Walk the raw pages and count those with the continued-packet flag."""
+    off, n = 0, 0
+    while off + 27 <= len(blob) and blob[off:off + 4] == b"OggS":
+        nsegs = blob[off + 26]
+        lacing = blob[off + 27:off + 27 + nsegs]
+        n += bool(blob[off + 5] & 0x01)
+        off += 27 + nsegs + sum(lacing)
+    return n
+
+
 def case_spanning_pages(seed=7):
-    """Tiny page budget: packets split across pages (continued packets)."""
-    books = _base_books() + [_vq_book_type2(dims=8, nbits=4)]
+    """Tiny page budget: packets split across pages (continued packets).
+
+    A dims=2 value book makes each audio packet several hundred bytes
+    (>=2 lacing segments), and the 1-segment page budget forces every
+    multi-segment packet to straddle a page boundary — asserted below so
+    the case can't silently stop covering the continued-packet path."""
+    books = _base_books() + [_vq_book_type2(dims=2, nbits=4)]
     fl = _simple_floor()
     res = Residue(2, 0, 512, 64, 2, 3,
                   [[4, 4, -1, -1, -1, -1, -1, -1],
@@ -669,7 +685,9 @@ def case_spanning_pages(seed=7):
     setup = Setup(channels=1, rate=48000, bs0=1024, bs1=2048,
                   books=books, floors=[fl], residues=[res],
                   mappings=[mp], modes=[(0, 0)])
-    return make_stream(setup, [0] * 6, seed=seed, max_segs_per_page=2)
+    blob = make_stream(setup, [0] * 6, seed=seed, max_segs_per_page=1)
+    assert _count_continued_pages(blob) >= 3, "case lost its continued pages"
+    return blob
 
 
 def case_trimmed_end(seed=8):

@@ -86,6 +86,23 @@ def load_wav(path: str, stereo: bool = False) -> tuple[np.ndarray, np.ndarray | 
     return mono.astype(np.float32), st
 
 
+def _finish_decoded(data: np.ndarray, sr: int, stereo: bool
+                    ) -> tuple[np.ndarray, np.ndarray | None]:
+    """Shared downmix/split + resample tail for the (n, ch) decoders
+    (flac/mpeg/vorbis), matching load_wav's contract."""
+    n_ch = data.shape[1]
+    if n_ch == 1:
+        mono = data[:, 0]
+        st = np.stack([mono, mono], axis=1) if stereo else None
+    else:
+        mono = data.mean(axis=1).astype(np.float32)
+        st = data[:, :2] if stereo else None
+    mono = resample_ma(mono, sr, SAMPLE_RATE)
+    if st is not None:
+        st = resample_ma(st, sr, SAMPLE_RATE)
+    return mono.astype(np.float32), st
+
+
 def load_flac(path: str, stereo: bool = False) -> tuple[np.ndarray, np.ndarray | None]:
     """Read a FLAC file -> (mono f32 @16 kHz, optional (n, 2) stereo f32),
     same contract as load_wav.  Uses the native decoder when built, the
@@ -100,18 +117,7 @@ def load_flac(path: str, stereo: bool = False) -> tuple[np.ndarray, np.ndarray |
     if decoded is None:
         decoded = decode_flac(raw)
     pcm, sr, bits = decoded
-    data = pcm_to_f32(pcm, bits)
-    n_ch = data.shape[1]
-    if n_ch == 1:
-        mono = data[:, 0]
-        st = np.stack([mono, mono], axis=1) if stereo else None
-    else:
-        mono = data.mean(axis=1).astype(np.float32)
-        st = data[:, :2] if stereo else None
-    mono = resample_ma(mono, sr, SAMPLE_RATE)
-    if st is not None:
-        st = resample_ma(st, sr, SAMPLE_RATE)
-    return mono.astype(np.float32), st
+    return _finish_decoded(pcm_to_f32(pcm, bits), sr, stereo)
 
 
 def load_mpeg(path: str, stereo: bool = False) -> tuple[np.ndarray, np.ndarray | None]:
@@ -130,17 +136,7 @@ def load_mpeg(path: str, stereo: bool = False) -> tuple[np.ndarray, np.ndarray |
     if decoded is None:
         decoded = decode_mp3(raw)
     data, sr = decoded
-    n_ch = data.shape[1]
-    if n_ch == 1:
-        mono = data[:, 0]
-        st = np.stack([mono, mono], axis=1) if stereo else None
-    else:
-        mono = data.mean(axis=1).astype(np.float32)
-        st = data[:, :2] if stereo else None
-    mono = resample_ma(mono, sr, SAMPLE_RATE)
-    if st is not None:
-        st = resample_ma(st, sr, SAMPLE_RATE)
-    return mono.astype(np.float32), st
+    return _finish_decoded(data, sr, stereo)
 
 
 def load_vorbis(path: str, stereo: bool = False) -> tuple[np.ndarray, np.ndarray | None]:
@@ -151,17 +147,7 @@ def load_vorbis(path: str, stereo: bool = False) -> tuple[np.ndarray, np.ndarray
     with open(path, "rb") as f:
         raw = f.read()
     data, sr = decode_ogg_vorbis(raw)
-    n_ch = data.shape[1]
-    if n_ch == 1:
-        mono = data[:, 0]
-        st = np.stack([mono, mono], axis=1) if stereo else None
-    else:
-        mono = data.mean(axis=1).astype(np.float32)
-        st = data[:, :2] if stereo else None
-    mono = resample_ma(mono, sr, SAMPLE_RATE)
-    if st is not None:
-        st = resample_ma(st, sr, SAMPLE_RATE)
-    return mono.astype(np.float32), st
+    return _finish_decoded(data, sr, stereo)
 
 
 def load_audio(path: str, stereo: bool = False) -> tuple[np.ndarray, np.ndarray | None]:
@@ -173,22 +159,34 @@ def load_audio(path: str, stereo: bool = False) -> tuple[np.ndarray, np.ndarray 
         except wave.Error:
             pass  # mislabeled container; try content sniffing below
     with open(path, "rb") as f:
-        magic = f.read(4)
-    if magic == b"fLaC":
-        return load_flac(path, stereo=stereo)
-    from .mp3 import is_mpeg_audio
-
-    with open(path, "rb") as f:
         head = f.read(64 * 1024)
-    if ext in (".mp3", ".mp2", ".mp1") or is_mpeg_audio(head):
-        return load_mpeg(path, stereo=stereo)
-    if magic == b"OggS":
-        from .vorbis import is_ogg_vorbis
+    magic = head[:4]
+    # route by container magic BEFORE the extension/content MPEG sniff, so a
+    # vorbis/flac file named .mp3 (or whose high-entropy payload false-positives
+    # the MPEG sync-chain scan) reaches its real decoder
+    decode_err: Exception | None = None
+    try:
+        if magic == b"fLaC":
+            return load_flac(path, stereo=stereo)
+        if magic == b"OggS":
+            from .vorbis import is_ogg_vorbis
 
-        if is_ogg_vorbis(head):
-            return load_vorbis(path, stereo=stereo)
-        # non-vorbis ogg (e.g. opus): fall through to the ffmpeg fallback
+            if is_ogg_vorbis(head):
+                return load_vorbis(path, stereo=stereo)
+            # non-vorbis ogg (e.g. opus): fall through to the ffmpeg fallback
+        else:
+            from .mp3 import is_mpeg_audio
+
+            if ext in (".mp3", ".mp2", ".mp1") or is_mpeg_audio(head):
+                return load_mpeg(path, stereo=stereo)
+    except Exception as e:
+        # the native decoder rejected the file (corrupt/unsupported stream):
+        # prefer the ffmpeg fallback when present, else surface the precise
+        # decoder error rather than a generic "install ffmpeg"
+        decode_err = e
     if shutil.which("ffmpeg") is None:
+        if decode_err is not None:
+            raise decode_err
         raise RuntimeError(
             f"cannot decode '{path}': not a PCM wav and ffmpeg is not installed")
     with tempfile.NamedTemporaryFile(suffix=".wav", delete=False) as tmp:

@@ -68,9 +68,14 @@ class PacketInfo:
     page_seq: int            # sequence number of the completing page
 
 
-def _parse_page(data: bytes, off: int):
+def _parse_page(data: bytes, off: int, verify_crc: bool = False):
     """Parse one page at `off` -> (header_type, granule, seq, segments,
-    payload, next_off).  Raises OggError on malformed framing or bad CRC."""
+    payload, next_off).  Raises OggError on malformed framing.
+
+    CRC is verified only when `verify_crc` is set: the golden oracle
+    (stb_vorbis) reads and discards the CRC field (stb_vorbis.c
+    start_page_no_capturepattern), so slightly-damaged real-world files
+    still decode — and the read path skips the per-byte CRC cost."""
     if data[off:off + 4] != b"OggS":
         raise OggError(f"missing capture pattern at {off}")
     if off + 27 > len(data):
@@ -92,15 +97,16 @@ def _parse_page(data: bytes, off: int):
     next_off = lace_end + body_len
     if next_off > len(data):
         raise OggError("truncated page body")
-    page = bytearray(data[off:next_off])
-    page[22:26] = b"\x00\x00\x00\x00"
-    if crc32_ogg(bytes(page)) != crc:
-        raise OggError(f"page {seq}: CRC mismatch")
+    if verify_crc:
+        page = bytearray(data[off:next_off])
+        page[22:26] = b"\x00\x00\x00\x00"
+        if crc32_ogg(bytes(page)) != crc:
+            raise OggError(f"page {seq}: CRC mismatch")
     payload = data[lace_end:next_off]
     return header_type, granule, seq, lacing, payload, next_off
 
 
-def iter_packets(data: bytes):
+def iter_packets(data: bytes, verify_crc: bool = False):
     """Yield (packet_bytes, PacketInfo) for every complete packet, in order."""
     off = 0
     partial = bytearray()
@@ -109,23 +115,31 @@ def iter_packets(data: bytes):
         # tolerate trailing garbage only if no capture pattern (e.g. ID3 tail)
         if data[off:off + 4] != b"OggS":
             break
-        header_type, granule, seq, lacing, payload, off = _parse_page(data, off)
+        header_type, granule, seq, lacing, payload, off = _parse_page(
+            data, off, verify_crc=verify_crc)
         continued = bool(header_type & 0x01)
         is_last = bool(header_type & 0x04)
         if not continued and have_partial:
             # lost continuation: drop the partial packet (stb resyncs the same way)
             partial = bytearray()
             have_partial = False
+        start = 0
         if continued and not have_partial:
-            # continuation of a packet we never started: skip its segments
-            pass
+            # continuation of a packet we never started (its earlier pages were
+            # lost): discard segments up to the orphan's terminating lacing,
+            # like stb's resync to the next packet boundary
+            term = next((i for i, lv in enumerate(lacing) if lv < 255), None)
+            if term is None:
+                continue  # the whole page is the orphan's middle; stay unsynced
+            start = term + 1
         # find the last lacing index that completes a packet on this page
         last_completing = -1
         for i, lv in enumerate(lacing):
             if lv < 255:
                 last_completing = i
-        pos = 0
-        for i, lv in enumerate(lacing):
+        pos = sum(lacing[:start])
+        for i in range(start, len(lacing)):
+            lv = lacing[i]
             partial += payload[pos:pos + lv]
             have_partial = True
             pos += lv

@@ -544,6 +544,10 @@ class _Residue:
         self.classbook = r.read(8)
         if self.classbook >= len(codebooks):
             raise VorbisError("residue classbook out of range")
+        if codebooks[self.classbook].dims <= 0:
+            # a dims=0/entries=0 book is a legal *unused* book; referencing it
+            # as a classbook would divide/step by zero in decode
+            raise VorbisError("residue classbook has zero dimensions")
         cascade = []
         for _ in range(self.classifications):
             low = r.read(3)
@@ -557,6 +561,8 @@ class _Residue:
                     b = r.read(8)
                     if b >= len(codebooks):
                         raise VorbisError("residue book out of range")
+                    if codebooks[b].dims <= 0:
+                        raise VorbisError("residue value book has zero dimensions")
                     row.append(b)
                 else:
                     row.append(-1)
