@@ -204,77 +204,120 @@ _HUFF, _COUNT1 = _build_huff()
 
 
 # ---------------------------------------------------------------------------
-# Layer III: side info
+# Layer III: side info (ISO 11172-3 §2.4.1.7 field layout, §2.4.2.7
+# semantics; MPEG-2 LSF differences per ISO 13818-3 §2.4.1.7)
 
 class _GrInfo:
     __slots__ = ("sfbtab", "part_23_length", "big_values", "global_gain",
                  "scalefac_compress", "block_type", "mixed_block_flag",
-                 "n_long_sfb", "n_short_sfb", "table_select", "region_count",
+                 "n_long_sfb", "n_short_sfb", "regions",
                  "subblock_gain", "preflag", "scalefac_scale", "count1_table",
                  "scfsi")
 
 
+def _leaked_scfsi(priv: int, mono: bool, ch: int):
+    """Granule-0 'scfsi' (oracle-parity quirk).
+
+    Granule 0 has no earlier granule to copy scalefactors from, so its
+    scfsi is undefined by the spec.  The reference's vendored decoder
+    shifts the side info's private bits through the same register it
+    holds scfsi in, and they leak into granule 0's scfsi groups: for
+    mono, the top private bit lands on group 3; for stereo, the three
+    private bits land on channel 1's groups 1..3.  A set bit makes
+    granule 0 copy from the (zero-initialised) scalefactor store instead
+    of reading bits, changing all subsequent bit positions.  Mirrored
+    here because the goldens pin s16 parity with that decoder on
+    arbitrary bitstreams (any set private bit is encoder garbage either
+    way — the spec defines none)."""
+    if mono:
+        return [0, 0, 0, (priv >> 4) & 1]
+    if ch == 1:
+        return [0, (priv >> 2) & 1, (priv >> 1) & 1, priv & 1]
+    return [0, 0, 0, 0]
+
+
 def _read_side_info(bits: _Bits, h):
-    sr_idx = _my_sr_index(h)
-    sr_idx -= (sr_idx != 0)
-    mono = (h[3] & 0xC0) == 0xC0
     mpeg1 = _hdr_mpeg1(h)
-    gr_count = (1 if mono else 2) * (2 if mpeg1 else 1)
+    mono = (h[3] & 0xC0) == 0xC0
+    nch = 1 if mono else 2
+    # 11.025 and 12 kHz share scalefactor-band tables (8 rows for 9 rates)
+    sfb_row = max(_my_sr_index(h) - 1, 0)
+
     if mpeg1:
         main_data_begin = bits.get(9)
-        scfsi = bits.get(7 + (2 if mono else 4))
+        priv = bits.get(5 if mono else 3)
+        # scfsi[ch][group 0..3]: granule 1 reuses granule 0's scalefactors
+        # for the groups whose bit is set (§2.4.2.7)
+        scfsi = [[bits.get1() for _ in range(4)] for _ in range(nch)]
+        n_granules = 2
     else:
-        nch = 1 if mono else 2
-        main_data_begin = bits.get(8 + nch) >> nch
-        scfsi = 0
+        main_data_begin = bits.get(8)
+        priv = bits.get(nch)
+        scfsi = [[0] * 4 for _ in range(nch)]
+        n_granules = 1
+
     grs = []
     part_23_sum = 0
-    for _ in range(gr_count):
-        if mono:
-            scfsi = (scfsi << 4) & 0xFFFF
-        gr = _GrInfo()
-        gr.part_23_length = bits.get(12)
-        part_23_sum += gr.part_23_length
-        gr.big_values = bits.get(9)
-        if gr.big_values > 288:
-            raise Mp3Error("big_values > 288")
-        gr.global_gain = bits.get(8)
-        gr.scalefac_compress = bits.get(4 if mpeg1 else 9)
-        gr.sfbtab = T.SFB_LONG[sr_idx]
-        gr.n_long_sfb = 22
-        gr.n_short_sfb = 0
-        if bits.get(1):
-            gr.block_type = bits.get(2)
-            if gr.block_type == 0:
-                raise Mp3Error("block_type 0 with window switching")
-            gr.mixed_block_flag = bits.get(1)
-            gr.region_count = [7, 255, 255]
-            if gr.block_type == SHORT_BLOCK:
-                scfsi &= 0x0F0F
-                if not gr.mixed_block_flag:
-                    gr.region_count[0] = 8
-                    gr.sfbtab = T.SFB_SHORT[sr_idx]
-                    gr.n_long_sfb = 0
-                    gr.n_short_sfb = 39
-                else:
-                    gr.sfbtab = T.SFB_MIXED[sr_idx]
-                    gr.n_long_sfb = 8 if mpeg1 else 6
-                    gr.n_short_sfb = 30
-            tables = bits.get(10) << 5
-            gr.subblock_gain = [bits.get(3), bits.get(3), bits.get(3)]
-        else:
-            gr.block_type = 0
-            gr.mixed_block_flag = 0
-            tables = bits.get(15)
-            gr.region_count = [bits.get(4), bits.get(3), 255]
-            gr.subblock_gain = [0, 0, 0]
-        gr.table_select = [(tables >> 10) & 31, (tables >> 5) & 31, tables & 31]
-        gr.preflag = bits.get(1) if mpeg1 else int(gr.scalefac_compress >= 500)
-        gr.scalefac_scale = bits.get(1)
-        gr.count1_table = bits.get(1)
-        gr.scfsi = (scfsi >> 12) & 15
-        scfsi = (scfsi << 4) & 0xFFFF
-        grs.append(gr)
+    # scfsi is undefined for short blocks; like the reference's vendored
+    # decoder, a channel whose granule 0 is short-windowed also has its
+    # granule-1 scfsi ignored (there are no granule-0 long-block
+    # scalefactors to copy)
+    blocked = [False] * nch
+    for igr in range(n_granules):
+        for ch in range(nch):
+            gr = _GrInfo()
+            gr.part_23_length = bits.get(12)
+            part_23_sum += gr.part_23_length
+            gr.big_values = bits.get(9)
+            if gr.big_values > 288:    # §2.4.2.7: big_values <= 288
+                raise Mp3Error("big_values > 288")
+            gr.global_gain = bits.get(8)
+            gr.scalefac_compress = bits.get(4 if mpeg1 else 9)
+            gr.sfbtab = T.SFB_LONG[sfb_row]
+            gr.n_long_sfb = 22
+            gr.n_short_sfb = 0
+            use_scfsi = (scfsi[ch] if igr else
+                         _leaked_scfsi(priv, mono, ch))
+            if bits.get1():            # window_switching_flag
+                gr.block_type = bits.get(2)
+                if gr.block_type == 0:
+                    raise Mp3Error("block_type 0 with window switching")
+                gr.mixed_block_flag = bits.get1()
+                # window-switching frames fix region 0 at 8 bands (9 in
+                # the window-split counting of non-mixed short blocks)
+                # and region 1 runs to the end of the spectrum
+                region0_sfb = 8
+                if gr.block_type == SHORT_BLOCK:
+                    use_scfsi = [0] * 4
+                    if igr == 0:
+                        blocked[ch] = True
+                    if gr.mixed_block_flag:
+                        gr.sfbtab = T.SFB_MIXED[sfb_row]
+                        gr.n_long_sfb = 8 if mpeg1 else 6
+                        gr.n_short_sfb = 30
+                    else:
+                        region0_sfb = 9
+                        gr.sfbtab = T.SFB_SHORT[sfb_row]
+                        gr.n_long_sfb = 0
+                        gr.n_short_sfb = 39
+                tsel0, tsel1 = bits.get(5), bits.get(5)
+                gr.subblock_gain = [bits.get(3), bits.get(3), bits.get(3)]
+                gr.regions = ((tsel0, region0_sfb), (tsel1, 40), (0, 0))
+            else:
+                gr.block_type = 0
+                gr.mixed_block_flag = 0
+                tsel0, tsel1, tsel2 = bits.get(5), bits.get(5), bits.get(5)
+                r0 = bits.get(4) + 1   # region0_count+1 bands (§2.4.2.7)
+                r1 = bits.get(3) + 1
+                gr.subblock_gain = [0, 0, 0]
+                gr.regions = ((tsel0, r0), (tsel1, r1), (tsel2, 40))
+            gr.scfsi = [0] * 4 if blocked[ch] else use_scfsi
+            # LSF transmits no preflag bit; pretab application is decided
+            # during scalefactor decode (see _decode_scalefactors)
+            gr.preflag = bits.get1() if mpeg1 else 0
+            gr.scalefac_scale = bits.get1()
+            gr.count1_table = bits.get1()
+            grs.append(gr)
     if part_23_sum + bits.pos > bits.limit + main_data_begin * 8:
         raise Mp3Error("part_23 overflow")
     return grs, main_data_begin
@@ -283,63 +326,96 @@ def _read_side_info(bits: _Bits, h):
 # ---------------------------------------------------------------------------
 # Layer III: scalefactors
 
-def _read_scalefactors(bits: _Bits, scf_size, scf_count, ist_pos, scfsi):
-    """-> iscf ints (40,); updates ist_pos in place (it doubles as the scfsi
-    copy source and the intensity-position store, ISO 11172-3 §2.4.2.7)."""
+# ISO 11172-3 Table B.8: scalefac_compress -> (slen1, slen2).  slen1 codes
+# scalefactor groups 0-1 (sfb 0-10 long), slen2 groups 2-3 (sfb 11-20).
+_SLEN_L3 = ((0, 0), (0, 1), (0, 2), (0, 3), (3, 0), (1, 1), (1, 2), (1, 3),
+            (2, 1), (2, 2), (2, 3), (3, 1), (3, 2), (3, 3), (4, 2), (4, 3))
+
+
+def _lsf_slens(sfc: int, intensity: bool):
+    """ISO 13818-3 §2.4.3.2: decompose the 9-bit LSF scalefac_compress
+    into four code lengths + the partition block (0..2) selecting the
+    per-group scalefactor counts.  The intensity scheme applies to the
+    right channel of an intensity-stereo frame (sfc pre-shifted by 1;
+    the dropped bit is intensity_scale)."""
+    if intensity:
+        if sfc < 180:
+            return (sfc // 36, (sfc % 36) // 6, sfc % 6, 0), 0
+        if sfc < 244:
+            sfc -= 180
+            return (sfc // 16, (sfc // 4) % 4, sfc % 4, 0), 1
+        sfc -= 244
+        return (sfc // 3, sfc % 3, 0, 0), 2
+    if sfc < 400:
+        return ((sfc // 16) // 5, (sfc // 16) % 5, (sfc % 16) // 4, sfc % 4), 0
+    if sfc < 500:
+        sfc -= 400
+        return ((sfc // 4) // 5, (sfc // 4) % 5, sfc % 4, 0), 1
+    sfc -= 500
+    return (sfc // 3, sfc % 3, 0, 0), 2
+
+
+def _read_scf_codes(bits: _Bits, slens, counts, ist_pos, copy, sentinel):
+    """Walk the four scalefactor groups: read `slen`-bit codes, or (MPEG-1
+    scfsi) copy the channel's stored granule-0 codes.  -> iscf ints (40,).
+
+    ist_pos persists per channel: it stores the raw codes because the
+    right channel's scalefactors ARE the intensity positions
+    (§2.4.3.4.9.3) and scfsi copies granule-0 values out of it again.
+    Under LSF (`sentinel`), an all-ones code marks the 'illegal intensity
+    position' and is stored as 255 (13818-3 §2.4.3.4.9.3)."""
     iscf = np.zeros(40, dtype=np.int64)
     k = 0
-    for i in range(4):
-        cnt = scf_count[i]
+    for slen, cnt, cp in zip(slens, counts, copy):
         if cnt == 0:
             break
-        if scfsi >= 0 and (scfsi & 8):
+        if cp:
             iscf[k:k + cnt] = ist_pos[k:k + cnt]
+        elif slen == 0:
+            ist_pos[k:k + cnt] = 0
         else:
-            b = scf_size[i]
-            if b == 0:
-                ist_pos[k:k + cnt] = 0
-            else:
-                max_scf = (1 << b) - 1 if scfsi < 0 else -1
-                for j in range(cnt):
-                    s = bits.get(b)
-                    ist_pos[k + j] = 255 if s == max_scf else s
-                    iscf[k + j] = s
+            top = (1 << slen) - 1
+            for j in range(k, k + cnt):
+                s = bits.get(slen)
+                iscf[j] = s
+                ist_pos[j] = 255 if (sentinel and s == top) else s
         k += cnt
-        scfsi *= 2
     return iscf
 
 
 def _decode_scalefactors(h, ist_pos, bits, gr: _GrInfo, ch: int):
+    # partition rows are [long, mixed, short]; counts per group come from
+    # ISO 11172-3 §2.4.2.7 (MPEG-1) / 13818-3 Table B.2-style nr_of_sfb
     part_row = T.SCF_PARTITIONS[
         (1 if gr.n_short_sfb else 0) + (1 if not gr.n_long_sfb else 0)]
     scf_shift = gr.scalefac_scale + 1
-    scfsi = gr.scfsi
+    preflag = gr.preflag
     if _hdr_mpeg1(h):
-        part = T.SCFC_DECODE[gr.scalefac_compress]
-        scf_size = [part >> 2, part >> 2, part & 3, part & 3]
-        scf_count = part_row[0:4]
+        s1, s2 = _SLEN_L3[gr.scalefac_compress]
+        slens = (s1, s1, s2, s2)
+        counts = part_row[0:4]
+        iscf = _read_scf_codes(bits, slens, counts, ist_pos,
+                               gr.scfsi, sentinel=False)
     else:
-        ist = 1 if (h[3] & 0x10) and ch else 0
-        sfc = gr.scalefac_compress >> ist
-        k = ist * 3 * 4
-        scf_size = [0, 0, 0, 0]
-        while sfc >= 0:
-            modprod = 1
-            for i in range(3, -1, -1):
-                scf_size[i] = (sfc // modprod) % T.LSF_MOD[k + i]
-                modprod *= T.LSF_MOD[k + i]
-            sfc -= modprod
-            k += 4
-        scf_count = part_row[k:k + 4]
-        scfsi = -16
-    iscf = _read_scalefactors(bits, scf_size, scf_count, ist_pos, scfsi)
+        ist = bool(h[3] & 0x10) and ch == 1
+        slens, block = _lsf_slens(gr.scalefac_compress >> int(ist), ist)
+        # partition rows: [mpeg1, lsf block 0-2, lsf-intensity block 0-2]
+        base = (1 + 3 * int(ist) + block) * 4
+        counts = part_row[base:base + 4]
+        iscf = _read_scf_codes(bits, slens, counts, ist_pos,
+                               (0, 0, 0, 0), sentinel=True)
+        # 13818-3 applies pretab in the third non-intensity partition
+        # block (scalefac_compress >= 500); the reference's vendored
+        # decoder tests the RAW value, which also catches the intensity
+        # channel at raw >= 500 — mirrored for golden parity
+        preflag = gr.scalefac_compress >= 500
     if gr.n_short_sfb:
         sh = 3 - scf_shift
-        for i in range(0, gr.n_short_sfb, 3):
-            iscf[gr.n_long_sfb + i + 0] += gr.subblock_gain[0] << sh
-            iscf[gr.n_long_sfb + i + 1] += gr.subblock_gain[1] << sh
-            iscf[gr.n_long_sfb + i + 2] += gr.subblock_gain[2] << sh
-    elif gr.preflag:
+        for i in range(gr.n_long_sfb, gr.n_long_sfb + gr.n_short_sfb, 3):
+            iscf[i + 0] += gr.subblock_gain[0] << sh
+            iscf[i + 1] += gr.subblock_gain[1] << sh
+            iscf[i + 2] += gr.subblock_gain[2] << sh
+    elif preflag:
         iscf[11:21] += np.asarray(T.PREAMP, dtype=np.int64)
     return iscf
 
@@ -357,14 +433,14 @@ def _huffman_decode(bits: _Bits, gr: _GrInfo, limit: int):
     sfb_i = 0
     big_pairs = gr.big_values
 
-    for ireg in range(3):
+    # big_values region: §2.4.2.7 splits the spectrum into three regions,
+    # each with its own codebook, sized in scalefactor bands
+    for tab_num, region_sfbs in gr.regions:
         if big_pairs <= 0:
             break
-        tab_num = gr.table_select[ireg]
-        sfb_cnt = gr.region_count[ireg]
         table = _HUFF.get(tab_num)
         linbits = T.LINBITS[tab_num]
-        while True:
+        for _ in range(region_sfbs):
             np_pairs = widths[sfb_i] // 2
             sfb_i += 1
             decode = min(big_pairs, np_pairs)
@@ -382,7 +458,12 @@ def _huffman_decode(bits: _Bits, gr: _GrInfo, limit: int):
                             x, y = hit
                             break
                         if length > 24:
-                            raise Mp3Error("bad huffman code")
+                            # over-long codeword (unreachable with the
+                            # canonical tables): abandon the granule's
+                            # remaining data but keep what decoded, the
+                            # same recovery the reference applies
+                            bits.pos = limit
+                            return vals, neg
                 for v in (x, y):
                     if v == 15 and linbits:
                         v += bits.get(linbits)
@@ -391,8 +472,7 @@ def _huffman_decode(bits: _Bits, gr: _GrInfo, limit: int):
                     vals[pos] = v
                     pos += 1
             big_pairs -= np_pairs
-            sfb_cnt -= 1
-            if not (big_pairs > 0 and sfb_cnt >= 0):
+            if big_pairs <= 0:
                 break
 
     # count1 region: quads until the part_23 limit (a quad decoded across
@@ -624,13 +704,49 @@ class _Synth:
 
 
 # ---------------------------------------------------------------------------
-# Layer I/II
+# Layer I/II (ISO 11172-3 §2.4.2.5-2.4.2.6 bit allocation + scalefactors,
+# §2.4.3.3 requantization; class/width data from Annex B Tables 3-B.2/3-B.4)
 
 _L12_DEQ_BASE = (2.0 ** -20, 2.0 ** -20 * 2.0 ** (-1.0 / 3.0),
                  2.0 ** -20 * 2.0 ** (-2.0 / 3.0))
 
+# quantization-class codes (the values in L12_BITALLOC_CODES): 0 = band not
+# transmitted; 1..16 = ungrouped, code-length == class, (1<<c)-1 steps;
+# 17..19 = the grouped classes where ONE code word carries 3 consecutive
+# samples in base-`steps` digits (ISO §2.4.3.3.3): {class: (steps, bits)}
+_L12_GROUPED = {17: (3, 5), 18: (5, 7), 19: (9, 10)}
+
+# ISO 11172-3 §2.4.2.6 scfsi -> which of the three 12-sample parts carry a
+# transmitted scalefactor (an unset part reuses the last one read):
+# 0 = all three; 1 = parts 0 and 2 (1 copies 0); 2 = one for all three;
+# 3 = parts 0 and 1 (2 copies 1)
+_L12_SCF_READ = ((1, 1, 1), (1, 0, 1), (1, 0, 0), (1, 1, 0))
+
+
+def _l12_steps(cls: int) -> int:
+    return _L12_GROUPED[cls][0] if cls >= 17 else (1 << cls) - 1
+
+
+def _l12_scale(cls: int, idx: int) -> float:
+    """scalefactor(idx) / steps, with scalefactor(idx) = 2^(2 - idx/3).
+
+    ISO Table 3-B.1 defines scalefactor(idx) = 2^(1 - idx/3); the extra
+    x2 is this decoder's synthesis-gain convention — the polyphase stage
+    carries the plain ISO-D window gain, half the reference's
+    window-folded gain (Layer III compensates in _requantize, gg-210 vs
+    gg-214).  Computed as an exact power-of-two shift times a 3-entry
+    cube-root table so the native twin reproduces it bit-for-bit."""
+    return (2.0 * _L12_DEQ_BASE[idx % 3] / _l12_steps(cls)
+            * float(1 << 21 >> (idx // 3)))
+
 
 def _l12_subband_alloc(h):
+    """Pick the bit-allocation table + band counts (ISO 11172-3 §2.4.2.5:
+    Layer I uses the uniform 4-bit table; Layer II selects among Annex B
+    Tables 3-B.2a-d by sampling rate and per-channel bitrate; MPEG-2 LSF
+    Layer II uses the single 13818-3 Table B.1).  Joint stereo shares
+    sample data above `stereo_bands` = 4*(mode_extension+1) subbands
+    (§2.4.2.3 bound)."""
     mode = (h[3] >> 6) & 3
     mode_ext = (h[3] >> 4) & 3
     stereo_bands = 0 if mode == MODE_MONO else (
@@ -642,7 +758,7 @@ def _l12_subband_alloc(h):
     else:
         sr = (h[2] >> 2) & 3
         kbps = _hdr_bitrate_kbps(h) >> int(mode != MODE_MONO)
-        if not kbps:
+        if not kbps:        # free format: treated as the high-rate table
             kbps = 192
         alloc, nbands = T.L12_ALLOC_L2M1, 27
         if kbps < 56:
@@ -653,75 +769,89 @@ def _l12_subband_alloc(h):
 
 
 def _l12_read_scale_info(h, bits: _Bits):
+    """-> (classes (bands, 2) int, scf (bands, 2, 3) float, total_bands,
+    stereo_bands).  classes[:, 1] is zeroed above stereo_bands (those
+    bands share channel-0 samples; see _l12_apply_scf) and everywhere for
+    mono.  Bit order: allocation (ch0[, ch1] per band), then scfsi per
+    transmitted band/channel, then 6-bit scalefactor indices."""
     alloc, total_bands, stereo_bands = _l12_subband_alloc(h)
-    bitalloc = np.zeros(64, dtype=np.int64)
-    k = 0
-    seg = 0
-    ba_bits = 0
-    tab_off = 0
-    for i in range(total_bands):
-        if i == k:
-            tab_off, ba_bits, cnt = alloc[seg]
-            k += cnt
+    layer1 = _hdr_layer(h) == 1
+
+    classes = np.zeros((total_bands, 2), dtype=np.int64)
+    next_seg = seg = 0
+    tab_off = nbal = 0
+    for sb in range(total_bands):
+        if sb == next_seg:              # advance to the next (nbal, codes) run
+            tab_off, nbal, cnt = alloc[seg]
+            next_seg += cnt
             seg += 1
-        ba = T.L12_BITALLOC_CODES[tab_off + bits.get(ba_bits)]
-        bitalloc[2 * i] = ba
-        if i < stereo_bands:
-            ba = T.L12_BITALLOC_CODES[tab_off + bits.get(ba_bits)]
-        bitalloc[2 * i + 1] = ba if stereo_bands else 0
-    scfcod = np.zeros(64, dtype=np.int64)
-    for i in range(2 * total_bands):
-        scfcod[i] = (2 if _hdr_layer(h) == 1 else bits.get(2)) if bitalloc[i] else 6
-    scf = np.zeros(3 * 64)
-    for i in range(2 * total_bands):
-        ba = int(bitalloc[i])
-        mask = (4 + ((19 >> scfcod[i]) & 3)) if ba else 0
-        s = 0.0
-        m = 4
-        for j in range(3):
-            if mask & m:
-                b = bits.get(6)
-                levels = ((1 << ba) - 1) if ba < 17 else (3, 5, 9)[ba - 17]
-                # x2: this decoder's synthesis stage carries the plain ISO-D
-                # gain, half the reference's window-folded gain; Layer III
-                # compensates in _requantize (gg-210 vs the reference's
-                # gg-214), Layer I/II compensate here.
-                s = 2.0 * _L12_DEQ_BASE[b % 3] / levels * float(1 << 21 >> (b // 3))
-            scf[3 * i + j] = s
-            m >>= 1
-    bitalloc[2 * np.arange(stereo_bands, total_bands) + 1] = 0
-    return bitalloc, scf, total_bands, stereo_bands
+        c = T.L12_BITALLOC_CODES[tab_off + bits.get(nbal)]
+        classes[sb, 0] = c
+        if sb < stereo_bands:
+            c = T.L12_BITALLOC_CODES[tab_off + bits.get(nbal)]
+        classes[sb, 1] = c if stereo_bands else 0
+
+    # Layer I has one scalefactor per band (pattern 2 = first part only,
+    # held for the whole frame); Layer II transmits scfsi per band/channel
+    scfsi = np.zeros((total_bands, 2), dtype=np.int64)
+    for sb in range(total_bands):
+        for ch in range(2):
+            if classes[sb, ch]:
+                scfsi[sb, ch] = 2 if layer1 else bits.get(2)
+
+    scf = np.zeros((total_bands, 2, 3))
+    for sb in range(total_bands):
+        for ch in range(2):
+            cls = int(classes[sb, ch])
+            if not cls:
+                continue
+            s = 0.0
+            for part, rd in enumerate(_L12_SCF_READ[scfsi[sb, ch]]):
+                if rd:
+                    s = _l12_scale(cls, bits.get(6))
+                scf[sb, ch, part] = s
+
+    classes[stereo_bands:, 1] = 0
+    return classes, scf, total_bands, stereo_bands
 
 
-def _l12_dequantize_granule(grbuf, slot_off, bits: _Bits, bitalloc,
-                            total_bands, group_size):
+def _l12_dequantize_granule(grbuf, slot_off, bits: _Bits, classes,
+                            group_size):
+    """Read one granule group — 4 granules of `group_size` samples per
+    transmitted band/channel (group_size 1 = Layer I, 3 = Layer II) —
+    centering codes to signed integers; grouped classes unpack one code
+    word into base-`steps` digits (ISO §2.4.3.3)."""
+    total_bands = classes.shape[0]
     for j in range(4):
-        for i in range(2 * total_bands):
-            ba = int(bitalloc[i])
-            ch, band = i & 1, i >> 1
-            base = band * 18 + slot_off + group_size * j
-            if ba:
-                if ba < 17:
-                    half = (1 << (ba - 1)) - 1
+        off = slot_off + group_size * j
+        for sb in range(total_bands):
+            base = sb * 18 + off
+            for ch in range(2):
+                cls = int(classes[sb, ch])
+                if not cls:
+                    continue
+                if cls < 17:
+                    half = (1 << (cls - 1)) - 1
                     for k in range(group_size):
-                        grbuf[ch, base + k] = float(bits.get(ba) - half)
+                        grbuf[ch, base + k] = float(bits.get(cls) - half)
                 else:
-                    mod = (2 << (ba - 17)) + 1
-                    code = bits.get(mod + 2 - (mod >> 3))
+                    steps, nbits = _L12_GROUPED[cls]
+                    code = bits.get(nbits)
                     for k in range(group_size):
-                        grbuf[ch, base + k] = float(code % mod - mod // 2)
-                        code //= mod
+                        grbuf[ch, base + k] = float(code % steps
+                                                    - steps // 2)
+                        code //= steps
     return group_size * 4
 
 
-def _l12_apply_scf(grbuf, scf, igr, total_bands, stereo_bands):
+def _l12_apply_scf(grbuf, scf, part, total_bands, stereo_bands):
     # bands >= stereo_bands carry shared samples but separate scalefactors
     for b in range(stereo_bands, total_bands):
         grbuf[1, b * 18:b * 18 + 12] = grbuf[0, b * 18:b * 18 + 12]
     for b in range(total_bands):
         sl = slice(b * 18, b * 18 + 12)
-        grbuf[0, sl] *= scf[6 * b + igr]
-        grbuf[1, sl] *= scf[6 * b + 3 + igr]
+        grbuf[0, sl] *= scf[b, 0, part]
+        grbuf[1, sl] *= scf[b, 1, part]
 
 
 # ---------------------------------------------------------------------------
@@ -729,11 +859,14 @@ def _l12_apply_scf(grbuf, scf, igr, total_bands, stereo_bands):
 
 def _match_frame(data, off, frame_bytes) -> bool:
     i = 0
-    for _ in range(FRAME_SYNC_MATCHES):
+    for nmatch in range(FRAME_SYNC_MATCHES):
         h = data[off + i:off + i + 4]
         i += _hdr_frame_bytes(h, frame_bytes) + _hdr_padding(h)
         if off + i + 4 > len(data):
-            return True
+            # ran off the buffer: a candidate is accepted only if at least
+            # one follow-up header already matched (the reference rejects a
+            # first frame whose successor lies beyond the data)
+            return nmatch > 0
         if not _hdr_compare(data[off:off + 4], data[off + i:off + i + 4]):
             return False
     return True
@@ -813,6 +946,12 @@ class Mp3Decoder:
             except Mp3Error:
                 self._reset()
                 return None, consumed, hz, nch
+            if bits.pos > bits.limit:
+                # frame too small to hold its own side info (reachable via
+                # tiny free-format frames): drop it without touching the
+                # bit reservoir, as the native twin does
+                self._reset()
+                return None, consumed, hz, nch
             pcm = self._decode_l3(h, bits, grs, main_data_begin, nch)
         else:
             try:
@@ -878,7 +1017,7 @@ class Mp3Decoder:
     # -- layer I/II ---------------------------------------------------------
 
     def _decode_l12(self, h, bits: _Bits, layer, nch):
-        bitalloc, scf, total_bands, stereo_bands = _l12_read_scale_info(h, bits)
+        classes, scf, total_bands, stereo_bands = _l12_read_scale_info(h, bits)
         group_size = 1 if layer == 1 else 3
         grbuf = np.zeros((2, 576))
         out = np.zeros((_hdr_frame_samples(h), nch), dtype=np.int16)
@@ -886,7 +1025,7 @@ class Mp3Decoder:
         pcm_off = 0
         for igr in range(3):
             slot_off += _l12_dequantize_granule(
-                grbuf, slot_off, bits, bitalloc, total_bands, group_size)
+                grbuf, slot_off, bits, classes, group_size)
             if slot_off == 12:
                 _l12_apply_scf(grbuf, scf, igr, total_bands, stereo_bands)
                 for ch in range(nch):
