@@ -127,6 +127,33 @@ def test_sniffing_and_robustness():
     assert pcm2.shape[0] <= pcm0.shape[0]
 
 
+def test_resync_near_eof_rejects_unverifiable_tail():
+    """A sync candidate whose first follow-up header lies beyond the data
+    is rejected (the reference's frame matcher requires at least one
+    verified successor): garbage + one valid frame + 2 trailing bytes
+    decodes NOTHING, in both the Python and native decoders."""
+    from whisper_tpu.audio.native import decode_mp3_native
+
+    frame = mp3gen.gen_l3(seed=11, n_frames=1, mpeg=1, sr_idx=0,
+                          bitrate_idx=9, mode=mp3gen.MODE_MONO)
+    blob = b"\x00\x31garbage.\x00" + frame + b"\xff\xfb"
+    with pytest.raises(Mp3Error):
+        decode_mp3(blob)
+    nat_err = None
+    try:
+        nat = decode_mp3_native(blob)
+    except ValueError as e:
+        nat_err = e
+        nat = None
+    if nat is not None:
+        pytest.fail("native decoder accepted an unverifiable tail frame")
+    # a lone frame that IS the whole buffer stays decodable (the
+    # single-frame special case, not the resync walk)
+    pcm, hz = decode_mp3(frame)
+    assert pcm.shape[0] == 1152 and hz == 44100
+    assert nat_err is None or isinstance(nat_err, ValueError)
+
+
 def test_native_matches_python_bitwise():
     """The C++ decoder (native/wtpu_mp3.cpp) is a port of the same
     double-precision pipeline: outputs must be bitwise identical."""

@@ -222,6 +222,8 @@ def main() -> None:
         f.write("SFB_MIXED = [\n" + "".join(f"  {scf_mixed[i*40:(i+1)*40]},\n" for i in range(8)) + "]\n\n")
         f.write("# LSF scalefactor partition counts (3 groups x 28) + compress decode aids\n")
         f.write("SCF_PARTITIONS = [\n" + "".join(f"  {scf_partitions[i*28:(i+1)*28]},\n" for i in range(3)) + "]\n\n")
+        f.write("# repacked compress-decode aids: used only by the corpus ENCODER\n"
+                "# (tools/mp3gen.py); the decoder derives slens from Table B.8 itself\n")
         f.write(f"SCFC_DECODE = {scfc_decode}\n\n")
         f.write(f"LSF_MOD = {lsf_mod}\n\n")
         f.write(f"PREAMP = {preamp}\n\n")
@@ -287,8 +289,6 @@ def main() -> None:
         f.write(f"static const uint8_t WTPU_MP3_SCF_PART[3][28] = {{\n"
                 + "".join("  {" + ",".join(map(str, scf_partitions[i*28:(i+1)*28])) + "},\n" for i in range(3))
                 + "};\n")
-        f.write(f"static const uint8_t WTPU_MP3_SCFC_DECODE[16] = {{{','.join(map(str, scfc_decode))}}};\n")
-        f.write(f"static const uint8_t WTPU_MP3_LSF_MOD[24] = {{{','.join(map(str, lsf_mod))}}};\n")
         f.write(f"static const uint8_t WTPU_MP3_PREAMP[10] = {{{','.join(map(str, preamp))}}};\n\n")
         f.write(f"static const uint8_t WTPU_MP3_L12_BA_CODES[{len(bitalloc_code_tab)}] = "
                 f"{{{','.join(map(str, bitalloc_code_tab))}}};\n")
