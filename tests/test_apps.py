@@ -356,6 +356,28 @@ def test_server_batched_mode(model_path, jfk_wav_path):
         assert any(sig[8] == wt.SamplingStrategy.BEAM_SEARCH
                    for sig in srv_mod.STATE.batcher.engines), \
             "beam request did not reach a batch engine"
+
+        # auto-language request rides the batch engine too (round 5: a
+        # batched [sot] pre-pass detects per-stream languages; the server
+        # no longer shunts "auto" to serial) and verbose_json reports the
+        # DETECTED language, not a hardcoded default
+        auto_body = body.replace(
+            f"--{boundary}--".encode(),
+            (f"--{boundary}\r\nContent-Disposition: form-data; "
+             f'name="language"\r\n\r\nauto'
+             f"\r\n--{boundary}\r\nContent-Disposition: form-data; "
+             f'name="response_format"\r\n\r\nverbose_json'
+             f"\r\n--{boundary}--").encode())
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/inference", data=auto_body,
+            headers={"Content-Type":
+                     f'multipart/form-data; boundary="{boundary}"'})
+        with urllib.request.urlopen(req, timeout=300) as r:
+            doc = json.load(r)
+        assert "language" in doc and doc["language"]
+        assert any(sig[0] in (None, "", "auto")
+                   for sig in srv_mod.STATE.batcher.engines), \
+            "auto-language request did not reach a batch engine"
         httpd.shutdown()
     finally:
         srv_mod.STATE.batcher = None
@@ -380,6 +402,22 @@ def test_full_parallel_batched_matches_serial(ctx):
     assert ctx.full_parallel(p, pcm, n_processors=2) == 0
     batched = [(s.t0, s.t1, s.text) for s in ctx.result_all]
     assert batched == serial
+
+
+def test_full_parallel_auto_language_batched(ctx):
+    """language="auto" rides full_parallel's batched fast path: each chunk
+    detects its own language (as each reference thread does,
+    whisper_full_parallel -> whisper_full_with_state:5504), the context
+    lang id is chunk 0's, and params.language is written back resolved."""
+    p = wt.full_default_params()
+    p.print_progress = False
+    p.temperature_inc = 0.0
+    p.language = "auto"
+    pcm = _noise(6, seed=3)
+    assert ctx.full_parallel(p, pcm, n_processors=2) == 0
+    assert p.language not in (None, "", "auto")
+    assert ctx.full_lang_id() == __import__(
+        "whisper_tpu.languages", fromlist=["lang_id"]).lang_id(p.language)
 
 
 def test_stream_mic_capture_fallback(model_path, tmp_path, monkeypatch):

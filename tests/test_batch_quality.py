@@ -302,3 +302,47 @@ def test_beam_wider_than_batch_is_refused(ctx):
     p2.temperature_inc = 0.2
     with pytest.raises(ValueError, match="best_of"):
         BatchTranscriber(ctx, batch_size=2, params=p2)
+
+
+def test_auto_language_matches_serial(ctx):
+    """language="auto" rides the batch (round-5 verdict ask #3): a batched
+    [sot] pre-pass detects each stream's language (reference:
+    whisper_full_with_state:5504 -> whisper_lang_auto_detect:4027-4108)
+    and the rest of the window decode must match the serial path's
+    segments exactly — including the detected lang id."""
+    def mkparams():
+        p = wt.full_default_params()
+        p.print_progress = False
+        p.language = "auto"
+        return p
+
+    streams = [_noise(d, seed=500 + d) for d in (2, 3, 2.5)]
+    serial, serial_lids = [], []
+    for pcm in streams:
+        state = ctx.init_state()
+        prm = mkparams()
+        assert ctx.full(prm, pcm, state=state) == 0
+        serial.append(_segs(state.result_all))
+        serial_lids.append(state.full_lang_id())
+
+    bt = BatchTranscriber(ctx, batch_size=4, params=mkparams())
+    states = [bt._make_stream(pcm) for pcm in streams]
+    assert all(st.prompt_init is None for st in states)   # unresolved
+    bt._detect_languages(states, list(range(len(states))))
+    assert [st.full_lang_id() for st in states] == serial_lids
+    # and the real end-to-end path produces serial-identical segments
+    bt2 = BatchTranscriber(ctx, batch_size=4, params=mkparams())
+    batch = [_segs(segs) for segs in bt2.transcribe(streams)]
+    assert batch == serial
+
+
+def test_detect_language_only(ctx):
+    """params.detect_language: the batch path detects and stops, emitting
+    no segments (reference: whisper.cpp:5515 early return)."""
+    p = wt.full_default_params()
+    p.print_progress = False
+    p.language = "auto"
+    p.detect_language = True
+    bt = BatchTranscriber(ctx, batch_size=2, params=p)
+    results = bt.transcribe([_noise(2, seed=1), _noise(3, seed=2)])
+    assert results == [[], []]

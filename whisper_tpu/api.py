@@ -1101,7 +1101,6 @@ class WhisperContext:
                      and params.abort_callback is None
                      and params.strategy == SamplingStrategy.GREEDY
                      and not params.detect_language
-                     and params.language not in (None, "", "auto")
                      # token-level timestamps need the signal-energy /
                      # DTW passes that only the serial full() runs
                      and not params.token_timestamps
@@ -1176,6 +1175,13 @@ class WhisperContext:
         bt = BatchTranscriber(self, batch_size=n_processors,
                               params=chunk_params)
         results = bt.transcribe(chunks)
+        if bt.auto_lang and bt.last_states:
+            # each chunk detected its own language (as each reference
+            # thread does); the context-level lang id is chunk 0's, the
+            # state the reference merges results into (whisper.cpp:6450)
+            lid = bt.last_states[0].full_lang_id()
+            self.lang_id_state = lid
+            params.language = lang_str(lid)
 
         merged: list[Segment] = []
         for i, segs in enumerate(results):

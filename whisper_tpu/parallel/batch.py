@@ -24,7 +24,8 @@ from ..api import (FullParams, Segment, WhisperContext, WhisperState,
 from ..audio.mel import log_mel_spectrogram
 from ..constants import CHUNK_SIZE, TICKS_PER_SECOND
 from ..decode.filters import FilterOptions
-from ..languages import lang_id as _lang_id
+from ..languages import lang_id as _lang_id, lang_str
+from ..utils.logging import log_info
 
 DELTA_MIN = 10
 
@@ -71,6 +72,9 @@ class StreamState(WhisperState):
         self.seek = seek
         self.seek_end = seek_end
         self.done = False
+        # per-stream [sot, lang, task, ...] — None until the batched
+        # language pre-pass resolves an auto-language stream
+        self.prompt_init: list[int] | None = None
 
 
 class BatchTranscriber:
@@ -105,11 +109,15 @@ class BatchTranscriber:
             ctx.mesh = mesh   # _decode_window_fn pins explicit in_shardings
         self.params = params or full_default_params()
         p = self.params
-        if p.language in (None, "", "auto") or p.detect_language:
-            raise ValueError(
-                "batched transcription needs an explicit language "
-                "(per-stream auto-detect would desynchronize the batch)")
+        # language "auto" rides the batch: a batched [sot] pre-pass detects
+        # each stream's language and pins its per-row prompt lang token
+        # (reference parallel path runs detect per chunk the same way:
+        # whisper_full_parallel -> whisper_full_with_state:5504)
+        self.auto_lang = (p.language in (None, "", "auto")
+                          or p.detect_language)
         if p.grammar_rules is not None or p.logits_filter_callback:
+            # the ONE deliberate serial gate: grammar decoding is a
+            # host-coupled PDA between device steps
             raise ValueError(
                 "grammar / logits-filter decoding is host-looped — use the "
                 "serial ctx.full() path (the server routes this "
@@ -161,15 +169,24 @@ class BatchTranscriber:
         # finished windows awaiting the batched DTW cross-QK pass
         # (ctx.dtw_token_timestamps): (si, st, i_seg, n_new, seek, n_frames)
         self._dtw_jobs: list[tuple] = []
-        self.prompt_init = [ctx.vocab.token_sot]
+        # template prompt (pad rows, warmup, bucket sizing); auto-language
+        # streams get a per-row copy with the detected lang token — same
+        # length either way, so prompt bucketing is unaffected
+        self.prompt_init = self._prompt_init_for(
+            0 if self.auto_lang else _lang_id(p.language))
+
+    def _prompt_init_for(self, lang_id: int) -> list[int]:
+        """[sot, lang?, task?, not?] (reference: whisper.cpp:5627-5651)."""
+        ctx = self.ctx
+        p = self.params
+        prompt = [ctx.vocab.token_sot]
         if ctx.vocab.is_multilingual:
-            lid = _lang_id(p.language)
-            self.prompt_init.append(ctx.vocab.token_lang(lid))
-            self.prompt_init.append(
-                ctx.vocab.token_translate if p.translate
-                else ctx.vocab.token_transcribe)
+            prompt.append(ctx.vocab.token_lang(lang_id))
+            prompt.append(ctx.vocab.token_translate if p.translate
+                          else ctx.vocab.token_transcribe)
         if p.no_timestamps:
-            self.prompt_init.append(ctx.vocab.token_not)
+            prompt.append(ctx.vocab.token_not)
+        return prompt
 
     # -- jitted batched encode -------------------------------------------
 
@@ -219,9 +236,65 @@ class BatchTranscriber:
                              ctx.hparams.n_text_ctx // 2,
                              len(st.prompt_past))
                 prompt = [ctx.vocab.token_prev] + st.prompt_past[-n_take:]
-            prompts.append(prompt + self.prompt_init)
-            prompts_bare.append(list(self.prompt_init))
+            init = st.prompt_init if st.prompt_init is not None \
+                else self.prompt_init
+            prompts.append(prompt + init)
+            prompts_bare.append(list(init))
         return prompts, prompts_bare
+
+    # -- batched language auto-detect --------------------------------------
+
+    def _detect_fn(self):
+        """Jitted [sot]-step language-probability head: cross-KV ->
+        (B, 100) softmax over the language tokens (reference serial form:
+        whisper_lang_auto_detect_with_state, whisper.cpp:4027-4108)."""
+        ctx = self.ctx
+        key = ("lang_detect", self.B, ctx.cross_mode)
+        if key not in ctx._jit_cache:
+            from ..models import whisper as wm
+            nh = ctx.config.n_text_head
+            cd = ctx.compute_dtype
+            lang_tok = jnp.asarray(
+                [ctx.vocab.token_lang(i) for i in range(100)], jnp.int32)
+            sot = ctx.vocab.token_sot
+
+            @jax.jit
+            def run(params, kc, vc):
+                B = kc.shape[1]
+                prompts = jnp.full((B, 1), sot, jnp.int32)
+                pos = jnp.zeros((B, 1), jnp.int32)
+                logits, _, _ = wm.decode_prompt(
+                    params, prompts, pos, kc, vc, n_head=nh,
+                    compute_dtype=cd)
+                ll = logits[:, -1, :].astype(jnp.float32)[:, lang_tok]
+                return jax.nn.softmax(ll, axis=-1)
+
+            ctx._jit_cache[key] = run
+        return ctx._jit_cache[key]
+
+    def _detect_languages(self, states, rows, pcm_dev=None) -> None:
+        """Resolve auto-language streams in ONE batched pre-pass: encode
+        each stream's first window (offset 0, like the serial path), run a
+        single [sot] decode step, argmax the language-token probabilities,
+        and pin the per-stream prompt lang token.  The batch path thereby
+        carries language="auto" end-to-end instead of shunting to serial
+        (reference carries it through its parallel path the same way:
+        whisper_full_parallel -> :5504 -> :4027-4108)."""
+        slot_streams = [rows[i] if i < len(rows) else None
+                        for i in range(self.B)]
+        seeks = np.zeros((self.B,), np.int32)
+        kc, vc = self._encode_slots(states, slot_streams, pcm_dev,
+                                    seeks=seeks)
+        probs = np.asarray(self._detect_fn()(self.ctx.params, kc, vc))
+        kc = vc = None
+        for i, si in enumerate(rows):
+            st = states[si]
+            lid = int(np.argmax(probs[i]))
+            st.lang_id_state = lid
+            st.lang_probs = probs[i].copy()
+            st.prompt_init = self._prompt_init_for(lid)
+            log_info(f"auto-detected language: {lang_str(lid)} "
+                     f"(p = {probs[i][lid]:.6f})")
 
     def _encode_batch_sliced(self, pcm_all, rows, starts):
         """Device-resident variant: streams' padded PCM lives on the device
@@ -310,6 +383,8 @@ class BatchTranscriber:
                 seek_end=(n_len_org if p.duration_ms == 0
                           else p.offset_ms // 10 + p.duration_ms // 10)),
                 pcm)
+        if not self.auto_lang:
+            st.prompt_init = list(self.prompt_init)
         if st.seek_end < st.seek + DELTA_MIN:
             st.done = True
         return st
@@ -358,6 +433,7 @@ class BatchTranscriber:
                 break
             self._iterate(states, active[:self.B], pcm_dev)
 
+        self.last_states = states   # detection results, per-stream lang ids
         return [st.result_all for st in states]
 
     def _iterate(self, states, batch, pcm_dev=None) -> None:
@@ -372,6 +448,19 @@ class BatchTranscriber:
         p = self.params
         _t_iter = _time.perf_counter()
         B = len(batch)
+
+        # language pre-pass for any auto-language stream joining the
+        # batch (fresh streams on the continuous path arrive unresolved)
+        fresh = [i for i in batch if states[i].prompt_init is None]
+        if fresh:
+            self._detect_languages(states, fresh, pcm_dev)
+            if p.detect_language:
+                # detection IS the request (reference: whisper.cpp:5515)
+                for i in fresh:
+                    states[i].done = True
+                self.window_times.append(
+                    (B, _time.perf_counter() - _t_iter))
+                return
 
         prompts, prompts_bare = self._build_prompts(states, batch)
         self.phase_times["prep"] += _time.perf_counter() - _t_iter
@@ -919,6 +1008,8 @@ class BatchTranscriber:
             out = self._decode_rows([prompt] * self.B, kc, vc, live,
                                     zeros, zeros, 0.0, keys)
             del out
+        if self.auto_lang:
+            jax.block_until_ready(self._detect_fn()(ctx.params, kc, vc))
 
     def _finish_window(self, st: StreamState, best: dict,
                        si: int | None = None) -> None:
@@ -941,7 +1032,8 @@ class BatchTranscriber:
             with ctx.use_state(st):
                 ctx.no_speech_prob = st.no_speech_prob
                 st.seek = ctx._emit_segments(best, st.seek, st.seek_end, p,
-                                             self.prompt_init,
+                                             st.prompt_init
+                                             or self.prompt_init,
                                              self.no_timestamps)
             n_new = len(st.result_all) - n_seg_before
             if ctx.dtw_token_timestamps and n_new and si is not None:

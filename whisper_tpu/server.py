@@ -109,22 +109,21 @@ class _BatchWorker:
                 p.detect_language, p.max_initial_ts, p.length_penalty)
 
     def _batchable(self, p) -> bool:
-        """Configs the batched engine carries.  Since round 4 that is the
+        """Configs the batched engine carries.  Since round 5 that is the
         full quality surface — best_of ladder diversity, token
-        timestamps, AND beam search (S streams x K beams in one device
-        batch); only auto-language, host-looped grammar/logit-filter
-        decoding, and beam requests wider than the device batch (beam
-        rows are coupled within a step) go serial."""
+        timestamps, beam search (S streams x K beams in one device
+        batch), AND language auto-detect (a batched [sot] pre-pass per
+        stream); only host-looped grammar/logit-filter decoding and beam
+        requests wider than the device batch (beam rows are coupled
+        within a step) go serial."""
         if p.strategy == SamplingStrategy.BEAM_SEARCH:
             need = p.beam_search.beam_size
             if p.temperature_inc > 0.0:
                 need = max(need, p.greedy.best_of)
             if need > self.batch_size:
                 return False
-        return (p.language not in (None, "", "auto")
-                and not p.detect_language
-                and p.strategy in (SamplingStrategy.GREEDY,
-                                   SamplingStrategy.BEAM_SEARCH)
+        return (p.strategy in (SamplingStrategy.GREEDY,
+                               SamplingStrategy.BEAM_SEARCH)
                 and p.grammar_rules is None
                 and p.logits_filter_callback is None)
 
@@ -148,12 +147,16 @@ class _BatchWorker:
         if self._batchable(params):
             eng = self._engine_for(params)
             if eng is not None:
-                return eng.submit(pcm)
+                job = eng.submit_async(pcm)
+                job.done.wait()
+                if job.error is not None:
+                    raise RuntimeError(job.error)
+                return list(job.st.result_all), job.st.full_lang_id()
         with self._slock:
             state = self.ctx.init_state()
             if self.ctx.full(params, pcm, state=state) != 0:
                 raise RuntimeError("failed to process audio")
-            return list(state.result_all)
+            return list(state.result_all), state.full_lang_id()
 
     def submit_stream(self, pcm, params, on_segment):
         """Like submit, but invokes on_segment(Segment) for each segment
@@ -477,10 +480,11 @@ class Handler(BaseHTTPRequestHandler):
                 raise RuntimeError("no model loaded")
             duration_s = len(pcm) / 16000.0
             if STATE.batcher is not None:
-                segs = STATE.batcher.submit(pcm, params)
+                segs, lid_detected = STATE.batcher.submit(pcm, params)
                 from .languages import lang_id as _lang_id
                 lid = (_lang_id(params.language)
-                       if params.language not in (None, "", "auto") else 0)
+                       if params.language not in (None, "", "auto")
+                       else lid_detected)
                 view = _SegmentsView(segs, max(lid, 0), ctx=STATE.ctx)
                 ctype, out = _format_response(view, fmt, params, duration_s,
                                               offset_n)
