@@ -46,6 +46,30 @@ rec = json.loads(sys.stdin.read())
 assert rec['value'] > 0, rec
 print('bench ok:', rec['metric'], rec['value'], rec['unit'])"
 
+step "bench driver rehearsal (the EXACT bare invocation, tiny dims via env)"
+# The round-4 failure class: the default 'python bench.py' run outgrowing
+# the driver's capture budget with nothing printed.  Rehearse the bare
+# invocation under a wall-clock cap and assert the two survival
+# guarantees: (1) partial records stream out as phases finish, so a hard
+# kill still leaves a parseable record; (2) the final line parses and
+# carries the headline value even when later phases are budget-skipped.
+WTPU_BENCH_SIZE=tiny WTPU_BENCH_BATCH=2 WTPU_BENCH_TOKENS=4 \
+WTPU_BENCH_SERVING_BATCH=2 WTPU_BENCH_ITERS=1 WTPU_BENCH_BUDGET_S=300 \
+    timeout 360 python bench.py > /tmp/wtpu_ci_bench.out
+python - <<'PY'
+import json
+lines = [l for l in open("/tmp/wtpu_ci_bench.out") if l.startswith("{")]
+assert lines, "bench printed no JSON at all"
+partials = [json.loads(l) for l in lines if '"partial": true' in l]
+assert partials, "no per-phase partial records were flushed"
+rec = json.loads(lines[-1])
+assert not rec.get("partial"), "final record still marked partial"
+assert rec.get("value", 0) > 0, rec
+assert "budget_s" in rec and "bench_wall_s" in rec, rec
+print(f"driver rehearsal ok: {len(partials)} partials, "
+      f"value={rec['value']} {rec['unit']}, wall={rec['bench_wall_s']}s")
+PY
+
 step "multichip dryrun (8-device virtual mesh, end-to-end orchestrator)"
 python __graft_entry__.py
 
