@@ -140,13 +140,19 @@ def load_mpeg(path: str, stereo: bool = False) -> tuple[np.ndarray, np.ndarray |
 
 
 def load_vorbis(path: str, stereo: bool = False) -> tuple[np.ndarray, np.ndarray | None]:
-    """Read an Ogg Vorbis file, same contract as load_wav (decoder pinned
-    against the reference's vendored stb_vorbis, tests/test_vorbis_golden.py)."""
+    """Read an Ogg Vorbis file, same contract as load_wav.  Uses the native
+    decoder when built, the pure-Python one otherwise (both pinned against
+    the reference's vendored stb_vorbis, tests/test_vorbis_golden.py and
+    tests/test_vorbis_native.py)."""
+    from .native import decode_ogg_vorbis_native
     from .vorbis import decode_ogg_vorbis
 
     with open(path, "rb") as f:
         raw = f.read()
-    data, sr = decode_ogg_vorbis(raw)
+    decoded = decode_ogg_vorbis_native(raw)
+    if decoded is None:
+        decoded = decode_ogg_vorbis(raw)
+    data, sr = decoded
     return _finish_decoded(data, sr, stereo)
 
 

@@ -76,6 +76,20 @@ def _load():
         lib._has_mp3 = True
     except AttributeError:
         lib._has_mp3 = False
+    try:  # a stale .so built before the Vorbis decoder degrades gracefully
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        f32pp = ctypes.POINTER(ctypes.POINTER(ctypes.c_float))
+        u64p = ctypes.POINTER(ctypes.c_uint64)
+        u32p = ctypes.POINTER(ctypes.c_uint32)
+        lib.wtpu_vorbis_probe.argtypes = [u8p, ctypes.c_uint64]
+        lib.wtpu_vorbis_probe.restype = ctypes.c_int
+        lib.wtpu_vorbis_decode.argtypes = [u8p, ctypes.c_uint64, f32pp, u64p,
+                                           u32p, u32p]
+        lib.wtpu_vorbis_decode.restype = ctypes.c_int
+        lib.wtpu_vorbis_free.argtypes = [ctypes.POINTER(ctypes.c_float)]
+        lib._has_vorbis = True
+    except AttributeError:
+        lib._has_vorbis = False
     _LIB = lib
     return lib
 
@@ -146,6 +160,37 @@ def decode_flac_native(data: bytes, verify_crc: bool = True):
     finally:
         lib.wtpu_flac_free(pcm_ptr)
     return pcm, rate.value, bits.value
+
+
+def decode_ogg_vorbis_native(data: bytes):
+    """Native Ogg Vorbis decode -> ((n, ch) float32, rate), or None when the
+    library is unavailable.  Raises ValueError on malformed streams — exactly
+    where audio.vorbis.decode_ogg_vorbis raises (parity pinned in
+    tests/test_vorbis_native.py)."""
+    lib = _load()
+    if lib is None or not lib._has_vorbis:
+        return None
+    buf = np.frombuffer(data, dtype=np.uint8)
+    pcm_ptr = ctypes.POINTER(ctypes.c_float)()
+    frames = ctypes.c_uint64()
+    channels = ctypes.c_uint32()
+    rate = ctypes.c_uint32()
+    rc = lib.wtpu_vorbis_decode(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(data),
+        ctypes.byref(pcm_ptr), ctypes.byref(frames), ctypes.byref(channels),
+        ctypes.byref(rate))
+    if rc != 0:
+        raise ValueError(f"Ogg Vorbis decode failed (native rc={rc})")
+    try:
+        n = frames.value * channels.value
+        if n == 0:
+            pcm = np.zeros((0, max(1, channels.value)), dtype=np.float32)
+        else:
+            pcm = np.ctypeslib.as_array(pcm_ptr, shape=(n,)).reshape(
+                frames.value, channels.value).copy()
+    finally:
+        lib.wtpu_vorbis_free(pcm_ptr)
+    return pcm, rate.value
 
 
 def decode_mp3_native(data: bytes):

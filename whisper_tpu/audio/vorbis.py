@@ -6,6 +6,12 @@ is the framework's native replacement, written from the Vorbis I
 specification and pinned against the reference's own stb_vorbis compiled
 unmodified in tests/test_vorbis_golden.py.
 
+This is the readable reference implementation and the fallback path; the
+request-path fast path is its C++ twin (native/wtpu_vorbis.cpp, ~20-40x
+faster, 300-1400x realtime), pinned against this module within 1 s16 LSB and
+against stb_vorbis in tests/test_vorbis_native.py.  Loader routing prefers
+the native decoder when built (audio/io.py load_vorbis).
+
 Where the specification and stb_vorbis disagree, this decoder follows
 stb_vorbis (the oracle every reference example actually ships):
   * floor1 Y[0]/Y[1] are read with ilog(range)-1 bits (stb_vorbis.c:3210);
