@@ -95,13 +95,48 @@ def collect_utterances(dataset: str):
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--model", required=True)
+    ap.add_argument("--model", default=None,
+                    help="ggml model (required unless --from-cli-outputs)")
     ap.add_argument("--dataset", required=True)
     ap.add_argument("--limit", type=int, default=0)
     ap.add_argument("--batch", type=int, default=8,
                     help="streams decoded concurrently (BatchTranscriber)")
     ap.add_argument("--beam-size", type=int, default=-1)
+    ap.add_argument("--from-cli-outputs", action="store_true",
+                    help="score pre-existing <utt>.flac.txt hypothesis "
+                         "files written by the CLI (the reference's "
+                         "eval.mk flow) instead of transcribing here")
     args = ap.parse_args()
+
+    if args.from_cli_outputs:
+        # Mirrors the reference's eval.py get_hypothesis(): hypotheses are
+        # the <utt>.flac.txt files the CLI wrote next to each .flac
+        # (reference: tests/librispeech/eval.py:16-23 + eval.mk %.flac.txt).
+        utts = list(collect_utterances(args.dataset))
+        if args.limit:
+            utts = utts[:args.limit]
+        refs, hyps, missing = [], [], 0
+        for flac, ref in utts:
+            hyp_path = flac + ".txt"
+            if not os.path.exists(hyp_path):
+                missing += 1
+                continue
+            with open(hyp_path) as f:
+                hyp = f.read().strip()
+            refs.append(normalize_english(ref))
+            hyps.append(normalize_english(hyp))
+        if missing:
+            print(f"warning: {missing} utterances without .flac.txt "
+                  "hypothesis, skipped", file=sys.stderr)
+        if not refs:
+            print("no scored utterances", file=sys.stderr)
+            return 1
+        wer = word_error_rate(refs, hyps)
+        print(f"WER: {wer * 100:.2f}%  ({len(refs)} utterances)")
+        return 0
+
+    if not args.model:
+        ap.error("--model is required unless --from-cli-outputs")
 
     import whisper_tpu as wt
     from whisper_tpu.audio.io import load_audio
