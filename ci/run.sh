@@ -66,8 +66,15 @@ rec = json.loads(lines[-1])
 assert not rec.get("partial"), "final record still marked partial"
 assert rec.get("value", 0) > 0, rec
 assert "budget_s" in rec and "bench_wall_s" in rec, rec
+# the must-have metrics must survive even a tight budget: the headline
+# serving value AND the kernel MFU number (kernel runs 2nd by design)
+assert "kernel_rtf" in rec, rec
+# ttfr must always leave a disposition: a measured warm/cold value, a
+# per-child error, or an explanatory skip — never silent absence
+assert any(k.startswith("ttfr_") for k in rec), rec
 print(f"driver rehearsal ok: {len(partials)} partials, "
-      f"value={rec['value']} {rec['unit']}, wall={rec['bench_wall_s']}s")
+      f"value={rec['value']} {rec['unit']}, wall={rec['bench_wall_s']}s, "
+      f"ttfr keys={[k for k in rec if k.startswith('ttfr_')]}")
 PY
 
 step "multichip dryrun (8-device virtual mesh, end-to-end orchestrator)"
