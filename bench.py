@@ -585,6 +585,20 @@ def _stream_phases(phases: list[str], args, deadline: float,
 
     got: dict = {}
     timed_out = False
+
+    def take(line) -> None:
+        line = line.strip()
+        if not line.startswith("{"):
+            return
+        try:
+            d = json.loads(line)
+        except ValueError:
+            return
+        if "phase" in d:
+            got[d["phase"]] = d
+            if on_phase:
+                on_phase(d["phase"], d)
+
     while True:
         wait = deadline - time.monotonic()
         if wait <= 0:
@@ -597,21 +611,22 @@ def _stream_phases(phases: list[str], args, deadline: float,
             continue
         if line is None:
             break
-        line = line.strip()
-        if not line.startswith("{"):
-            continue
-        try:
-            d = json.loads(line)
-        except ValueError:
-            continue
-        if "phase" in d:
-            got[d["phase"]] = d
-            if on_phase:
-                on_phase(d["phase"], d)
+        take(line)
     try:
         proc.wait(timeout=10)
     except subprocess.TimeoutExpired:
         proc.kill()
+    # a phase line that landed in the pipe/queue right before the deadline
+    # kill is a finished measurement — keep it ('results already printed
+    # are kept' is this function's whole contract)
+    while True:
+        try:
+            line = q.get(timeout=0.5)
+        except queue.Empty:
+            break
+        if line is None:
+            break
+        take(line)
     for ph in phases:
         if ph not in got:
             reason = ("wall-clock budget exhausted" if timed_out

@@ -336,6 +336,56 @@ def test_auto_language_matches_serial(ctx):
     assert batch == serial
 
 
+def test_auto_language_quantized_cross_kv(ctx, tmp_path):
+    """language="auto" on a QUANTIZED cross-KV context (the serving
+    default): _encode_slots hands back an untagged (codes, scales) pair
+    and the detect pre-pass must tag it at trace time — regression for
+    the round-5 q8 crash ('tuple' has no attribute 'shape').  Detected
+    lang ids must match the bf16 context's."""
+    path = make_random_model(tmp_path)
+    qctx = wt.WhisperContext.from_file(path, cross_mode="einsum_q8")
+
+    p = wt.full_default_params()
+    p.print_progress = False
+    p.language = "auto"
+    streams = [_noise(d, seed=500 + d) for d in (2, 3)]
+
+    bt = BatchTranscriber(qctx, batch_size=2, params=p)
+    states = [bt._make_stream(pcm) for pcm in streams]
+    bt._detect_languages(states, list(range(len(states))))
+    q_lids = [st.full_lang_id() for st in states]
+
+    bt_bf = BatchTranscriber(ctx, batch_size=2, params=p)
+    states_bf = [bt_bf._make_stream(pcm) for pcm in streams]
+    bt_bf._detect_languages(states_bf, list(range(len(states_bf))))
+    assert q_lids == [st.full_lang_id() for st in states_bf]
+
+    # and end-to-end transcription on the q8 ctx completes
+    results = BatchTranscriber(qctx, batch_size=2, params=p) \
+        .transcribe(streams)
+    assert len(results) == 2
+
+
+def test_dtw_timestamps_quantized_cross_kv(tmp_path):
+    """Batched DTW re-decode on a QUANTIZED cross-KV context: _dtw_qk_fn
+    must tag the untagged (codes, scales) pair inside the jit (a string
+    in the argument pytree is not a valid JAX type) — regression for the
+    round-5 q8 crash."""
+    path = make_random_model(tmp_path)
+    qctx = wt.WhisperContext.from_file(
+        path, cross_mode="einsum_q8", dtw_token_timestamps=True,
+        dtw_aheads_preset="n_top_most", dtw_n_top=2)
+    p = wt.full_default_params()
+    p.print_progress = False
+    p.temperature_inc = 0.0
+    streams = [_noise(d, seed=130 + d) for d in (2, 3)]
+    batch = [_segs_with_token_times(s) for s in
+             BatchTranscriber(qctx, batch_size=2, params=p)
+             .transcribe(streams)]
+    stamped = [tok[3] for segs in batch for s in segs for tok in s[3]]
+    assert any(t >= 0 for t in stamped)
+
+
 def test_detect_language_only(ctx):
     """params.detect_language: the batch path detects and stops, emitting
     no segments (reference: whisper.cpp:5515 early return)."""

@@ -1092,9 +1092,10 @@ class WhisperContext:
 
         # the TPU-native fast path: chunks ride ONE batched device pipeline
         # (B-axis = chunks) instead of running back-to-back — the real
-        # speedup n_processors promises.  Falls back to the serial loop for
-        # features the batched loop doesn't cover (grammar, callbacks,
-        # beam, language auto-detect).
+        # speedup n_processors promises.  language="auto" rides it too
+        # (per-chunk batched detection).  Falls back to the serial loop
+        # for features the batched loop doesn't cover (grammar, callbacks,
+        # beam, detect_language's detect-then-stop mode).
         can_batch = (params.grammar_rules is None
                      and params.logits_filter_callback is None
                      and params.encoder_begin_callback is None

@@ -231,9 +231,17 @@ def _dtw_qk_fn(ctx, B: int, T_pad: int, sel_shape):
     if key not in ctx._jit_cache:
         nh = ctx.hparams.n_text_head
         cd = ctx.compute_dtype
+        cross_mode = ctx.cross_mode
 
         @jax.jit
         def run(params, toks, kc, vc, sel):
+            # quantized cross modes hand back an untagged (codes, scales)
+            # pair: tag it at trace time (a string in the ARGUMENT pytree
+            # is not a valid JAX type), like the serving loop
+            if not hasattr(kc, "shape"):
+                tag = "q4" if cross_mode == "einsum_q4" else "q8"
+                kc = (tag,) + tuple(kc)
+                vc = (tag,) + tuple(vc)
             mask = wm.make_causal_mask(toks.shape[1])
             return wm.decode_prompt_cross_qk(
                 params, toks, jnp.arange(toks.shape[1]), kc, vc, n_head=nh,

@@ -258,9 +258,21 @@ class BatchTranscriber:
                 [ctx.vocab.token_lang(i) for i in range(100)], jnp.int32)
             sot = ctx.vocab.token_sot
 
+            cross_mode = ctx.cross_mode
+
             @jax.jit
             def run(params, kc, vc):
-                B = kc.shape[1]
+                # quantized cross modes hand back an untagged
+                # (codes, scales) pair: tag it at trace time for
+                # decode_prompt, like the serving loop (loop.py:207-238)
+                prequant = not hasattr(kc, "shape")
+                if prequant:
+                    tag = "q4" if cross_mode == "einsum_q4" else "q8"
+                    B = kc[0].shape[1]   # codes: (L, B, H, Dh, Ta)
+                    kc = (tag,) + tuple(kc)
+                    vc = (tag,) + tuple(vc)
+                else:
+                    B = kc.shape[1]
                 prompts = jnp.full((B, 1), sot, jnp.int32)
                 pos = jnp.zeros((B, 1), jnp.int32)
                 logits, _, _ = wm.decode_prompt(
@@ -863,10 +875,8 @@ class BatchTranscriber:
                 seeks[r] = seek_old
             kc, vc = self._encode_slots(states, slot_streams, pcm_dev,
                                         seeks=seeks)
-            if not hasattr(kc, "shape"):   # pre-quantized (codes, scales)
-                tag = "q4" if ctx.cross_mode == "einsum_q4" else "q8"
-                kc = (tag,) + tuple(kc)
-                vc = (tag,) + tuple(vc)
+            # quantized (codes, scales) pairs pass through untagged —
+            # _dtw_qk_fn tags them at trace time inside the jit
             run = _dtw_qk_fn(ctx, nB, T_pad, sel.shape)
             qk = np.asarray(run(ctx.params, jnp.asarray(toks_arr), kc, vc,
                                 sel_dev))      # (L, nB, S, T_pad, Ta)
