@@ -53,7 +53,7 @@ static bool pow_leq(long long b, int e, long long limit) {
     // b**e <= limit without overflow
     long long r = 1;
     for (int i = 0; i < e; i++) {
-        if (b != 0 && r > limit / (b == 0 ? 1 : b)) return false;
+        if (b != 0 && r > limit / b) return false;
         r *= b;
         if (r > limit) return false;
     }
@@ -278,6 +278,13 @@ void Codebook::parse(BitReader& r) {
     dims = (int)r.read(16);
     entries = (int)r.read(24);
     if (dims == 0 && entries != 0) throw VorbisErr{};  // dimensionless
+    // Hardening, not spec: entries(24b) x dims(16b) size the huffman map
+    // and the (entries, dims) VQ table, so a ~40-byte setup header could
+    // otherwise demand multi-GB allocations on the server request path.
+    // Caps match whisper_tpu/audio/vorbis.py (_MAX_CB_ENTRIES/_MAX_CB_CELLS)
+    // exactly so the two decoders keep error parity.
+    if (entries > (1 << 20) || (long long)entries * dims > (1LL << 24))
+        throw VorbisErr{};  // codebook too large
     int ordered = r.read1();
     std::vector<int> lengths;
     lengths.reserve((size_t)entries);
@@ -761,69 +768,67 @@ struct Residue {
         long long limit = (long long)n2 * ch;
         std::vector<float> flat((size_t)limit, 0.0f);
         bool eop = false;
-        try {
-            for (int p = 0; p < 8 && !eop; p++) {
-                long long pcount = 0;
-                while (pcount < part_read && !eop) {
-                    long long fpos = lb + pcount * ps;
-                    if (p == 0) {
-                        int temp;
-                        try {
-                            temp = cb.decode_scalar(r);
-                        } catch (Eop&) {
-                            eop = true;
-                            break;
-                        }
-                        const auto& seq = classdata[(size_t)temp];
-                        std::copy(seq.begin(), seq.end(),
-                                  classes.begin() + pcount);
+        // no try/catch here: a VorbisErr propagates and the caller
+        // discards bufs, so no cleanup/deinterleave is needed
+        for (int p = 0; p < 8 && !eop; p++) {
+            long long pcount = 0;
+            while (pcount < part_read && !eop) {
+                long long fpos = lb + pcount * ps;
+                if (p == 0) {
+                    int temp;
+                    try {
+                        temp = cb.decode_scalar(r);
+                    } catch (Eop&) {
+                        eop = true;
+                        break;
                     }
-                    for (int i = 0; i < classwords && pcount < part_read;
-                         i++, pcount++) {
-                        int b = books[(size_t)classes[(size_t)pcount]]
-                                     [(size_t)p];
-                        if (b >= 0) {
-                            const Codebook& book = cbs[(size_t)b];
-                            if (book.lookup_type == 0) throw VorbisErr{};
-                            int dims = book.dims;
-                            long long nsyms = (ps + dims - 1) / dims;
-                            for (long long s = 0; s < nsyms; s++) {
-                                if (fpos >= limit)
-                                    throw VorbisErr{};  // write past vector end
-                                int z;
-                                try {
-                                    z = book.decode_scalar(r);
-                                } catch (Eop&) {
-                                    eop = true;
-                                    break;
-                                }
-                                const float* vals =
-                                    &book.vq[(size_t)z * dims];
-                                long long wlen =
-                                    std::min<long long>(dims, limit - fpos);
-                                if (book.sequence_p) {
-                                    float acc = 0.0f;  // cumsum per codeword
-                                    for (long long q = 0; q < wlen; q++) {
-                                        acc += vals[q];
-                                        flat[(size_t)(fpos + q)] += acc;
-                                    }
-                                } else {
-                                    for (long long q = 0; q < wlen; q++)
-                                        flat[(size_t)(fpos + q)] += vals[q];
-                                }
-                                fpos += (fpos + dims <= limit)
-                                            ? dims
-                                            : (limit - fpos);
+                    const auto& seq = classdata[(size_t)temp];
+                    std::copy(seq.begin(), seq.end(),
+                              classes.begin() + pcount);
+                }
+                for (int i = 0; i < classwords && pcount < part_read;
+                     i++, pcount++) {
+                    int b = books[(size_t)classes[(size_t)pcount]]
+                                 [(size_t)p];
+                    if (b >= 0) {
+                        const Codebook& book = cbs[(size_t)b];
+                        if (book.lookup_type == 0) throw VorbisErr{};
+                        int dims = book.dims;
+                        long long nsyms = (ps + dims - 1) / dims;
+                        for (long long s = 0; s < nsyms; s++) {
+                            if (fpos >= limit)
+                                throw VorbisErr{};  // write past vector end
+                            int z;
+                            try {
+                                z = book.decode_scalar(r);
+                            } catch (Eop&) {
+                                eop = true;
+                                break;
                             }
-                            if (eop) break;
-                        } else {
-                            fpos = lb + pcount * ps + ps;
+                            const float* vals =
+                                &book.vq[(size_t)z * dims];
+                            long long wlen =
+                                std::min<long long>(dims, limit - fpos);
+                            if (book.sequence_p) {
+                                float acc = 0.0f;  // cumsum per codeword
+                                for (long long q = 0; q < wlen; q++) {
+                                    acc += vals[q];
+                                    flat[(size_t)(fpos + q)] += acc;
+                                }
+                            } else {
+                                for (long long q = 0; q < wlen; q++)
+                                    flat[(size_t)(fpos + q)] += vals[q];
+                            }
+                            fpos += (fpos + dims <= limit)
+                                        ? dims
+                                        : (limit - fpos);
                         }
+                        if (eop) break;
+                    } else {
+                        fpos = lb + pcount * ps + ps;
                     }
                 }
             }
-        } catch (...) {
-            throw;  // VorbisErr: caller discards bufs, no deinterleave needed
         }
         for (int j = 0; j < ch; j++) {
             float* bj = bufs[(size_t)j].data();

@@ -84,11 +84,50 @@ def test_real_libvorbis_file_matches_python():
     assert float(np.mean(d == 0)) >= 0.999
 
 
+def _short_id_header_stream() -> bytes:
+    """One BOS page whose ID packet is 29 bytes: every field present, the
+    framing bit missing.  parse_header's final read1() hits end-of-packet,
+    which must surface as VorbisError (ValueError), not the internal
+    _EndOfPacket — the native decoder returns rc=1 for the same bytes."""
+    from whisper_tpu.audio.ogg import pack_pages
+    bw = vorbisgen.BitWriter()
+    bw.write(0, 32)                       # version
+    bw.write(1, 8)                        # channels
+    bw.write(8000, 32)                    # rate
+    bw.write(0, 32), bw.write(0, 32), bw.write(0, 32)
+    bw.write(8, 4), bw.write(11, 4)       # blocksizes 256/2048; no framing bit
+    pkt = b"\x01vorbis" + bw.to_bytes()
+    assert len(pkt) == 29
+    return pack_pages([(pkt, 0)], flush_after=(0,))
+
+
+def _huge_codebook_stream() -> bytes:
+    """Valid ID+comment headers, then a setup header declaring one codebook
+    with entries=2^24-1, dims=4 — a 256 MB VQ table plus a 16M-entry huffman
+    map from ~50 input bytes.  Both decoders must refuse at the shared size
+    cap without allocating."""
+    from whisper_tpu.audio.ogg import pack_pages
+    s = vorbisgen.Setup(channels=1, rate=8000, bs0=256, bs1=2048, books=[],
+                        floors=[], residues=[], mappings=[], modes=[])
+    bw = vorbisgen.BitWriter()
+    bw.write(0, 8)                        # codebook_count - 1
+    bw.write(0x564342, 24)                # 'BCV' sync
+    bw.write(4, 16)                       # dims
+    bw.write((1 << 24) - 1, 24)           # entries
+    bw.write(1, 1)                        # ordered
+    bw.write(7, 5)                        # initial codeword length 8
+    bw.write((1 << 24) - 1, 24)           # one count field covers all entries
+    pkt = b"\x05vorbis" + bw.to_bytes()
+    return pack_pages([(s.id_packet(), 0), (s.comment_packet(), 0), (pkt, 0)])
+
+
 def _adversarial_cases():
     blob = _CORPUS["stereo_coupled"]
     second_page = blob.find(b"OggS", 4)
     return {
         "empty": b"",
+        "short_id_header": _short_id_header_stream(),
+        "huge_codebook": _huge_codebook_stream(),
         "garbage": b"\x00" * 64,
         "not_ogg": b"RIFF" + b"\x00" * 100,
         "trunc_header_page": blob[:20],
@@ -109,7 +148,7 @@ def test_error_parity_with_python(case):
     try:
         py = decode_ogg_vorbis(data)
         py_raised = None
-    except BaseException as e:  # incl. _EndOfPacket escapes on fuzz inputs
+    except ValueError as e:  # the decoder's whole error surface (VorbisError)
         py, py_raised = None, type(e).__name__
     try:
         nat = decode_ogg_vorbis_native(data)

@@ -170,6 +170,10 @@ class _BitReader:
 
 _FAST_BITS = 12      # acceleration-table width (stb: FAST_HUFFMAN_LENGTH=10)
 
+# setup-allocation caps shared (exactly) with native/wtpu_vorbis.cpp
+_MAX_CB_ENTRIES = 1 << 20    # huffman/lengths tables
+_MAX_CB_CELLS = 1 << 24      # entries * dims f32 cells in the VQ table
+
 
 class _Codebook:
     __slots__ = ("dims", "entries", "lengths", "table", "lookup_type",
@@ -183,6 +187,17 @@ class _Codebook:
         self.entries = r.read(24)
         if self.dims == 0 and self.entries != 0:
             raise VorbisError("dimensionless codebook")
+        # Hardening, not spec: entries(24b) x dims(16b) are attacker-
+        # controlled and size the huffman map + the (entries, dims) VQ
+        # table; a ~40-byte setup header could otherwise demand multi-GB
+        # allocations on the server request path.  Real codebooks are
+        # ~1e3 entries x <=8 dims; the caps leave 100x headroom.  The
+        # native decoder applies the SAME caps at the same parse point so
+        # error parity holds (stb_vorbis instead relies on its optional
+        # setup_memory budget).
+        if self.entries > _MAX_CB_ENTRIES \
+                or self.entries * self.dims > _MAX_CB_CELLS:
+            raise VorbisError("codebook too large")
         ordered = r.read1()
         lengths: list[int | None] = []
         if ordered:
@@ -858,6 +873,15 @@ class _VorbisStream:
     # -- headers ------------------------------------------------------------
 
     def parse_header(self, packet: bytes) -> None:
+        # read1()/huffman walks raise _EndOfPacket, which is internal-only:
+        # surface truncated headers as VorbisError so callers see the same
+        # ValueError the native decoder (rc=1) maps to.
+        try:
+            self._parse_header(packet)
+        except _EndOfPacket:
+            raise VorbisError("EOP in header packet") from None
+
+    def _parse_header(self, packet: bytes) -> None:
         if len(packet) < 7 or packet[1:7] != b"vorbis":
             raise VorbisError("bad header packet")
         kind = packet[0]
