@@ -214,3 +214,68 @@ def test_on_segment_streams_progressively(ctx):
         assert _segs(job2.st.result_all) == serial
     finally:
         eng.close()
+
+
+def test_first_window_priority_over_inflight(ctx):
+    """A second wave of streams gets its FIRST window before earlier
+    streams decode their remaining windows: with one slot, stream B
+    (submitted after the 4-window stream A) produces its first segment at
+    the very next iteration after joining instead of waiting for A's full
+    drain — the first-window-first policy that bounds TTFS by queue
+    position rather than by the drain of everything ahead."""
+    a = _noise(95, seed=21)    # 4 windows
+    b = _noise(35, seed=22)    # 2 windows
+
+    eng = ContinuousBatcher(ctx, batch_size=1, params=_params())
+    try:
+        ja = eng.submit_async(a)
+        jb = eng.submit_async(b)
+        for j in (ja, jb):
+            assert j.done.wait(timeout=300) and j.error is None
+        # B joined by iteration 1 and held the single slot at iteration 2
+        # (its first window) even though A was still mid-flight
+        assert jb.iter_first is not None
+        assert jb.iter_first <= jb.iter_joined + 2
+        # B finishes long before A despite FIFO submission order
+        assert jb.iter_done < ja.iter_done
+        # total work is unchanged: 4 + 2 windows = 6 iterations
+        assert eng.n_iterations == 6
+    finally:
+        eng.close()
+
+
+def test_resident_pcm_pool_matches_upload_path(ctx):
+    """device_mel engines pin each admitted stream's PCM to a pool row
+    (windows cut on-device; one upload per stream instead of one per
+    window iteration).  Segments must equal the plain batch path's, rows
+    must recycle, and the pool must actually carry the iterations."""
+    from whisper_tpu.parallel.batch import BatchTranscriber
+
+    streams = [(_noise(d, seed=30 + d) * 32768).clip(-32768, 32767)
+               .astype(np.int16) for d in (35, 65, 35, 95)]
+
+    eng = ContinuousBatcher(ctx, batch_size=2, params=_params(),
+                            device_mel=True, max_active=4)
+    pool_iters = []
+    orig = eng.bt._iterate
+
+    def spy(states, batch, pcm_dev=None):
+        pool_iters.append(pcm_dev is not None)
+        return orig(states, batch, pcm_dev)
+
+    eng.bt._iterate = spy
+    try:
+        jobs = [eng.submit_async(pcm) for pcm in streams]
+        for j in jobs:
+            assert j.done.wait(timeout=300) and j.error is None
+        cont = [_segs(j.st.result_all) for j in jobs]
+        # every iteration rode the resident pool...
+        assert pool_iters and all(pool_iters)
+        # ...and every row was recycled on completion
+        assert len(eng._pool_free) == eng.max_active
+    finally:
+        eng.close()
+
+    bt = BatchTranscriber(ctx, batch_size=2, params=_params(),
+                          device_mel=True)
+    assert [_segs(s) for s in bt.transcribe(streams)] == cont

@@ -905,7 +905,12 @@ class BatchTranscriber:
             for row, si in enumerate(slot_streams):
                 if si is None:
                     continue
-                rows_idx[row] = si
+                # streams carrying an explicit pool row (continuous
+                # batching's slot-pinned resident pool) index pcm_dev by
+                # that row; transcribe()'s stacked upload indexes by the
+                # state's own position
+                pr = getattr(states[si], "pcm_row", None)
+                rows_idx[row] = si if pr is None else pr
                 starts[row] = (seeks[row] if seeks is not None
                                else states[si].seek) * HOP_LENGTH
             return self._encode_batch_sliced(pcm_dev, rows_idx, starts)
@@ -1065,8 +1070,8 @@ class _Job:
     """One submitted stream riding the continuous batch."""
 
     __slots__ = ("pcm", "st", "done", "error", "t_submit", "t_first_segment",
-                 "t_done", "iter_joined", "iter_done", "_had_segment",
-                 "on_segment", "_n_emitted")
+                 "t_done", "iter_joined", "iter_done", "iter_first",
+                 "_had_segment", "on_segment", "_n_emitted", "_last_sched")
 
     def __init__(self, pcm, on_segment=None):
         import threading
@@ -1080,12 +1085,16 @@ class _Job:
         self.t_done: float | None = None
         self.iter_joined: int | None = None
         self.iter_done: int | None = None
+        self.iter_first: int | None = None   # iteration of first segment
         self._had_segment = False
         # streaming: called with each finalized Segment as the engine
         # produces it (between window iterations) — from the SCHEDULER
         # thread, so callbacks must be quick and must not raise
         self.on_segment = on_segment
         self._n_emitted = 0
+        # iteration index of the last slot this job held; -1 = never
+        # scheduled (drives first-window-first + round-robin scheduling)
+        self._last_sched = -1
 
 
 class ContinuousBatcher:
@@ -1102,10 +1111,15 @@ class ContinuousBatcher:
     arriving while a long batch is decoding produces its first segment
     within about one window iteration.
 
-    Scheduling is FIFO over live streams: slots go to the oldest
-    not-yet-finished admissions, which bounds every request's wait by
-    (queue position / batch_size) iterations rather than by the longest
-    stream in front of it.
+    Scheduling is first-window-first, then round-robin: never-scheduled
+    streams take slots before in-flight ones (so TTFS is bounded by
+    ~(queue position / batch_size) iterations, not by draining what is
+    ahead), and in-flight streams rotate least-recently-scheduled-first
+    so every live stream makes steady per-window progress.  Admission is
+    just-in-time (at most one iteration's worth of fresh preps per
+    cycle), and admitted streams pin their PCM to a device-resident pool
+    row so windows are cut on-device instead of re-uploaded per
+    iteration.
     """
 
     def __init__(self, ctx: WhisperContext, batch_size: int = 8,
@@ -1122,6 +1136,22 @@ class ContinuousBatcher:
         # admission cap: streams beyond it wait in the queue un-prepped
         # (each admitted stream holds its mel spectrogram in host memory)
         self.max_active = max_active or 2 * batch_size
+        # slot-pinned resident-PCM pool: each admitted stream's padded PCM
+        # is uploaded ONCE into its pool row and windows are cut on-device
+        # (_encode_batch_sliced), instead of re-uploading every active
+        # row's 30 s window every iteration (~2 MB/row/iteration).  Rows
+        # are recycled when streams finish.  device_mel-only, like
+        # transcribe()'s stacked upload.
+        self._pool = None
+        self._pool_len = 0
+        self._pool_dtype = None
+        self._pool_free = list(range(self.max_active))
+        self._pool_setters: dict = {}
+        # per-row high-water mark: a recycled row whose new stream is
+        # shorter re-uploads up to the previous occupant's extent, so a
+        # stale tail can never be read even if seek_end overruns the audio
+        # (duration_ms beyond the file decodes silence, not old samples)
+        self._pool_water = [0] * self.max_active
         self.queue: "queue.Queue[_Job]" = queue.Queue()
         self.active: list[_Job] = []
         self.n_iterations = 0
@@ -1168,6 +1198,66 @@ class ContinuousBatcher:
 
     # -- engine ------------------------------------------------------------
 
+    # pool budget: rows x row-length never exceeds this many bytes (the
+    # pool shares HBM with the weights, cross-KV and decode caches)
+    POOL_BYTES = 1 << 30
+
+    def _pool_admit(self, st: StreamState) -> None:
+        """Pin `st`'s padded PCM to a free pool row (one h2d upload for the
+        stream's whole life).  Declines — leaving the stream on the
+        upload-per-iteration fallback — when the pool is full, the dtype
+        differs from the pool's, or the stream would blow the byte budget.
+        Pool growth doubles the row length so the sliced-encode fn
+        recompiles only O(log max_len) times."""
+        arr = getattr(st, "pcm_padded", None)
+        if arr is None or not self._pool_free:
+            return
+        if self._pool_dtype is None:
+            self._pool_dtype = arr.dtype
+        if arr.dtype != self._pool_dtype:
+            return
+        gran = 16000 * CHUNK_SIZE            # 30 s of samples
+        plen = max(self._pool_len, 2 * gran)
+        while plen < len(arr):
+            plen *= 2
+        if self.max_active * plen * arr.itemsize > self.POOL_BYTES:
+            return
+        if self._pool is None or plen > self._pool_len:
+            old, old_len = self._pool, self._pool_len
+            self._pool = jnp.zeros((self.max_active, plen),
+                                   self._pool_dtype)
+            if old is not None:
+                self._pool = self._pool.at[:, :old_len].set(old)
+            self._pool_len = plen
+        row = self._pool_free.pop()
+        # upload only the stream's own bytes (bucketed to 30 s), not the
+        # whole row: window reads never pass len(arr) (pad_audio's 30 s +
+        # N_FFT tail covers the last window exactly), so the recycled
+        # row's stale tail beyond ulen is never touched
+        ulen = min(self._pool_len,
+                   max(-(-len(arr) // gran) * gran, self._pool_water[row]))
+        self._pool_water[row] = ulen
+        key = (self._pool.shape, str(self._pool.dtype), ulen)
+        setter = self._pool_setters.get(key)
+        if setter is None:
+            # donate the pool so the row write is in-place, not a copy
+            setter = jax.jit(
+                lambda pool, data, r: jax.lax.dynamic_update_slice(
+                    pool, data[None], (r, 0)),
+                donate_argnums=(0,))
+            self._pool_setters[key] = setter
+        host_row = np.zeros((ulen,), self._pool_dtype)
+        host_row[:len(arr)] = arr
+        self._pool = setter(self._pool, jnp.asarray(host_row),
+                            np.int32(row))
+        st.pcm_row = row
+
+    def _pool_release(self, st: StreamState) -> None:
+        row = getattr(st, "pcm_row", None)
+        if row is not None:
+            st.pcm_row = None
+            self._pool_free.append(row)
+
     def _admit(self, job: "_Job | None") -> None:
         import time
         if job is None:
@@ -1185,6 +1275,11 @@ class ContinuousBatcher:
             job.iter_done = self.n_iterations
             job.done.set()
             return
+        if self.bt.device_mel and self.bt.mesh is None:
+            try:
+                self._pool_admit(job.st)
+            except Exception:  # noqa: BLE001 — pool is an optimization;
+                job.st.pcm_row = None   # the upload path still works
         self.active.append(job)
 
     def _run(self):
@@ -1207,6 +1302,14 @@ class ContinuousBatcher:
                     break
                 self._admit(job)
             while len(self.active) < self.max_active:
+                # just-in-time admission: prep (and pool-upload) at most
+                # one iteration's worth of never-scheduled streams per
+                # cycle — a bulk submission of max_active streams must not
+                # stall the first batch behind everyone's prep; later
+                # waves prep on later cycles, right before their slots
+                if sum(1 for j in self.active
+                       if j._last_sched < 0) >= self.B:
+                    break
                 try:
                     job = self.queue.get_nowait()
                 except _q.Empty:
@@ -1219,15 +1322,46 @@ class ContinuousBatcher:
             if not self.active:
                 continue
 
-            # FIFO: the oldest B live streams get this iteration's slots
-            batch = list(range(min(len(self.active), self.B)))
+            # First-window-first + round-robin: streams that have never
+            # held a slot get this iteration's slots before in-flight
+            # streams (FIFO within the fresh class), and in-flight streams
+            # rotate least-recently-scheduled-first.  Every stream still
+            # decodes the same windows, so steady-state throughput is
+            # unchanged — only the ORDER changes: a request's
+            # time-to-first-segment is bounded by ~(queue position / B)
+            # iterations instead of by the FULL DRAIN of every stream
+            # admitted before it (under plain FIFO, a second wave of
+            # equal-length streams gets its first slot only when the first
+            # wave finishes its last window), and after the first window
+            # every live stream makes steady progress (segments trickle
+            # per stream — what the SSE /stream clients see) instead of
+            # the oldest stream hogging the batch.  Starvation is bounded:
+            # fresh admissions are capped at B per cycle, and a scheduled
+            # stream re-enters the rotation like everyone else.
+            fresh = [i for i, j in enumerate(self.active)
+                     if j._last_sched < 0]
+            inflight = sorted(
+                (i for i, j in enumerate(self.active)
+                 if j._last_sched >= 0),
+                key=lambda i: self.active[i]._last_sched)
+            batch = (fresh + inflight)[:min(len(self.active), self.B)]
+            for i in batch:
+                self.active[i]._last_sched = self.n_iterations
+            # resident-pool fast path only when every scheduled stream is
+            # pinned (mixed batches fall back to the window upload — rare:
+            # pool exhaustion, dtype mismatch, or an over-budget stream)
+            sts = [j.st for j in self.active]
+            pcm_dev = (self._pool if self._pool is not None and all(
+                getattr(sts[i], "pcm_row", None) is not None
+                for i in batch) else None)
             try:
-                self.bt._iterate([j.st for j in self.active], batch)
+                self.bt._iterate(sts, batch, pcm_dev)
             except Exception as e:  # noqa: BLE001 — a dead engine thread
                 # would leave every submitter blocked on done.wait() forever
                 for j in self.active:
                     j.error = f"batch iteration failed: {e}"
                     j.done.set()
+                    self._pool_release(j.st)
                 self.active.clear()
                 continue
             self.n_iterations += 1
@@ -1239,6 +1373,7 @@ class ContinuousBatcher:
                         and j.st.result_all):
                     j._had_segment = True
                     j.t_first_segment = now
+                    j.iter_first = self.n_iterations
                 if j.on_segment is not None:
                     segs = j.st.result_all
                     while j._n_emitted < len(segs):
@@ -1250,6 +1385,7 @@ class ContinuousBatcher:
                 if j.st.done:
                     j.t_done = now
                     j.iter_done = self.n_iterations
+                    self._pool_release(j.st)
                     j.done.set()
                 else:
                     still.append(j)
