@@ -293,6 +293,14 @@ struct whisper_context * whisper_init(struct whisper_model_loader * loader);
 struct whisper_context * whisper_init_no_state(struct whisper_model_loader * loader);
 struct whisper_context_params * whisper_context_default_params_by_ref(void);
 struct whisper_full_params * whisper_full_default_params_by_ref(enum whisper_sampling_strategy strategy);
+
+/* whisper_tpu extensions: by-pointer forwards for FFI bindings that
+ * cannot pass structs by value (ruby fiddle / java Panama / node FFI).
+ * Semantics identical to the by-value originals. */
+int whisper_full_ref(struct whisper_context * ctx, const struct whisper_full_params * params, const float * samples, int n_samples);
+int whisper_full_with_state_ref(struct whisper_context * ctx, struct whisper_state * state, const struct whisper_full_params * params, const float * samples, int n_samples);
+int whisper_full_parallel_ref(struct whisper_context * ctx, const struct whisper_full_params * params, const float * samples, int n_samples, int n_processors);
+struct whisper_context * whisper_init_from_file_with_params_ref(const char * path_model, const struct whisper_context_params * params);
 void whisper_free_params(struct whisper_full_params * params);
 void whisper_free_context_params(struct whisper_context_params * params);
 int whisper_ctx_init_openvino_encoder(struct whisper_context * ctx, const char * model_path, const char * device, const char * cache_dir);

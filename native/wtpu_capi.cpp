@@ -634,6 +634,41 @@ int whisper_full_parallel(struct whisper_context * ctx,
                                          n_processors));
 }
 
+/* By-pointer forwards for FFI bindings that cannot pass structs by
+ * value (ruby fiddle, java Panama without a generated descriptor,
+ * node FFI).  whisper_tpu extensions — not part of the reference
+ * whisper.h surface. */
+int whisper_full_ref(struct whisper_context * ctx,
+                     const struct whisper_full_params * params,
+                     const float * samples, int n_samples) {
+    if (!params) return -1;
+    return whisper_full(ctx, *params, samples, n_samples);
+}
+
+int whisper_full_with_state_ref(struct whisper_context * ctx,
+                                struct whisper_state * state,
+                                const struct whisper_full_params * params,
+                                const float * samples, int n_samples) {
+    if (!params) return -1;
+    return whisper_full_with_state(ctx, state, *params, samples, n_samples);
+}
+
+int whisper_full_parallel_ref(struct whisper_context * ctx,
+                              const struct whisper_full_params * params,
+                              const float * samples, int n_samples,
+                              int n_processors) {
+    if (!params) return -1;
+    return whisper_full_parallel(ctx, *params, samples, n_samples,
+                                 n_processors);
+}
+
+struct whisper_context * whisper_init_from_file_with_params_ref(
+        const char * path_model,
+        const struct whisper_context_params * params) {
+    if (!params) return nullptr;
+    return whisper_init_from_file_with_params(path_model, *params);
+}
+
 #define CTX_LONG(name) \
     Gil gil; return (int) call_long(#name, Py_BuildValue("(O)", ctx->obj));
 
